@@ -1,0 +1,244 @@
+"""Per-key segmentation fold — the CDC "apply" kernel.
+
+Reproduces the reference's edition fold exactly (semantics from
+main.py:85-131 and segment.py:81-115 of /root/reference, re-derived — not
+translated):
+
+    leaves = nodes with no children            # main.py:88,123-131
+    append edition node E                      # main.py:91
+    for each leaf L (creation order):          # main.py:94
+        I = intersect(L, E)                    # main.py:96
+        if I:                                  #   name i_<md5('i_<L>_<E>')>
+            M = minus(L, I)                    # main.py:102  m_<md5('m_<L>_<I>')>
+    if any I:                                  # main.py:111
+        R = minus_union(E, [I...])             # main.py:113  mu_<md5('mu_<E>_UL')>
+
+Parent wiring: I ← {L, E} (segment.py:88-93); M ← {L} (segment.py:102-104);
+R ← {E} (segment.py:112-114).  The G4 type guard (empty result ⇒ no node,
+postgis_sqls.py:95-103) maps to "empty id-set ⇒ no node".
+
+Engine deltas vs the reference (all determinism fixes, SURVEY.md §4.1):
+
+* ``gid`` is ``sha256(repo|path|name)[:32]`` instead of a Postgres SERIAL —
+  output state becomes independent of execution order across partitions.
+* Edition order is the explicit ``commit`` ordering, not ``listdir`` order
+  (main.py:141 is OS-dependent).
+* Edition years (main.py:66-67: ``name[:4]`` when ``'_' not in name``)
+  propagate to descendants at node-creation time — equivalent to the
+  creation-ordered transitive date propagation of generate_graph.py:73-75,
+  because every parent precedes its children in creation order and a node's
+  ancestor set is fixed at creation.
+
+The fold is sequential *within* a ``(repo, path)`` key (semantics-bearing)
+and embarrassingly parallel *across* keys — all scale-out comes from the key
+dimension (SURVEY.md §7.0).  Tombstone events (``content == ''``,
+FIXTURES.md §1) retire the key: current leaves are flagged ``retired`` and
+the lattice restarts empty on the next add.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import geometry as G
+
+SEGMENT_BASE_COLUMNS = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("gid", "string"),
+    ("name", "string"),
+    ("seq", "long"),
+    ("commit_created", "string"),
+    ("wkt", "string"),
+    ("content_sha256", "string"),
+    ("editions", "array<string>"),
+    ("is_leaf", "boolean"),
+    ("retired", "boolean"),
+]
+
+RELATION_COLUMNS = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("parent_gid", "string"),
+    ("child_gid", "string"),
+]
+
+
+def md5_hex(s: str) -> str:
+    """Naming hash — the reference's ``hash_string_md5`` (main.py:96,102,113)."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def make_gid(repo: str, path: str, name: str) -> str:
+    """Deterministic node identity replacing SERIAL gid (postgis_sqls.py:25)."""
+    return hashlib.sha256(f"{repo}|{path}|{name}".encode("utf-8")).hexdigest()[:32]
+
+
+def edition_years(name: str) -> list[str]:
+    """Year-extraction rule of main.py:66-67."""
+    return [name[:4]] if "_" not in name else []
+
+
+@dataclass
+class _Node:
+    seq: int
+    gid: str
+    name: str
+    ids: np.ndarray
+    editions: tuple[str, ...]
+    commit_created: str
+    is_leaf: bool = True
+    retired: bool = False
+    extras: dict = field(default_factory=dict)
+    dirty: bool = True  # needs to be emitted (new node or flag change)
+
+
+@dataclass
+class FoldResult:
+    segments: list[dict]
+    relations: list[dict]
+    n_events: int
+    n_nodes_created: int
+
+
+def fold_key(
+    repo: str,
+    path: str,
+    events: list[dict],
+    leaves_in: list[dict],
+    geom_type: str = G.LINE,
+) -> FoldResult:
+    """Fold ordered change events for one key over its current leaf state.
+
+    ``events``: dicts with at least ``commit`` and ``content`` (extra keys are
+    carried through onto the edition node — the schema-evolution path).
+    ``leaves_in``: current ``is_leaf`` rows of the ``segments`` table for this
+    key (``gid, name, seq, wkt, editions``), i.e. resume state lives in the
+    lake table itself, not in Spark state stores (SURVEY.md §7.3).
+    """
+    _base = {c for c, _ in SEGMENT_BASE_COLUMNS} | {"is_leaf", "retired"}
+    leaves: list[_Node] = [
+        _Node(
+            seq=int(r["seq"]),
+            gid=r["gid"],
+            name=r["name"],
+            ids=G.parse_wkt(r["wkt"], geom_type),
+            editions=tuple(r["editions"] or ()),
+            commit_created=r.get("commit_created", ""),
+            extras={k: v for k, v in r.items() if k not in _base},
+            dirty=False,
+        )
+        for r in sorted(leaves_in, key=lambda r: int(r["seq"]))
+    ]
+    next_seq = max((l.seq for l in leaves), default=-1) + 1
+    created: list[_Node] = []
+    touched: dict[str, _Node] = {}
+    relations: list[dict] = []
+    n_created = 0
+
+    def _new(name: str, ids: np.ndarray, editions: tuple[str, ...], commit: str, extras=None) -> _Node:
+        nonlocal next_seq, n_created
+        node = _Node(
+            seq=next_seq,
+            gid=make_gid(repo, path, name),
+            name=name,
+            ids=ids,
+            editions=editions,
+            commit_created=commit,
+            extras=extras or {},
+        )
+        next_seq += 1
+        n_created += 1
+        created.append(node)
+        touched[node.gid] = node
+        return node
+
+    def _link(parent: _Node, child: _Node) -> None:
+        relations.append(
+            {"repo": repo, "path": path, "parent_gid": parent.gid, "child_gid": child.gid}
+        )
+        if parent.is_leaf:
+            parent.is_leaf = False
+            parent.dirty = True
+            touched[parent.gid] = parent
+
+    for ev in sorted(events, key=lambda e: e["commit"]):
+        commit = ev["commit"]
+        content = ev.get("content") or ""
+        extras = {
+            k: v
+            for k, v in ev.items()
+            if k not in ("repo", "path", "commit", "content")
+        }
+        if content.strip() == "":
+            # tombstone: retire the key; lattice restarts empty (FIXTURES.md §1)
+            for leaf in leaves:
+                leaf.retired = True
+                leaf.dirty = True
+                touched[leaf.gid] = leaf
+            leaves = []
+            continue
+
+        e_ids = G.parse_wkt(content, geom_type)
+        e_node = _new(commit, e_ids, tuple(edition_years(commit)), commit, extras)
+
+        round_intersections: list[_Node] = []
+        for leaf in leaves:
+            i_ids = G.intersect(leaf.ids, e_ids)
+            if G.is_multi(i_ids):  # G4 guard
+                i_name = "i_" + md5_hex(f"i_{leaf.name}_{e_node.name}")
+                i_node = _new(
+                    i_name, i_ids, tuple(dict.fromkeys(leaf.editions + e_node.editions)), commit
+                )
+                _link(leaf, i_node)
+                _link(e_node, i_node)
+                round_intersections.append(i_node)
+                m_ids = G.difference(leaf.ids, i_ids)
+                if G.is_multi(m_ids):
+                    m_name = "m_" + md5_hex(f"m_{leaf.name}_{i_node.name}")
+                    m_node = _new(m_name, m_ids, leaf.editions, commit)
+                    _link(leaf, m_node)
+
+        if round_intersections:
+            r_ids = G.difference(e_ids, G.union_all([n.ids for n in round_intersections]))
+            if G.is_multi(r_ids):
+                mu_name = "mu_" + md5_hex(f"mu_{e_node.name}_UL")
+                mu_node = _new(mu_name, r_ids, e_node.editions, commit)
+                _link(e_node, mu_node)
+
+        # next round's leaves, in creation (seq) order — main.py:123-131
+        pool = {n.seq: n for n in leaves}
+        pool.update({n.seq: n for n in created})
+        leaves = sorted(
+            (n for n in pool.values() if n.is_leaf and not n.retired),
+            key=lambda n: n.seq,
+        )
+
+    seg_rows = []
+    for node in sorted(touched.values(), key=lambda n: n.seq):
+        wkt = G.to_wkt(node.ids, geom_type)
+        row = {
+            "repo": repo,
+            "path": path,
+            "gid": node.gid,
+            "name": node.name,
+            "seq": node.seq,
+            "commit_created": node.commit_created,
+            "wkt": wkt,
+            "content_sha256": G.sha256_hex(wkt),
+            "editions": list(node.editions),
+            "is_leaf": node.is_leaf,
+            "retired": node.retired,
+        }
+        row.update(node.extras)
+        seg_rows.append(row)
+
+    return FoldResult(
+        segments=seg_rows,
+        relations=relations,
+        n_events=len(events),
+        n_nodes_created=n_created,
+    )

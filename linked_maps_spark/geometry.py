@@ -1,0 +1,275 @@
+"""Deterministic grid-geometry kernel (the engine's compute algebra).
+
+The reference implements its segmentation algebra as PostGIS SQL
+(reference: postgis_sqls.py:32-105, dispatched from segment.py:60-115):
+
+* G1 ``intersect(L, E)``  = ``ST_MULTI(ST_INTERSECTION(L, ST_INTERSECTION(
+  ST_Buffer(L, 0.0015), ST_Buffer(E, 0.0015))))``    (MULTILINESTRING mode)
+* G2 ``minus(L, I)``      = same template with ``ST_DIFFERENCE``
+* G3 ``minus_union(E, Is)`` = G2 with subtrahend ``ST_Multi(ST_Union(...))``
+* G4 result-type guard    = keep only ``ST_MultiLineString`` /
+  ``ST_MultiPolygon`` results (drops empty / collapsed geometries,
+  postgis_sqls.py:95-103)
+* A1 dissolve             = ``ST_UNION(geom)`` over an edition's features
+  (postgis_sqls.py:119-128)
+
+This engine runs without a C geometry library (no GEOS/Shapely in the
+runtime), so it fixes the geometry domain to **grid-aligned** polylines /
+polygons — exactly the fixture shape FIXTURES.md §2 mandates: all vertices on
+multiples of ``PITCH = 0.01°``, segments axis-aligned or 45°, well above the
+reference's 0.0015° buffer.  On that domain the buffered PostGIS algebra
+degenerates to *exact set algebra over elementary grid edges / cells*:
+
+* two grid-aligned polylines overlap (within the 0.0015 buffer tolerance)
+  iff they share elementary unit edges, because distinct grid edges are
+  ≥ ``PITCH/2 > 2×buffer`` apart;
+* ``ST_INTERSECTION`` → set intersection of edge ids,
+  ``ST_DIFFERENCE`` → set difference, ``ST_UNION`` → set union;
+* the G4 type guard → "result edge-set is non-empty".
+
+That makes every geometry op a vectorized ``numpy`` set operation on sorted
+``int64`` arrays — deterministic bit-for-bit across partitions, executors and
+replays, which is the precondition for the per-row ``sha256(content)``
+replay invariant (BASELINE.json ``input_hint``).
+
+Encoding
+--------
+grid point  ``pid = ix * 2^14 + iy``      (ix, iy = round(coord / PITCH))
+unit edge   ``eid = min(p,q) * 2^28 + max(p,q)``   (LINE mode, fits int64)
+unit cell   ``cid = pid of the SW corner``          (POLYGON mode)
+
+Canonical WKT re-serialization merges collinear unit runs (LINE) or
+row-strips (POLYGON) in sorted-id order, so ``parse → to_wkt`` is a stable
+canonical form: ``content_sha256 = sha256(canonical_wkt)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+PITCH = 0.01  # degrees; grid pitch (FIXTURES.md §2)
+BUFFER = 0.0015  # reference buffer, segment.py:60 — documented, not needed numerically
+_SCALE = 1.0 / PITCH
+# 14 bits per axis → pid < 2^28, edge id < 2^56: fits int64 with headroom.
+# Grid range is therefore [0, 163.83°] per axis at 0.01° pitch.
+_P = 1 << 14  # point-id base (per-axis capacity)
+_E = 1 << 28  # edge-id base
+
+LINE = "MULTILINESTRING"
+POLYGON = "MULTIPOLYGON"
+
+# unit step directions a polyline segment may take (axis-aligned or 45°)
+_DIRS = ((1, 0), (0, 1), (1, 1), (1, -1))
+
+
+def _pid(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    return ix.astype(np.int64) * _P + iy.astype(np.int64)
+
+
+def _unpid(pid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return pid // _P, pid % _P
+
+
+class GeometryError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def _snap(tok: str) -> int:
+    v = float(tok)
+    iv = round(v * _SCALE)
+    if abs(v - iv * PITCH) > 1e-9:
+        raise GeometryError(f"coordinate {tok} not on the {PITCH}° grid")
+    if not (0 <= iv < _P):
+        raise GeometryError(f"coordinate {tok} outside grid range")
+    return iv
+
+
+def _parse_rings(body: str) -> list[list[tuple[int, int]]]:
+    """Split 'MULTI*((..),(..))' body into lists of snapped (ix, iy)."""
+    parts: list[list[tuple[int, int]]] = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+            if depth == 2:
+                start = i + 1
+        elif ch == ")":
+            if depth == 2 and start is not None:
+                pts = []
+                for pair in body[start:i].split(","):
+                    xy = pair.split()
+                    if len(xy) != 2:
+                        raise GeometryError(f"bad coordinate pair {pair!r}")
+                    pts.append((_snap(xy[0]), _snap(xy[1])))
+                parts.append(pts)
+            depth -= 1
+    if depth != 0:
+        raise GeometryError("unbalanced parentheses in WKT")
+    return parts
+
+
+def parse_wkt(wkt: str, geom_type: str = LINE) -> np.ndarray:
+    """WKT → sorted unique int64 ids (unit edges for LINE, cells for POLYGON).
+
+    Empty / blank input (a tombstone payload) parses to an empty set.
+    """
+    wkt = (wkt or "").strip()
+    if not wkt or wkt.upper().endswith("EMPTY"):
+        return np.empty(0, dtype=np.int64)
+    head = wkt.split("(", 1)[0].strip().upper()
+    if geom_type == LINE:
+        if head not in ("MULTILINESTRING", "LINESTRING"):
+            raise GeometryError(f"expected {geom_type}, got {head}")
+        body = wkt[len(wkt.split("(", 1)[0]):]
+        if head == "LINESTRING":
+            body = "(" + body + ")"
+        ids: list[np.ndarray] = []
+        for pts in _parse_rings(body):
+            if len(pts) < 2:
+                raise GeometryError("linestring needs ≥2 points")
+            arr = np.asarray(pts, dtype=np.int64)
+            dx = np.diff(arr[:, 0])
+            dy = np.diff(arr[:, 1])
+            step = np.maximum(np.abs(dx), np.abs(dy))
+            if (step == 0).any():
+                raise GeometryError("zero-length segment")
+            ux, uy = dx // step, dy // step
+            if ((ux * step != dx) | (uy * step != dy)).any():
+                raise GeometryError("segment not axis-aligned or 45°")
+            for (x0, y0), sx, sy, n in zip(arr[:-1], ux, uy, step):
+                k = np.arange(n, dtype=np.int64)
+                p = _pid(x0 + k * sx, y0 + k * sy)
+                q = _pid(x0 + (k + 1) * sx, y0 + (k + 1) * sy)
+                ids.append(np.minimum(p, q) * _E + np.maximum(p, q))
+        return np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+    elif geom_type == POLYGON:
+        if head not in ("MULTIPOLYGON", "POLYGON"):
+            raise GeometryError(f"expected {geom_type}, got {head}")
+        body = wkt[len(wkt.split("(", 1)[0]):]
+        # normalize nesting: MULTIPOLYGON(((a)),((b))) / POLYGON((a))
+        body = body.replace("(((", "((").replace(")))", "))") if head == "MULTIPOLYGON" else body
+        cells: list[np.ndarray] = []
+        for pts in _parse_rings(body):
+            arr = np.asarray(pts, dtype=np.int64)
+            if len(arr) >= 2 and (arr[0] == arr[-1]).all():
+                arr = arr[:-1]
+            xs, ys = arr[:, 0], arr[:, 1]
+            x0, x1, y0, y1 = xs.min(), xs.max(), ys.min(), ys.max()
+            if len(arr) != 4 or set(map(tuple, arr.tolist())) != {
+                (x0, y0), (x0, y1), (x1, y0), (x1, y1)
+            }:
+                raise GeometryError("only axis-aligned rectangles supported")
+            gx, gy = np.meshgrid(
+                np.arange(x0, x1, dtype=np.int64), np.arange(y0, y1, dtype=np.int64)
+            )
+            cells.append(_pid(gx.ravel(), gy.ravel()))
+        return np.unique(np.concatenate(cells)) if cells else np.empty(0, np.int64)
+    raise GeometryError(f"unknown geometry type {geom_type}")
+
+
+# ---------------------------------------------------------- serialization
+
+
+def _fmt(i: np.int64 | int) -> str:
+    v = i * PITCH
+    s = f"{v:.2f}"
+    return s
+
+
+def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
+    """Sorted ids → canonical WKT (collinear unit runs merged, stable order).
+
+    This is the ``ST_ASTEXT`` analog (reference: postgis_sqls.py:42-43); its
+    output is the ``content`` whose sha256 is the per-row replay invariant.
+    """
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    if ids.size == 0:
+        return f"{geom_type} EMPTY"
+    if geom_type == LINE:
+        p = ids // _E
+        q = ids % _E
+        px, py = _unpid(p)
+        qx, qy = _unpid(q)
+        dx = np.sign(qx - px)
+        dy = np.sign(qy - py)
+        # direction class 0..3 matching _DIRS with canonical (min-first) edges
+        parts: list[str] = []
+        runs: list[tuple[int, int, int, int, int, int]] = []
+        for d, (ux, uy) in enumerate(_DIRS):
+            m = (dx == ux) & (dy == uy)
+            if not m.any():
+                continue
+            # line index: constant along the direction
+            if (ux, uy) == (1, 0):
+                line, pos = py[m], px[m]
+            elif (ux, uy) == (0, 1):
+                line, pos = px[m], py[m]
+            elif (ux, uy) == (1, 1):
+                line, pos = px[m] - py[m], px[m]
+            else:  # (1, -1)
+                line, pos = px[m] + py[m], px[m]
+            order = np.lexsort((pos, line))
+            line, pos = line[order], pos[order]
+            brk = np.flatnonzero((np.diff(line) != 0) | (np.diff(pos) != 1))
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [len(pos) - 1]))
+            sx, sy = px[m][order][starts], py[m][order][starts]
+            ex, ey = qx[m][order][ends], qy[m][order][ends]
+            for a, b, c, e in zip(sx, sy, ex, ey):
+                runs.append((int(a), int(b), int(c), int(e), d, 0))
+        runs.sort()
+        parts = [f"({_fmt(a)} {_fmt(b)}, {_fmt(c)} {_fmt(e)})" for a, b, c, e, _, _ in runs]
+        return "MULTILINESTRING (" + ", ".join(parts) + ")"
+    elif geom_type == POLYGON:
+        cx, cy = _unpid(ids)
+        order = np.lexsort((cx, cy))  # by row, then column
+        cx, cy = cx[order], cy[order]
+        brk = np.flatnonzero((np.diff(cy) != 0) | (np.diff(cx) != 1))
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(cx) - 1]))
+        rects = sorted(
+            (int(cx[s]), int(cy[s]), int(cx[e]) + 1, int(cy[e]) + 1)
+            for s, e in zip(starts, ends)
+        )
+        parts = [
+            f"(({_fmt(x0)} {_fmt(y0)}, {_fmt(x1)} {_fmt(y0)}, "
+            f"{_fmt(x1)} {_fmt(y1)}, {_fmt(x0)} {_fmt(y1)}, {_fmt(x0)} {_fmt(y0)}))"
+            for x0, y0, x1, y1 in rects
+        ]
+        return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+    raise GeometryError(f"unknown geometry type {geom_type}")
+
+
+# ------------------------------------------------------------- set algebra
+
+
+def intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """G1: buffered intersection (reference: postgis_sqls.py:47-56)."""
+    return np.intersect1d(a, b, assume_unique=True)
+
+
+def difference(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """G2: buffered difference (reference: postgis_sqls.py:8,37-39)."""
+    return np.setdiff1d(a, b, assume_unique=True)
+
+
+def union_all(parts: list[np.ndarray]) -> np.ndarray:
+    """A1/A2: ST_UNION dissolve (reference: postgis_sqls.py:78,124)."""
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def is_multi(ids: np.ndarray) -> bool:
+    """G4 type guard: non-empty result (reference: postgis_sqls.py:95-103)."""
+    return ids.size > 0
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
