@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full CDC pipeline (synthetic WAL → per-key
+segmentation fold → lake MERGE → change classification) at sf0.001 scale.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 (+ the training-data operators).  Relational / dedup /
+similarity / text / multimodal entries carry exact DuckDB oracles; the
+geometry-bearing CDC entries are rows-only (not SQL-expressible without a
+spatial engine — FIXTURES.md §5), their value-level correctness is covered by
+the pytest suite.
 """
 
 from __future__ import annotations
@@ -13,26 +17,74 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from linked_maps_spark import dedup, entry_cdc, multimodal, relational, similarity, textops
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return entry_cdc.flagship(spark, "/root/testdata/sf0.001")
+
+
+def _doc(table: str = "documents"):
+    def wrap(fn):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(relational.load(spark, sf_dir, table))
+
+        return q
+
+    return wrap
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # relational operator suite (SURVEY.md §2.2–§2.8 analogs)
+    q.update(relational.QUERIES)
+    # training-data ops: dedup family
+    q["dedup_exact"] = _doc()(dedup.dedup_exact)
+    q["dedup_ngram_jaccard"] = _doc()(lambda d: dedup.dedup_ngram_jaccard(d, threshold=0.5))
+    q["dedup_minhash_lsh"] = _doc()(dedup.dedup_minhash_lsh)
+    q["dedup_simhash"] = _doc()(dedup.simhash)
+    # similarity search
+    q["similarity_cosine_topk"] = _doc("embeddings")(
+        lambda e: similarity.cosine_topk(e, n_queries=5, k=5)
+    )
+    q["similarity_ann_lsh"] = _doc("embeddings")(
+        lambda e: similarity.ann_lsh_topk(e, n_queries=5, k=5)
+    )
+    # text analysis
+    q["text_token_stats"] = _doc()(textops.token_stats)
+    q["text_lang_id"] = _doc()(textops.lang_id)
+    q["text_fingerprint"] = _doc()(textops.doc_fingerprint)
+    # multimodal plumbing
+    q["multimodal_metadata"] = _doc()(
+        lambda d: multimodal.media_metadata(multimodal.synth_media(d))
+    )
+    q["multimodal_features"] = _doc()(
+        lambda d: multimodal.decode_features(multimodal.synth_media(d)).orderBy("media_id")
+    )
+    # CDC / geometry queries over the engine warehouse (rows-only checks)
+    q["cdc_q1_edition"] = entry_cdc.cdc_q1_edition
+    q["cdc_q2_edition_unique"] = entry_cdc.cdc_q2_edition_unique
+    q["cdc_q3_persisted"] = entry_cdc.cdc_q3_persisted
+    q["cdc_q4_retired"] = entry_cdc.cdc_q4_retired
+    q["cdc_q5_osm_links"] = entry_cdc.cdc_q5_osm_links
+    q["cdc_classify"] = entry_cdc.cdc_classify
+    q["cdc_triples_by_predicate"] = entry_cdc.cdc_triples_by_predicate
+    q["cdc_editions_fixpoint"] = entry_cdc.cdc_editions_fixpoint
+    q["cdc_metrics"] = entry_cdc.cdc_metrics
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = dict(relational.ORACLES)
+    o["dedup_exact"] = dedup.DEDUP_EXACT_SQL
+    o["dedup_ngram_jaccard"] = dedup.dedup_ngram_jaccard_sql(threshold=0.5)
+    o["dedup_minhash_lsh"] = dedup.dedup_minhash_lsh_sql()
+    o["dedup_simhash"] = dedup.simhash_sql()
+    o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)
+    o["text_token_stats"] = textops.token_stats_sql()
+    o["text_lang_id"] = textops.lang_id_sql()
+    o["text_fingerprint"] = textops.doc_fingerprint_sql()
+    o["multimodal_metadata"] = multimodal.MEDIA_METADATA_SQL
+    # similarity_ann_lsh, multimodal_features and cdc_* are rows-only
+    return o

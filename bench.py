@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Also measures the engine's primary metric — CDC ingest throughput
+(change-events/sec upserted) on a seeded Zipf-skewed WAL — reported under
+``queries["cdc_ingest"]`` (seconds) and ``ingest_events_per_sec``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "nation_revenue",
+    "event_sequencing",
+    "customers_single_priority",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "similarity_cosine_topk",
+]
+
+BENCH_WAL_KEYS = int(os.environ.get("BENCH_WAL_KEYS", "600"))
+BENCH_WAL_COMMITS = int(os.environ.get("BENCH_WAL_COMMITS", "8"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+
+    from linked_maps_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("linked-maps-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # primary metric: CDC ingest throughput on a skewed synthetic WAL
+    import shutil
+    import tempfile
+
+    from linked_maps_spark import geometry as G
+    from linked_maps_spark.changelog import synth_change_log, to_spark
+    from linked_maps_spark.ingest import CdcEngine
+
+    wal = synth_change_log(
+        n_keys=BENCH_WAL_KEYS, n_commits=BENCH_WAL_COMMITS, seed=77, zipf_s=1.2
+    )
+    wal_df = to_spark(spark, wal).repartition(int(cpus)).cache()
+    n_events = wal_df.count()
+    wh = tempfile.mkdtemp(prefix="lms_bench_wh_")
+    try:
+        eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=32)
+        eng.create_tables(overwrite=True)
+        t0 = time.monotonic()
+        eng.ingest(wal_df, commits_per_epoch=4)
+        ingest_sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    timings["cdc_ingest"] = round(ingest_sec, 3)
+    eps = round(n_events / ingest_sec, 1)
+    print(f"# cdc_ingest: {ingest_sec:.1f}s, {n_events} events, {eps} events/s",
+          file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_ingest_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "ingest_events_per_sec": eps,
+                "ingest_events": n_events,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

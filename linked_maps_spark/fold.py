@@ -126,7 +126,8 @@ def fold_key(
             gid=r["gid"],
             name=r["name"],
             ids=G.parse_wkt(r["wkt"], geom_type),
-            editions=tuple(r["editions"] or ()),
+            # editions may arrive as list / numpy array / None via Arrow
+            editions=tuple(r["editions"]) if r["editions"] is not None else (),
             commit_created=r.get("commit_created", ""),
             extras={k: v for k, v in r.items() if k not in _base},
             dirty=False,

@@ -1,0 +1,294 @@
+"""Snapshot-versioned lake tables on parquet (Iceberg-style, self-contained).
+
+The target architecture (BASELINE.json ``north_rule``) is a CDC upsert into
+Iceberg tables.  No Iceberg runtime jar ships in this offline sandbox, so this
+module implements the needed subset of the Iceberg table spec directly over
+parquet — same public semantics, same scale design:
+
+* **Snapshot isolation / atomic commits** — every write produces an immutable
+  snapshot JSON under ``_snapshots/v{N}.json``; commit is an atomic
+  ``os.link`` (fails if the version already exists → optimistic concurrency,
+  like Iceberg's metadata swap).
+* **Manifest-level pruning** — each snapshot lists its data files *with their
+  key-hash bucket*; ``merge_upsert`` rewrites only the buckets touched by the
+  source batch (copy-on-write MERGE INTO), and bucket-filtered reads open
+  only matching files.  At 100 TB this is the difference between rewriting
+  the table and rewriting ~`touched_keys/n_buckets` of it.
+* **Schema evolution** — writes union-merge new columns into the table
+  schema; reads project every (older) file to the current schema, absent
+  columns as NULL (parquet reader is schema-tolerant).
+* **Time travel** — ``read(version=k)`` reads any retained snapshot.
+* **Exactly-once hooks** — snapshot ``summary`` carries the writer's epoch /
+  offsets; an ingest replay checks the committed epoch before re-applying
+  (MERGE itself is idempotent, so the check is an optimization, not a
+  correctness crutch).
+
+Skew: writes repartition by ``(bucket, salt)`` where
+``salt = pmod(xxhash64(keys...), salt_n)`` so a hot bucket's write fans out
+across tasks (SURVEY.md §4.1 skew row); AQE handles the join side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+_SNAP_DIR = "_snapshots"
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+def _schema_of(spark: SparkSession, schema: StructType | str) -> StructType:
+    if isinstance(schema, StructType):
+        return schema
+    return spark.createDataFrame([], schema).schema
+
+
+class LakeTable:
+    """One snapshot-versioned table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------- lifecycle
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: StructType | str,
+        key_cols: list[str] | None = None,
+        n_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if overwrite and os.path.exists(t.path):
+            shutil.rmtree(t.path)
+        os.makedirs(os.path.join(t.path, _SNAP_DIR), exist_ok=True)
+        if t.version() is None:
+            t._commit_snapshot(
+                version=0,
+                schema=_schema_of(spark, schema),
+                files=[],
+                operation="create",
+                summary={},
+                key_cols=key_cols or [],
+                n_buckets=n_buckets,
+            )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    def exists(self) -> bool:
+        return self.version() is not None
+
+    # ------------------------------------------------------------- snapshots
+
+    def version(self) -> int | None:
+        d = os.path.join(self.path, _SNAP_DIR)
+        if not os.path.isdir(d):
+            return None
+        versions = [
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        with open(os.path.join(self.path, _SNAP_DIR, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        v = self.version()
+        return [self.snapshot(i) for i in range(v + 1)] if v is not None else []
+
+    def schema(self, version: int | None = None) -> StructType:
+        return StructType.fromJson(self.snapshot(version)["schema"])
+
+    def _commit_snapshot(self, version, schema, files, operation, summary, key_cols=None, n_buckets=None):
+        prev = None if version == 0 else self.snapshot(version - 1)
+        snap = {
+            "version": version,
+            "parent": version - 1 if version else None,
+            "operation": operation,
+            "schema": schema.jsonValue(),
+            "files": files,
+            "summary": summary or {},
+            "key_cols": key_cols if key_cols is not None else prev["key_cols"],
+            "n_buckets": n_buckets if n_buckets is not None else prev["n_buckets"],
+        }
+        final = os.path.join(self.path, _SNAP_DIR, f"v{version}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=1)
+        try:
+            os.link(tmp, final)  # atomic check-and-put: fails iff version exists
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {version} already committed") from exc
+        finally:
+            os.unlink(tmp)
+
+    # ----------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Read a snapshot, projected to that snapshot's schema.
+
+        ``buckets``: manifest-level pruning — open only data files whose
+        bucket is in the list (the scan analog of Iceberg partition pruning).
+        """
+        snap = self.snapshot(version)
+        schema = StructType.fromJson(snap["schema"])
+        files = snap["files"]
+        if buckets is not None:
+            keep = set(buckets)
+            files = [f for f in files if f["bucket"] in keep]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def bucket_expr(self, df: DataFrame):
+        snap = self.snapshot()
+        keys = snap["key_cols"]
+        if not keys:
+            return F.lit(0)
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(snap["n_buckets"])).cast("int")
+
+    # ---------------------------------------------------------------- writes
+
+    @staticmethod
+    def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
+        """Project df to ``schema``: cast present columns, NULL-fill absent."""
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def _merged_schema(self, df: DataFrame) -> tuple[StructType, DataFrame]:
+        """Union-merge table schema with df's columns (schema evolution)."""
+        current = self.schema()
+        names = {f.name for f in current.fields}
+        merged = StructType(list(current.fields))
+        for f in df.schema.fields:
+            if f.name not in names:
+                merged = merged.add(f)
+        return merged, self._align_to(df, merged)
+
+    def _write_data(self, df: DataFrame, version: int, salt_n: int = 4) -> list[dict]:
+        """Write df bucketed by key hash under data/v{version}; return manifest."""
+        snap = self.snapshot()
+        out_dir = os.path.join(self.path, "data", f"v{version}")
+        if os.path.exists(out_dir):  # crashed previous attempt for this version
+            shutil.rmtree(out_dir)
+        bucketed = df.withColumn("_bucket", self.bucket_expr(df))
+        keys = snap["key_cols"]
+        salt = (
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_n))
+            if keys
+            else F.lit(0)
+        )
+        # fan a hot bucket's write across salt_n tasks, keep bucket files separate
+        bucketed = bucketed.repartition(F.col("_bucket"), salt)
+        bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        files = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for part in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if part.endswith(".parquet"):
+                    files.append(
+                        {"path": os.path.join("data", f"v{version}", bdir, part), "bucket": b}
+                    )
+        return files
+
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        version = self.version() + 1
+        schema, aligned = self._merged_schema(df)
+        new_files = self._write_data(aligned, version)
+        files = self.snapshot()["files"] + new_files
+        self._commit_snapshot(version, schema, files, "append", summary)
+        return version
+
+    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        version = self.version() + 1
+        schema, aligned = self._merged_schema(df)
+        files = self._write_data(aligned, version)
+        self._commit_snapshot(version, schema, files, "overwrite", summary)
+        return version
+
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        order_col: str | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        """MERGE INTO … ON key_cols WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *.
+
+        Copy-on-write at bucket granularity: only buckets containing source
+        keys are rewritten; untouched buckets' files carry over unchanged in
+        the new manifest.  Idempotent: re-merging the same source is a no-op
+        state-wise (same keys → same rows).
+        """
+        snap = self.snapshot()
+        keys = snap["key_cols"]
+        if not keys:
+            raise ValueError("merge_upsert requires key_cols")
+        version = self.version() + 1
+        schema, aligned = self._merged_schema(source)
+
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            aligned = (
+                aligned.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            aligned = aligned.dropDuplicates(keys)
+
+        src = aligned.withColumn("_bucket", self.bucket_expr(aligned)).cache()
+        touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
+        current = self._align_to(self.read(buckets=touched), schema)
+        kept = current.join(src.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(src.drop("_bucket"))
+
+        new_files = self._write_data(merged, version)
+        touched_set = set(touched)
+        files = [f for f in snap["files"] if f["bucket"] not in touched_set] + new_files
+        self._commit_snapshot(version, schema, files, "merge", summary)
+        src.unpersist()
+        return version
+
+    # ------------------------------------------------------------- summaries
+
+    def latest_summary_value(self, key: str) -> Any:
+        """Scan history newest-first for a summary key (e.g. committed epoch)."""
+        v = self.version()
+        while v is not None and v >= 0:
+            s = self.snapshot(v)["summary"]
+            if key in s:
+                return s[key]
+            v -= 1
+        return None

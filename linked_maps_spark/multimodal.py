@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/feature-extract kernels need codec libraries that are not in this
+container, so the *kernels* are stubs (deterministic fake features behind
+``fake=True``, ``NotImplementedError`` otherwise) — but the Spark-side
+plumbing is real and tested: schema, Arrow batch shape, ``mapInPandas``
+iterator contract, partition sizing.
+
+At scale: binary payloads ride in their own column so column pruning keeps
+metadata-only queries from ever reading the bytes; decode fans out with
+``mapInPandas`` (streaming Arrow batches, bounded memory per task).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, declared_mime string"
+)
+META_SCHEMA = (
+    "media_id long, kind string, n_bytes long, magic string, payload_sha256 string"
+)
+FEATURE_SCHEMA = "media_id long, feature array<float>, feat_dim int"
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table: payload = utf-8 bytes of the doc text
+    (stands in for image/audio bytes; schema and sizes are what matter)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("declared_mime"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata extraction — pure JVM expressions, no decode needed:
+    byte length, 4-byte magic sniff (hex), payload sha256."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.upper(F.hex(F.substring("payload", 1, 4))).alias("magic"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    ).orderBy("media_id")
+
+
+MEDIA_METADATA_SQL = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           upper(hex(encode(substr(text, 1, 4)))) AS magic,
+           sha256(text) AS payload_sha256
+    FROM documents
+    ORDER BY media_id
+"""
+
+
+def decode_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """'Decode + feature-extract' over Arrow batches (``mapInPandas``).
+
+    With ``fake=True`` the feature is a deterministic function of the payload
+    sha256 (so tests exercise the full distributed path end-to-end); with
+    ``fake=False`` it raises ``NotImplementedError`` where a real codec
+    (PIL / ffmpeg / torchaudio) would be called."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries not present "
+                    "in this container (PIL/ffmpeg); use fake=True"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                arr = np.frombuffer(digest[: dim * 4], dtype="<u4").astype(np.float64)
+                feats.append((arr / np.float64(2**32)).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "feat_dim": np.int32(dim),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)

@@ -1,0 +1,388 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each query exercises one operator family from SURVEY.md §2 on non-geometric
+data, paired with a DuckDB oracle SQL string (driver contract,
+``__spark_entry__.py``).  Conventions that keep Spark and DuckDB value-hash
+identical:
+
+* money math in DECIMAL(18,2) (exact), final aggregates cast to DOUBLE;
+* every computed column aliased identically on both sides;
+* all orderings carry a unique tie-break column;
+* no raw DOUBLE summation (min/max/count are safe).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------- A: aggs
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pattern: scan→filter→partial/final hash agg (SURVEY.md §2.4).
+
+    Catalyst plan check: filter and the 5-column projection push into the
+    parquet scan; whole-stage codegen covers scan→agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "top_orders_by_revenue",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark, sf_dir):
+    """TPC-H Q3 pattern: 3-way join → agg → deterministic top-k.
+    ``customer`` is broadcast (small dim)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation ASC
+    """,
+)
+def nation_revenue(spark, sf_dir):
+    """Star join with broadcast dims (J2 analog): fact ⋈ 3 small dims."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+# ------------------------------------------------------- anti/semi joins
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ORDER BY c.c_custkey
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """The leaf test as a relational anti-join (P8/J5, ui/main.py FILTER NOT
+    EXISTS): customers with no *recent* order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "customers_single_priority",
+    """
+    SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) = 1
+    ORDER BY c_custkey
+    """,
+)
+def customers_single_priority(spark, sf_dir):
+    """A5 / UI query 2 pattern: GROUP BY … HAVING COUNT(DISTINCT x) = 1."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+        )
+        .filter(F.col("n_prio") == 1)
+        .drop("n_prio")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "persisted_users",
+    """
+    SELECT DISTINCT a.user_id
+    FROM events a
+    WHERE EXISTS (SELECT 1 FROM events b
+                  WHERE b.user_id = a.user_id AND b.event_type = 'click')
+      AND EXISTS (SELECT 1 FROM events c
+                  WHERE c.user_id = a.user_id AND c.event_type = 'purchase')
+    ORDER BY user_id
+    """,
+)
+def persisted_users(spark, sf_dir):
+    """UI query 3 ('2 editions - similar') analog: entities present in both
+    event classes — two semi-joins."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        e.select("user_id").distinct()
+        .join(clicks, "user_id", "left_semi")
+        .join(buys, "user_id", "left_semi")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "retired_users",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE)
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, day
+    """,
+)
+def retired_users(spark, sf_dir):
+    """UI query 4 ('2 editions - difference') analog: (user, day) entities
+    present in edition 'click' but absent from edition 'purchase' — the
+    MINUS as a left-anti join (J6)."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return clicks.join(buys, ["user_id", "day"], "left_anti").orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------- windows
+
+@query(
+    "event_sequencing",
+    """
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+    ORDER BY user_id, rn
+    """,
+)
+def event_sequencing(spark, sf_dir):
+    """§2.11 window gap: per-key change-event sequencing (row_number + lag),
+    the modify-vs-add detector of the CDC pipeline."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+@query(
+    "event_type_votes",
+    """
+    SELECT event_type, COUNT(*) AS votes
+    FROM events
+    GROUP BY event_type
+    ORDER BY votes DESC, event_type ASC
+    """,
+)
+def event_type_votes(spark, sf_dir):
+    """A3/O1: vote counting + deterministic rank order
+    (linked_maps_to_osm.py:153-168)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .orderBy(F.desc("votes"), F.asc("event_type"))
+    )
+
+
+@query(
+    "user_value_bbox",
+    """
+    SELECT user_id,
+           MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_value_bbox(spark, sf_dir):
+    """A4 bounding-box aggregate (min/max per key)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------------------- filters/set ops
+
+@query(
+    "segment_or_filter",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_or_filter(spark, sf_dir):
+    """P3 OR-list predicate → isin."""
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "orders_except_urgent",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def orders_except_urgent(spark, sf_dir):
+    """U4 relational MINUS (ui/main.py:63) via except."""
+    o = load(spark, sf_dir, "orders")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return f_orders.exceptAll(urgent).distinct().orderBy("o_orderkey")
+
+
+@query(
+    "order_priority_timeline",
+    """
+    SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year, o_orderpriority
+    """,
+)
+def order_priority_timeline(spark, sf_dir):
+    """F5 year bucketing (strptime('%Y') analog) + two-level agg."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("year", "o_orderdate").cast("date").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("order_year", "o_orderpriority")
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — brute-force cosine top-k: the correctness baseline.
+  Dot products run JVM-side via ``zip_with``/``aggregate`` in float64 with a
+  sequential left fold — bit-compatible with DuckDB's ``list_dot_product``
+  over ``DOUBLE[]``.
+* :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH buckets
+  (hyperplane components derived from the portable hash → deterministic, no
+  RNG state), candidates restricted to same-bucket pairs.  At 100 TB the
+  bucket join replaces the O(N·Q) cross product with O(candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import h32
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec))
+    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors for the first ``n_queries`` vec_ids.
+
+    Join is query-side broadcast (queries are tiny); ranking window has a
+    unique (sim desc, vec_id asc) tie-break."""
+    base = with_norm(embeddings).select("vec_id", "_v", "_norm")
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_topk_sql(n_queries: int = 5, k: int = 5) -> str:
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base
+          WHERE vec_id < {n_queries}),
+    scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               ROUND(list_dot_product(b.v, q.qv) / (b.nrm * q.qn), 6) AS cosine
+        FROM base b JOIN q ON b.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature bucketing.
+
+    Hyperplane p's component for dimension d is
+    ``(h32(f"{p}:{d}") / 2^31) - 1 ∈ [-1, 1)`` — pure function of (p, d), so
+    every executor materializes identical planes without broadcasting RNG
+    state.  Candidates = vectors sharing the query's full sign signature;
+    exact cosine re-ranks within the bucket."""
+    planes = [
+        F.array(
+            *[
+                (h32(F.lit(f"{p}:{d}")) / F.lit(float(1 << 31)) - 1.0)
+                for d in range(dim)
+            ]
+        ).alias(f"plane_{p}")
+        for p in range(n_planes)
+    ]
+    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ],
+    )
+    bucketed = base.withColumn("bucket", sig).select("vec_id", "_v", "_norm", "bucket")
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,152 @@
+"""End-to-end CDC ingest: replay equality, resume, dedup, schema evolution.
+
+One full ingest (module fixture) is shared by the read-only assertions; the
+replay/robustness tests build their own warehouses and compare digests
+against the shared one.
+"""
+
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from linked_maps_spark import geometry as G
+from linked_maps_spark.changelog import synth_change_log, to_spark
+from linked_maps_spark.fold import fold_key
+from linked_maps_spark.ingest import CdcEngine
+from linked_maps_spark.util import table_digest
+
+N_KEYS, N_COMMITS, SEED = 6, 5, 21
+
+SEG_COLS = [
+    "repo", "path", "gid", "name", "seq", "wkt", "content_sha256",
+    "editions", "is_leaf", "retired",
+]
+
+
+@pytest.fixture(scope="module")
+def wal_pdf():
+    return synth_change_log(n_keys=N_KEYS, n_commits=N_COMMITS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def expected(wal_pdf):
+    """Driver-side single-process expected state via the engine fold."""
+    segs, rels = {}, set()
+    for (repo, path), sub in wal_pdf.groupby(["repo", "path"]):
+        res = fold_key(repo, path, sub.sort_values("commit").to_dict("records"), [])
+        for r in res.segments:
+            segs[r["gid"]] = r
+        rels |= {(r["parent_gid"], r["child_gid"]) for r in res.relations}
+    return segs, rels
+
+
+def _engine(spark, tmp_path, name):
+    eng = CdcEngine(spark, str(tmp_path / name), geom_type=G.LINE, n_buckets=4)
+    eng.create_tables(overwrite=True)
+    return eng
+
+
+def _seg_digest(eng):
+    return table_digest(eng.current_segments(), SEG_COLS)
+
+
+@pytest.fixture(scope="module")
+def full(spark, tmp_path_factory, wal_pdf):
+    """The shared uninterrupted run: 3 epochs of 2 commits."""
+    eng = _engine(spark, tmp_path_factory.mktemp("ing"), "full")
+    stats = eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+    return eng, stats
+
+
+def test_ingest_matches_expected_state(spark, wal_pdf, expected, full):
+    eng, stats = full
+    assert stats.n_events == len(wal_pdf)
+    exp_segs, exp_rels = expected
+    got = {r["gid"]: r.asDict() for r in eng.current_segments().collect()}
+    assert set(got) == set(exp_segs)
+    for gid, erow in exp_segs.items():
+        grow = got[gid]
+        for c in ("name", "seq", "wkt", "content_sha256", "is_leaf", "retired"):
+            assert grow[c] == erow[c], f"{c} mismatch for {erow['name']}"
+        assert sorted(grow["editions"]) == sorted(erow["editions"])
+    got_rels = {
+        (r["parent_gid"], r["child_gid"]) for r in eng.relations.read().collect()
+    }
+    assert got_rels == exp_rels
+    assert eng.watermark() == max(wal_pdf["commit"])
+
+
+def test_metrics_and_commit_log(spark, wal_pdf, full):
+    eng, stats = full
+    log = eng.commit_log.read().orderBy("epoch").collect()
+    assert [r["epoch"] for r in log] == list(range(len(stats.epochs)))
+    assert sum(r["n_events"] for r in log) == len(wal_pdf)
+    m = eng.metrics.read()
+    assert m.count() > 0
+    assert {"epoch", "partition_id", "n_segments", "n_relations"} <= set(m.columns)
+
+
+def test_full_reingest_is_noop(spark, wal_pdf, full):
+    eng, _ = full
+    d1 = _seg_digest(eng)
+    stats = eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+    assert stats.n_events == 0  # watermark skips everything
+    assert _seg_digest(eng) == d1
+
+
+def test_kill_and_resume_replay(spark, tmp_path, wal_pdf, full):
+    """Stop after 1 epoch, resume with a fresh engine object → same digest as
+    the uninterrupted run (checkpoint-resume criterion)."""
+    eng, _ = full
+    part = _engine(spark, tmp_path, "part")
+    part.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2, max_epochs=1)
+    assert part.watermark() < max(wal_pdf["commit"])
+    resumed = CdcEngine(spark, part.warehouse, geom_type=G.LINE, n_buckets=4)
+    resumed.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+    assert _seg_digest(resumed) == _seg_digest(eng)
+    assert table_digest(resumed.relations.read()) == table_digest(eng.relations.read())
+
+
+def test_epoch_size_and_dup_reorder_invariance(spark, tmp_path, wal_pdf, full):
+    """(a) one big epoch == three small epochs; (b) dup_log fixture
+    (FIXTURES.md §6): duplicated rows in shuffled order → identical state."""
+    eng, _ = full
+    dup = pd.concat([wal_pdf, wal_pdf]).sample(frac=1.0, random_state=13)
+    other = _engine(spark, tmp_path, "dup")
+    other.ingest(to_spark(spark, dup), commits_per_epoch=N_COMMITS)
+    assert _seg_digest(other) == _seg_digest(eng)
+    assert table_digest(other.relations.read()) == table_digest(eng.relations.read())
+
+
+def test_schema_evolution(spark, tmp_path):
+    """evolving_log fixture: later epochs add an ``attrs`` column; MERGE
+    evolves the segments schema, pre-evolution rows read NULL."""
+    base = synth_change_log(n_keys=3, n_commits=4, seed=5)
+    evolved = synth_change_log(n_keys=3, n_commits=6, seed=5, attrs_from_epoch=4)
+    late = evolved[evolved.commit > max(base.commit)]
+
+    eng = _engine(spark, tmp_path, "evo")
+    eng.ingest(to_spark(spark, base), commits_per_epoch=4)
+    assert "attrs" not in eng.current_segments().columns
+    eng.ingest(
+        to_spark(spark, late[["repo", "path", "commit", "lang", "content", "attrs"]]),
+        commits_per_epoch=2,
+    )
+    seg = eng.current_segments()
+    assert "attrs" in seg.columns
+    assert seg.filter(F.col("attrs").isNotNull()).count() > 0
+    assert seg.filter(F.col("attrs").isNull()).count() > 0
+    # digest stable across a replay of the evolved tail
+    d1 = table_digest(eng.current_segments(), SEG_COLS + ["attrs"])
+    eng2 = CdcEngine(spark, eng.warehouse, geom_type=G.LINE, n_buckets=4)
+    eng2.ingest(to_spark(spark, evolved), commits_per_epoch=3)
+    assert table_digest(eng2.current_segments(), SEG_COLS + ["attrs"]) == d1
+
+
+def test_tombstone_retire_via_engine(spark, tmp_path):
+    wal = synth_change_log(n_keys=4, n_commits=5, seed=8, tombstone_every=2)
+    eng = _engine(spark, tmp_path, "tomb")
+    eng.ingest(to_spark(spark, wal), commits_per_epoch=5)
+    seg = eng.current_segments()
+    assert seg.filter(F.col("retired")).count() > 0
+    assert eng.current_leaves().filter(F.col("retired")).count() == 0

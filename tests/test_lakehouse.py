@@ -1,0 +1,104 @@
+"""LakeTable: snapshots, MERGE, schema evolution, time travel, pruning."""
+
+import os
+
+import pytest
+
+from linked_maps_spark.lakehouse import CommitConflict, LakeTable
+from linked_maps_spark.util import table_digest
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), "k string, v long", key_cols=["k"], n_buckets=4
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_create_and_read_empty(tbl):
+    assert tbl.version() == 0
+    assert tbl.read().count() == 0
+    assert [f.name for f in tbl.schema().fields] == ["k", "v"]
+
+
+def test_append_and_time_travel(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    tbl.append(_df(spark, [("b", 2)]))
+    assert tbl.version() == 2
+    assert tbl.read().count() == 2
+    assert tbl.read(version=1).count() == 1
+    assert tbl.read(version=0).count() == 0
+
+
+def test_merge_upsert_updates_and_inserts(spark, tbl):
+    tbl.append(_df(spark, [("a", 1), ("b", 2)]))
+    tbl.merge_upsert(_df(spark, [("b", 20), ("c", 3)]))
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_merge_idempotent(spark, tbl):
+    src = _df(spark, [("a", 1), ("b", 2)])
+    tbl.merge_upsert(src)
+    d1 = table_digest(tbl.read())
+    tbl.merge_upsert(src)  # replay
+    assert table_digest(tbl.read()) == d1
+
+
+def test_merge_dedups_source_last_writer_wins(spark, tbl):
+    src = spark.createDataFrame(
+        [("a", 1, 1), ("a", 9, 2)], "k string, v long, ord long"
+    )
+    t2 = LakeTable.create(
+        tbl.spark, tbl.path + "_o", "k string, v long, ord long", key_cols=["k"], n_buckets=2
+    )
+    t2.merge_upsert(src, order_col="ord")
+    assert t2.read().collect()[0]["v"] == 9
+
+
+def test_merge_only_rewrites_touched_buckets(spark, tbl):
+    tbl.append(_df(spark, [(f"k{i}", i) for i in range(50)]))
+    files_before = {f["path"]: f for f in tbl.snapshot()["files"]}
+    tbl.merge_upsert(_df(spark, [("k0", 100)]))
+    snap = tbl.snapshot()
+    src_bucket = {f["bucket"] for f in snap["files"] if f["path"] not in files_before}
+    assert len(src_bucket) == 1  # exactly one bucket rewritten
+    untouched = [f for f in snap["files"] if f["path"] in files_before]
+    assert untouched and all(f["bucket"] not in src_bucket for f in untouched)
+
+
+def test_schema_evolution_on_merge(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    evolved = spark.createDataFrame([("b", 2, "x")], "k string, v long, extra string")
+    tbl.merge_upsert(evolved)
+    got = {r["k"]: (r["v"], r["extra"]) for r in tbl.read().collect()}
+    assert got == {"a": (1, None), "b": (2, "x")}  # old rows read NULL
+    # old snapshot still readable with its own (pre-evolution) schema
+    assert "extra" not in tbl.read(version=1).columns
+
+
+def test_commit_conflict(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    snap = tbl.snapshot()
+    with pytest.raises(CommitConflict):
+        tbl._commit_snapshot(
+            tbl.version(), tbl.schema(), snap["files"], "append", {}
+        )
+
+
+def test_bucket_pruned_read(spark, tbl):
+    tbl.append(_df(spark, [(f"k{i}", i) for i in range(20)]))
+    all_buckets = {f["bucket"] for f in tbl.snapshot()["files"]}
+    some = sorted(all_buckets)[:1]
+    pruned = tbl.read(buckets=some)
+    assert 0 < pruned.count() < 20
+
+
+def test_summary_lookup(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]), summary={"epoch": 7})
+    tbl.append(_df(spark, [("b", 2)]))
+    assert tbl.latest_summary_value("epoch") == 7

@@ -1,0 +1,110 @@
+"""Training-data operators (dedup / similarity / text / multimodal) on tiny
+in-memory frames — semantic checks; value-level parity with DuckDB is covered
+by tools/check_oracles.py and the driver gate."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from linked_maps_spark import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog", "en", "s1", 45),
+        (2, "the cat sat on the mat and looked at the dog", "en", "s2", 45),  # exact dup
+        (3, "the cat sat on the mat and stared at the dog", "en", "s1", 45),  # near dup
+        (4, "der hund und die katze und das haus ist hier", "de", "s1", 45),
+        (5, "completely different words entirely unrelated text here now", "en", "s3", 60),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 2),
+        (4, [1.0, 0.05, 0.0, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_dedup_exact(docs):
+    got = dedup.dedup_exact(docs).collect()
+    assert len(got) == 1
+    assert got[0]["keeper_doc_id"] == 1 and got[0]["n_copies"] == 2
+
+
+def test_dedup_ngram_jaccard(docs):
+    got = dedup.dedup_ngram_jaccard(docs, threshold=0.3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_dedup_minhash_lsh(docs):
+    got = dedup.dedup_minhash_lsh(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in got}
+    assert pairs.get((1, 2)) == 1.0  # identical signatures
+    # unrelated docs should not collide on every permutation
+    assert all(v < 1.0 for k, v in pairs.items() if k != (1, 2))
+
+
+def test_simhash_similarity_order(docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert got[1] == got[2]  # identical text → identical fingerprint
+    assert ham(got[1], got[3]) < ham(got[1], got[5])  # near-dup closer than unrelated
+
+
+def test_cosine_topk(vecs):
+    got = similarity.cosine_topk(vecs, n_queries=1, k=2).collect()
+    assert [r["neighbor_id"] for r in got] == [4, 1]  # closest first
+    assert got[0]["cosine"] > got[1]["cosine"] > 0.9
+
+
+def test_ann_lsh_subset_of_exact(vecs):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(vecs, n_queries=2, k=4).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(vecs, n_queries=2, k=4, n_planes=4, dim=4).collect()
+    }
+    assert approx <= exact  # bucket candidates re-ranked exactly
+
+
+def test_token_stats_and_langid(docs):
+    stats = {r["doc_id"]: r for r in textops.token_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 11
+    assert 0 < stats[1]["stopword_ratio"] < 1
+    langs = {r["doc_id"]: r["lang_pred"] for r in textops.lang_id(docs).collect()}
+    assert langs[1] == "en" and langs[4] == "de"
+
+
+def test_fingerprint_stable(docs):
+    f1 = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprint(docs).collect()}
+    assert f1[1] == f1[2]  # identical docs → identical fingerprint
+    assert f1[1] != f1[5]
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.synth_media(docs)
+    meta = {r["media_id"]: r for r in multimodal.media_metadata(media).collect()}
+    assert meta[1]["n_bytes"] == len(docs.filter("doc_id=1").collect()[0]["text"])
+    assert len(meta[1]["payload_sha256"]) == 64
+    feats = multimodal.decode_features(media, dim=8).collect()
+    assert all(r["feat_dim"] == 8 and len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload → same feature
+    by_id = {r["media_id"]: list(r["feature"]) for r in feats}
+    assert by_id[1] == by_id[2]
+    with pytest.raises(Exception):
+        multimodal.decode_features(media, fake=False).collect()
