@@ -30,8 +30,9 @@ HEADLINE = [
     "similarity_cosine_topk",
 ]
 
-BENCH_WAL_KEYS = int(os.environ.get("BENCH_WAL_KEYS", "600"))
+BENCH_WAL_KEYS = int(os.environ.get("BENCH_WAL_KEYS", "2000"))
 BENCH_WAL_COMMITS = int(os.environ.get("BENCH_WAL_COMMITS", "8"))
+BENCH_COMMITS_PER_EPOCH = int(os.environ.get("BENCH_COMMITS_PER_EPOCH", "8"))
 
 
 def main() -> None:
@@ -68,12 +69,13 @@ def main() -> None:
     )
     wal_df = to_spark(spark, wal).repartition(int(cpus)).cache()
     n_events = wal_df.count()
-    wh = tempfile.mkdtemp(prefix="lms_bench_wh_")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix="lms_bench_wh_", dir=scratch)
     try:
         eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=32)
         eng.create_tables(overwrite=True)
         t0 = time.monotonic()
-        eng.ingest(wal_df, commits_per_epoch=4)
+        eng.ingest(wal_df, commits_per_epoch=BENCH_COMMITS_PER_EPOCH)
         ingest_sec = time.monotonic() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)

@@ -166,7 +166,28 @@ def fold_key(
             parent.dirty = True
             touched[parent.gid] = parent
 
-    for ev in sorted(events, key=lambda e: e["commit"]):
+    # deterministic last-writer-wins dedup within the batch: one event per
+    # commit, largest content wins (SURVEY.md §2.11 window-dedup semantics,
+    # done here to save the separate window shuffle)
+    def _ev_rank(e: dict) -> tuple:
+        return (
+            e.get("content") or "",
+            tuple(
+                sorted(
+                    (k, str(v))
+                    for k, v in e.items()
+                    if k not in ("repo", "path", "commit")
+                )
+            ),
+        )
+
+    by_commit: dict[str, dict] = {}
+    for ev in events:
+        cur = by_commit.get(ev["commit"])
+        if cur is None or _ev_rank(ev) > _ev_rank(cur):
+            by_commit[ev["commit"]] = ev
+
+    for ev in sorted(by_commit.values(), key=lambda e: e["commit"]):
         commit = ev["commit"]
         content = ev.get("content") or ""
         extras = {

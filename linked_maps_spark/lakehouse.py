@@ -201,13 +201,14 @@ class LakeTable:
             shutil.rmtree(out_dir)
         bucketed = df.withColumn("_bucket", self.bucket_expr(df))
         keys = snap["key_cols"]
-        salt = (
-            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_n))
-            if keys
-            else F.lit(0)
-        )
-        # fan a hot bucket's write across salt_n tasks, keep bucket files separate
-        bucketed = bucketed.repartition(F.col("_bucket"), salt)
+        if keys:
+            # fan a hot bucket's write across salt_n tasks, keep bucket files
+            # separate (skew salting on the write shuffle)
+            salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_n))
+            bucketed = bucketed.repartition(F.col("_bucket"), salt)
+        else:
+            # key-less (append-only log) tables: single small file, no shuffle
+            bucketed = bucketed.coalesce(1)
         bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         files = []
         for bdir in sorted(os.listdir(out_dir)):
@@ -241,6 +242,7 @@ class LakeTable:
         source: DataFrame,
         order_col: str | None = None,
         summary: dict[str, Any] | None = None,
+        assume_unique: bool = False,
     ) -> int:
         """MERGE INTO … ON key_cols WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *.
 
@@ -265,10 +267,11 @@ class LakeTable:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        else:
+        elif not assume_unique:
+            # callers whose source is key-unique by construction skip this shuffle
             aligned = aligned.dropDuplicates(keys)
 
-        src = aligned.withColumn("_bucket", self.bucket_expr(aligned)).cache()
+        src = aligned.withColumn("_bucket", self.bucket_expr(aligned))
         touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
         current = self._align_to(self.read(buckets=touched), schema)
         kept = current.join(src.select(*keys).distinct(), on=keys, how="left_anti")
@@ -278,7 +281,6 @@ class LakeTable:
         touched_set = set(touched)
         files = [f for f in snap["files"] if f["bucket"] not in touched_set] + new_files
         self._commit_snapshot(version, schema, files, "merge", summary)
-        src.unpersist()
         return version
 
     # ------------------------------------------------------------- summaries

@@ -164,11 +164,7 @@ def link_osm(
         )
     )
     return (
-        votes.withColumn(
-            "ranked", F.struct(F.col("votes").desc_nulls_last().asc())  # placeholder
-        )
-        .drop("ranked")
-        .groupBy("gid")
+        votes.groupBy("gid")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct((-F.col("votes")).alias("nv"), "osm_uri"))

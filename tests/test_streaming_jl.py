@@ -1,0 +1,71 @@
+"""Structured Streaming ingest path + JSON-Lines interchange round-trip."""
+
+import os
+
+import pytest
+
+from linked_maps_spark import geometry as G
+from linked_maps_spark.changelog import synth_change_log, to_spark
+from linked_maps_spark.ingest import CdcEngine
+from linked_maps_spark.jsonlines import export_jl, read_jl
+from linked_maps_spark.streaming import stream_ingest
+from linked_maps_spark.util import table_digest
+
+SEG_COLS = ["repo", "path", "gid", "name", "seq", "wkt", "content_sha256", "is_leaf"]
+
+
+def test_stream_ingest_equals_batch(spark, tmp_path):
+    wal_pdf = synth_change_log(n_keys=4, n_commits=4, seed=14)
+    wal_df = to_spark(spark, wal_pdf)
+
+    # batch reference
+    batch_eng = CdcEngine(spark, str(tmp_path / "batch"), geom_type=G.LINE, n_buckets=4)
+    batch_eng.create_tables(overwrite=True)
+    batch_eng.ingest(wal_df, commits_per_epoch=4)
+
+    # streaming: land the WAL as parquet files, drain via availableNow
+    wal_dir = str(tmp_path / "landing")
+    wal_df.write.mode("overwrite").parquet(wal_dir)
+    stream_eng = CdcEngine(spark, str(tmp_path / "stream"), geom_type=G.LINE, n_buckets=4)
+    stream_eng.create_tables(overwrite=True)
+    q = stream_ingest(stream_eng, wal_dir, str(tmp_path / "ckpt"), commits_per_epoch=4)
+    assert q.lastProgress is not None
+
+    assert table_digest(stream_eng.current_segments(), SEG_COLS) == table_digest(
+        batch_eng.current_segments(), SEG_COLS
+    )
+
+    # redelivery: draining the same landing dir again must be a no-op
+    stream_ingest(stream_eng, wal_dir, str(tmp_path / "ckpt2"), commits_per_epoch=4)
+    assert table_digest(stream_eng.current_segments(), SEG_COLS) == table_digest(
+        batch_eng.current_segments(), SEG_COLS
+    )
+
+
+def test_jsonlines_roundtrip(spark, tmp_path):
+    wal_pdf = synth_change_log(n_keys=3, n_commits=3, seed=6)
+    eng = CdcEngine(spark, str(tmp_path / "wh"), geom_type=G.LINE, n_buckets=4)
+    eng.create_tables(overwrite=True)
+    eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=3)
+
+    prefix = str(tmp_path / "out")
+    seg = eng.current_segments()
+    rel = eng.relations.read()
+    export_jl(seg, rel, prefix)
+    for suffix in (".geom.jl", ".seg.jl", ".rel.jl"):
+        assert os.path.isdir(prefix + suffix)
+
+    geom_df, seg_df, rel_df = read_jl(spark, prefix)
+    assert geom_df.count() == seg.count() == seg_df.count()
+    assert rel_df.count() == rel.count()
+    # seg.jl year rule (main.py:66-67): only edition nodes carry years
+    rows = {r["name"]: r for r in seg_df.collect()}
+    for name, r in rows.items():
+        if "_" in name:
+            assert r["years"] == []
+        else:
+            assert r["years"] == [name[:4]]
+    # gid→wkt mapping survives the round trip (generate_graph.py:27-31)
+    wkts = {r["gid"]: r["wkt"] for r in geom_df.collect()}
+    for r in seg.select("gid", "wkt").collect():
+        assert wkts[r["gid"]] == r["wkt"]

@@ -21,6 +21,7 @@ def run(cores: int, keys: int, commits: int) -> dict:
         [
             sys.executable, os.path.join(REPO, "tools", "ingest_job.py"),
             "--cores", str(cores), "--keys", str(keys), "--commits", str(commits),
+            "--commits-per-epoch", str(commits),
         ],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
@@ -59,7 +60,8 @@ Reproduce: `python tools/bench_scaling.py` (env: SCALE_N, SCALE_KEYS,
 SCALE_COMMITS).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # curated analysis lives in BENCH/BASELINE.md; reproductions land here
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as fh:
         fh.write(md)
     print(md)
     print(json.dumps({"t_n": lo, "t_4n": hi, "efficiency": round(eff, 3)}))

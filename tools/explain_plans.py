@@ -1,0 +1,60 @@
+"""Print formatted physical plans for the headline queries and grep them for
+the scale-critical properties: pushed filters, pruned scans, broadcast joins,
+whole-stage codegen spans.
+
+Usage: python tools/explain_plans.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS = {
+    "pricing_summary": ["PushedFilters", "HashAggregate"],
+    "top_orders_by_revenue": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "nation_revenue": ["BroadcastHashJoin", "PushedFilters"],
+    "customers_without_orders": ["BroadcastHashJoin", "LeftAnti"],
+    "event_sequencing": ["Window"],
+    "dedup_exact": ["HashAggregate"],
+    "similarity_cosine_topk": ["BroadcastNestedLoopJoin", "Window"],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(CHECKS)
+
+    from linked_maps_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("explain", cores=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    failures = []
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
+        print(plan[:4000])
+        for want in CHECKS.get(name, []):
+            ok = want in plan
+            print(f"  [{'x' if ok else ' '}] {want}")
+            if not ok:
+                failures.append((name, want))
+    if failures:
+        print("\nMISSING PLAN PROPERTIES:", failures)
+        sys.exit(1)
+    print("\nall expected plan properties present")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,14 @@ def main() -> None:
     ap.add_argument("--commits", type=int, default=8)
     ap.add_argument("--seed", type=int, default=77)
     ap.add_argument("--zipf", type=float, default=1.2)
+    ap.add_argument("--walks", type=int, default=6)
+    ap.add_argument("--walklen", type=int, default=8)
     ap.add_argument("--commits-per-epoch", type=int, default=4)
+    ap.add_argument("--shuffle", type=int, default=None)
+    ap.add_argument(
+        "--executors", type=int, default=None,
+        help="use local-cluster[E, cores, 8192] with E real executor JVMs",
+    )
     args = ap.parse_args()
 
     from linked_maps_spark import geometry as G
@@ -34,16 +41,21 @@ def main() -> None:
     from linked_maps_spark.ingest import CdcEngine
     from linked_maps_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{args.cores}", cores=args.cores)
+    spark = get_spark(
+        f"scaling-{args.cores}", cores=args.cores, shuffle_partitions=args.shuffle,
+        executors=args.executors,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     wal = synth_change_log(
-        n_keys=args.keys, n_commits=args.commits, seed=args.seed, zipf_s=args.zipf
+        n_keys=args.keys, n_commits=args.commits, seed=args.seed, zipf_s=args.zipf,
+        n_walks=args.walks, walk_len=args.walklen,
     )
     wal_df = to_spark(spark, wal).repartition(args.cores).cache()
     n_events = wal_df.count()
 
-    wh = tempfile.mkdtemp(prefix=f"lms_scale_{args.cores}_")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix=f"lms_scale_{args.cores}_", dir=scratch)
     try:
         eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=max(args.cores, 16))
         eng.create_tables(overwrite=True)
@@ -57,6 +69,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "executors": args.executors,
                 "cores": args.cores,
                 "events": n_events,
                 "sec": round(sec, 2),
