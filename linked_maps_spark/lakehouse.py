@@ -116,7 +116,13 @@ class LakeTable:
 
     def history(self) -> list[dict]:
         v = self.version()
-        return [self.snapshot(i) for i in range(v + 1)] if v is not None else []
+        out = []
+        for i in range(v + 1) if v is not None else []:
+            try:
+                out.append(self.snapshot(i))
+            except FileNotFoundError:  # expired
+                continue
+        return out
 
     def schema(self, version: int | None = None) -> StructType:
         return StructType.fromJson(self.snapshot(version)["schema"])
@@ -283,13 +289,48 @@ class LakeTable:
         self._commit_snapshot(version, schema, files, "merge", summary)
         return version
 
+    # ---------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Iceberg-style snapshot expiration: drop snapshot metadata older
+        than the last ``keep_last`` versions and delete data files no
+        retained snapshot references.  Returns #files deleted.
+
+        At scale this is the compaction/GC lever that keeps the COW MERGE's
+        storage amplification bounded."""
+        v = self.version()
+        if v is None or keep_last < 1:
+            return 0
+        cutoff = max(0, v - keep_last + 1)
+        keep_files: set[str] = set()
+        for i in range(cutoff, v + 1):
+            keep_files |= {f["path"] for f in self.snapshot(i)["files"]}
+        deleted = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for root, _dirs, files in os.walk(data_root):
+                for f in files:
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, self.path)
+                    if f.endswith(".parquet") and rel not in keep_files:
+                        os.unlink(full)
+                        deleted += 1
+        for i in range(cutoff):
+            p = os.path.join(self.path, _SNAP_DIR, f"v{i}.json")
+            if os.path.exists(p):
+                os.unlink(p)
+        return deleted
+
     # ------------------------------------------------------------- summaries
 
     def latest_summary_value(self, key: str) -> Any:
         """Scan history newest-first for a summary key (e.g. committed epoch)."""
         v = self.version()
         while v is not None and v >= 0:
-            s = self.snapshot(v)["summary"]
+            try:
+                s = self.snapshot(v)["summary"]
+            except FileNotFoundError:  # expired
+                break
             if key in s:
                 return s[key]
             v -= 1

@@ -102,3 +102,24 @@ def test_summary_lookup(spark, tbl):
     tbl.append(_df(spark, [("a", 1)]), summary={"epoch": 7})
     tbl.append(_df(spark, [("b", 2)]))
     assert tbl.latest_summary_value("epoch") == 7
+
+
+def test_expire_snapshots(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    tbl.merge_upsert(_df(spark, [("a", 2)]))
+    tbl.merge_upsert(_df(spark, [("b", 3)]))
+    import os
+
+    n_before = sum(
+        len(files) for _r, _d, files in os.walk(os.path.join(tbl.path, "data"))
+    )
+    deleted = tbl.expire_snapshots(keep_last=1)
+    assert deleted > 0
+    # current state fully readable after expiration
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {"a": 2, "b": 3}
+    # expired versions no longer time-travelable
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tbl.snapshot(0)
