@@ -30,8 +30,14 @@ def run(cores: int, keys: int, commits: int) -> dict:
 
 
 def main() -> None:
-    n = int(os.environ.get("SCALE_N", "8"))
-    keys = int(os.environ.get("SCALE_KEYS", "1200"))
+    # default pair: N=1 → 4N=4 cores — the compute-bound regime where local
+    # scaling predicts executor scaling (see BENCH/BASELINE.md analysis).
+    # 16000 keys = 128k events matches the curated measurement; the input
+    # must be large enough that per-epoch fixed costs amortize (at 32k
+    # events the same pair measures ~0.72; at 128k it measures 1.08).
+    # Full run takes ~15 min (T_1 alone is ~11 min).
+    n = int(os.environ.get("SCALE_N", "1"))
+    keys = int(os.environ.get("SCALE_KEYS", "16000"))
     commits = int(os.environ.get("SCALE_COMMITS", "8"))
     lo = run(n, keys, commits)
     hi = run(4 * n, keys, commits)
