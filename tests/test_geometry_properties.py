@@ -1,0 +1,60 @@
+"""Property-based checks of the grid-geometry algebra (SURVEY.md §5.2 item 4)
+— pure python, no Spark."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from linked_maps_spark import geometry as G
+
+# arbitrary unit edges on a small grid: generate endpoints + direction
+def _mk_edges(trips: list[tuple[int, int, int]]) -> np.ndarray:
+    ids = []
+    for x, y, d in trips:
+        ux, uy = G._DIRS[d]
+        if not (0 <= y + uy <= 51):
+            continue
+        p = x * G._P + y
+        q = (x + ux) * G._P + (y + uy)
+        ids.append(min(p, q) * G._E + max(p, q))
+    return np.unique(np.array(ids, dtype=np.int64))
+
+
+_edge_ids = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(1, 50), st.integers(0, 3)),
+    min_size=0, max_size=60,
+).map(_mk_edges)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_edge_ids, _edge_ids)
+def test_partition_identity(a, b):
+    """I ∪ (A∖I) ∪ (B∖I) == A ∪ B with pairwise disjoint parts — the lattice
+    postcondition of one fold round (SURVEY.md §2.5)."""
+    i = G.intersect(a, b)
+    ma = G.difference(a, i)
+    mb = G.difference(b, i)
+    assert np.array_equal(G.union_all([i, ma, mb]), G.union_all([a, b]))
+    assert G.intersect(i, ma).size == 0
+    assert G.intersect(i, mb).size == 0
+    assert G.intersect(ma, mb).size == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(_edge_ids)
+def test_wkt_roundtrip_is_canonical_fixpoint(ids):
+    w1 = G.to_wkt(ids, G.LINE)
+    back = G.parse_wkt(w1, G.LINE)
+    assert np.array_equal(back, ids)
+    assert G.to_wkt(back, G.LINE) == w1  # canonical fixpoint
+    assert G.sha256_hex(w1) == G.sha256_hex(G.to_wkt(back, G.LINE))
+
+
+@settings(max_examples=100, deadline=None)
+@given(_edge_ids, _edge_ids)
+def test_algebra_laws(a, b):
+    assert np.array_equal(G.intersect(a, b), G.intersect(b, a))
+    assert np.array_equal(G.union_all([a, b]), G.union_all([b, a]))
+    assert G.intersect(G.difference(a, b), b).size == 0
+    assert np.array_equal(
+        G.union_all([G.intersect(a, b), G.difference(a, b)]), a
+    )
