@@ -60,7 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda d: multimodal.media_metadata(multimodal.synth_media(d))
     )
     q["multimodal_features"] = _doc()(
-        lambda d: multimodal.decode_features(multimodal.synth_media(d)).orderBy("media_id")
+        lambda d: multimodal.feature_values(multimodal.synth_media(d))
     )
     # CDC / geometry queries over the engine warehouse (rows-only checks)
     q["cdc_q1_edition"] = entry_cdc.cdc_q1_edition
@@ -86,5 +86,6 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["multimodal_metadata"] = multimodal.MEDIA_METADATA_SQL
-    # similarity_ann_lsh, multimodal_features and cdc_* are rows-only
+    o["multimodal_features"] = multimodal.feature_values_sql()
+    # cdc_* are rows-only (geometry fold is not SQL-expressible)
     return o

@@ -20,6 +20,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 MINHASH_PERMS = 8
 LSH_BANDS = 4  # rows per band = MINHASH_PERMS // LSH_BANDS = 2
 SHINGLE_WORDS = 3
+# Document-frequency ceiling on join keys (shingles / LSH buckets): one
+# stop-shingle shared by 10^6 docs would emit 10^12 candidate pairs at
+# 100 TB.  Keys above the ceiling are dropped *identically* on the Spark and
+# DuckDB sides, so oracles stay value-exact; at test scale no key comes close.
+MAX_KEY_DF = 1000
 
 
 def h32(col: Column, salt: str = "") -> Column:
@@ -87,16 +92,31 @@ DEDUP_EXACT_SQL = """
 
 # ------------------------------------------------------ n-gram Jaccard dedup
 
-def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def dedup_ngram_jaccard(
+    documents: DataFrame, threshold: float = 0.5, max_df: int = MAX_KEY_DF
+) -> DataFrame:
     """Near-dup pairs by word-shingle Jaccard.
 
     Candidates come from an equi-join on shared shingles (inverted index),
     never a cross join; |A∩B| falls out of the join group count and
     |A∪B| = |A|+|B|−|A∩B|.  Jaccard is exact integer arithmetic divided
-    once at the end → bit-identical to the SQL oracle."""
+    once at the end → bit-identical to the SQL oracle.
+
+    ``max_df`` is the stop-shingle ceiling: shingles appearing in more than
+    ``max_df`` docs are removed from the shingle *sets* (sizes and
+    intersections alike, mirrored in the SQL oracle) before the self-join —
+    without it one ubiquitous shingle quadratically explodes the candidate
+    pairs at scale."""
     sh = documents.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -122,12 +142,16 @@ def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.5) -> DataFra
     )
 
 
-def dedup_ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def dedup_ngram_jaccard_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
     sh_expr = word_shingles_sql("text")
     return f"""
-    WITH sh AS (
+    WITH sh_all AS (
         SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents
     ),
+    rare AS (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= {max_df}
+    ),
+    sh AS (SELECT s.* FROM sh_all s JOIN rare r USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -158,76 +182,110 @@ def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataF
 
 
 def dedup_minhash_lsh(
-    documents: DataFrame, perms: int = MINHASH_PERMS, bands: int = LSH_BANDS
+    documents: DataFrame,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    max_bucket: int = MAX_KEY_DF,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of their MinHash
     signature (shingle→minhash→band→bucket-join).  Returns candidate pairs
-    with the fraction of matching permutations (estimated Jaccard)."""
+    with the fraction of matching permutations (estimated Jaccard).
+
+    Plan (the round-1 version unioned 4 band self-joins over an uncached
+    lineage, recomputing the signature 8× — 180 s at sf0.1):
+
+    1. materialize the signature table ONCE (``persist``; at 100 TB this
+       would be a checkpoint/table write — |docs| × perms longs, tiny next
+       to the shingle explode that produces it);
+    2. explode to ``(doc_id, band_val)`` where ``band_val`` embeds the band
+       index, drop buckets larger than ``max_bucket`` (one hot bucket emits
+       O(bucket²) pairs), and do ONE self-equi-join on ``band_val``;
+    3. join the distinct candidate pairs back to the cached signatures to
+       score ``est_jaccard``.
+
+    One shuffle for candidates instead of four, zero signature recompute."""
     rows = perms // bands
-    sig = minhash_signature(documents, perms)
-    band_cols = [
-        F.concat_ws(
-            "_", F.lit(str(b)), *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *[F.col(f"mh_{i}") for i in range(perms)], *band_cols)
-    pairs = None
-    for b in range(bands):
-        a = banded.alias("a")
-        c = banded.alias("c")
-        p = (
-            a.join(c, (F.col(f"a.band_{b}") == F.col(f"c.band_{b}"))
-                   & (F.col("a.doc_id") < F.col("c.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"),
-                    *[(F.col(f"a.mh_{i}") == F.col(f"c.mh_{i}")).cast("int").alias(f"eq_{i}")
-                      for i in range(perms)])
+    sig = minhash_signature(documents, perms).persist()
+    band_vals = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_vals).alias("band_val"))
+    small = (
+        buckets.groupBy("band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band_val")
+    )
+    buckets = buckets.join(small, "band_val", "left_semi")
+    a, c = buckets.alias("a"), buckets.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    est = sum(F.col(f"eq_{i}") for i in range(perms)) / perms
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(perms)]
+    )
+    sc = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"c_{i}") for i in range(perms)]
+    )
+    est = sum((F.col(f"a_{i}") == F.col(f"c_{i}")).cast("int") for i in range(perms)) / perms
     return (
-        pairs.dropDuplicates(["doc_a", "doc_b"])
+        cand.join(sa, "doc_a")
+        .join(sc, "doc_b")
         .withColumn("est_jaccard", F.round(est, 6))
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
-def dedup_minhash_lsh_sql(perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> str:
+def dedup_minhash_lsh_sql(
+    perms: int = MINHASH_PERMS, bands: int = LSH_BANDS, max_bucket: int = MAX_KEY_DF
+) -> str:
     rows = perms // bands
     sh_expr = word_shingles_sql("text")
     mh_cols = ", ".join(
         f"MIN({h32_sql('shingle', str(i))}) AS mh_{i}" for i in range(perms)
     )
-    band_exprs = ", ".join(
-        "concat_ws('_', '"
+    band_union = " UNION ALL ".join(
+        "SELECT doc_id, concat_ws('_', '"
         + str(b)
         + "', "
         + ", ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
-        + f") AS band_{b}"
+        + ") AS band_val FROM sig"
         for b in range(bands)
     )
-    union = " UNION ALL ".join(
-        f"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-            {', '.join(f'CAST(a.mh_{i} = c.mh_{i} AS INT) AS eq_{i}' for i in range(perms))}
-            FROM banded a JOIN banded c
-              ON a.band_{b} = c.band_{b} AND a.doc_id < c.doc_id"""
-        for b in range(bands)
-    )
-    eq_sum = " + ".join(f"eq_{i}" for i in range(perms))
+    eq_sum = " + ".join(f"CAST(sa.mh_{i} = sc.mh_{i} AS INT)" for i in range(perms))
     return f"""
     WITH sh AS (
         SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents
     ),
     sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-    banded AS (SELECT *, {band_exprs} FROM sig),
-    pairs AS ({union}),
-    dedup AS (
-        SELECT DISTINCT ON (doc_a, doc_b) doc_a, doc_b, {eq_sum} AS n_eq
-        FROM pairs ORDER BY doc_a, doc_b
+    buckets_all AS ({band_union}),
+    small AS (
+        SELECT band_val FROM buckets_all GROUP BY band_val
+        HAVING COUNT(*) <= {max_bucket}
+    ),
+    buckets AS (SELECT b.* FROM buckets_all b JOIN small s USING (band_val)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM buckets a JOIN buckets c
+          ON a.band_val = c.band_val AND a.doc_id < c.doc_id
     )
-    SELECT doc_a, doc_b, ROUND(n_eq / {perms}, 6) AS est_jaccard
-    FROM dedup
+    SELECT cand.doc_a, cand.doc_b, ROUND(({eq_sum}) / {perms}, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+              JOIN sig sc ON sc.doc_id = cand.doc_b
     ORDER BY doc_a, doc_b
     """
 

@@ -98,3 +98,34 @@ def decode_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFr
             )
 
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def feature_values(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Driver-facing projection of :func:`decode_features`: the raw
+    ``array<float>`` column is not canonicalizable by the oracle harness
+    (pandas cannot factorize lists), so explode it to scalar
+    ``(media_id, idx, value)`` rows.  Bit-exact against DuckDB: both sides
+    compute float32(round(u4 / 2^32)) with IEEE round-to-nearest."""
+    feats = decode_features(media, dim=dim, fake=True)
+    return (
+        feats.select("media_id", F.posexplode("feature").alias("idx", "value"))
+        .orderBy("media_id", "idx")
+    )
+
+
+def feature_values_sql(dim: int = 8) -> str:
+    """DuckDB oracle for :func:`feature_values`: re-derive the fake feature
+    from sha256 hex — word *i* is the little-endian uint32 at byte offset
+    ``4*i`` of the digest, divided by 2^32 and cast to FLOAT."""
+    le_word = (
+        "'0x' || substr(h, 8*w.idx+7, 2) || substr(h, 8*w.idx+5, 2)"
+        " || substr(h, 8*w.idx+3, 2) || substr(h, 8*w.idx+1, 2)"
+    )
+    return f"""
+    WITH media AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents)
+    SELECT m.media_id,
+           CAST(w.idx AS INT) AS idx,
+           CAST(CAST({le_word} AS BIGINT) / 4294967296.0 AS FLOAT) AS value
+    FROM media m CROSS JOIN (SELECT unnest(range({dim})) AS idx) w
+    ORDER BY media_id, idx
+    """

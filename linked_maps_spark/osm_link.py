@@ -24,6 +24,7 @@ OSM URI shape: https://www.openstreetmap.org/<type>/<id>
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -42,6 +43,14 @@ OSM_CATALOG_SCHEMA = (
 BOX_SCHEMA = "gid string, box_id int, s double, w double, n double, e double"
 
 
+
+def _stable_seed(gid: str) -> int:
+    """Cross-process-stable per-gid RNG seed.  Python ``hash(str)`` is
+    PYTHONHASHSEED-salted (different every interpreter), which silently broke
+    the module's determinism contract in round 1; md5 is process-invariant."""
+    return int.from_bytes(hashlib.md5(gid.encode()).digest()[:4], "big")
+
+
 def synth_osm_catalog(spark, segments: DataFrame, seed: int = 4, per_seg: int = 3) -> DataFrame:
     """Deterministic stand-in catalog: points seeded near segment vertices so
     bbox hits are predictable (FIXTURES.md §4); ~50% tagged ``railway``."""
@@ -49,13 +58,13 @@ def synth_osm_catalog(spark, segments: DataFrame, seed: int = 4, per_seg: int = 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                ids = G.parse_wkt(r["wkt"])
+            for r in pdf.itertuples(index=False):
+                ids = G.parse_wkt(r.wkt)
                 if ids.size == 0:
                     continue
                 p = ids // G._E
                 px, py = (p // G._P).astype(float) * G.PITCH, (p % G._P).astype(float) * G.PITCH
-                rng = np.random.default_rng([seed, abs(hash(r["gid"])) % (1 << 31)])
+                rng = np.random.default_rng([seed, _stable_seed(r.gid)])
                 for j in range(per_seg):
                     k = int(rng.integers(0, len(px)))
                     tags = (
@@ -83,8 +92,8 @@ def segment_boxes(segments: DataFrame, samples: int = DEFAULT_SAMPLES, seed: int
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                ids = G.parse_wkt(r["wkt"])
+            for r in pdf.itertuples(index=False):
+                ids = G.parse_wkt(r.wkt)
                 if ids.size == 0:
                     continue
                 pts = np.concatenate([ids // G._E, ids % G._E])
@@ -92,14 +101,14 @@ def segment_boxes(segments: DataFrame, samples: int = DEFAULT_SAMPLES, seed: int
                 ys = (pts % G._P).astype(float) * G.PITCH
                 # wrapper bbox — create_bounding_box__multiline
                 rows.append(
-                    {"gid": r["gid"], "box_id": 0,
+                    {"gid": r.gid, "box_id": 0,
                      "s": ys.min(), "w": xs.min(), "n": ys.max(), "e": xs.max()}
                 )
-                rng = np.random.default_rng([seed, abs(hash(r["gid"])) % (1 << 31)])
+                rng = np.random.default_rng([seed, _stable_seed(r.gid)])
                 for j in range(samples):
                     k = int(rng.integers(0, len(xs)))
                     rows.append(
-                        {"gid": r["gid"], "box_id": j + 1,
+                        {"gid": r.gid, "box_id": j + 1,
                          "s": ys[k] - BOX_HALF, "w": xs[k] - BOX_HALF,
                          "n": ys[k] + BOX_HALF, "e": xs[k] + BOX_HALF}
                     )
