@@ -82,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = dedup.dedup_minhash_lsh_sql()
     o["dedup_simhash"] = dedup.simhash_sql()
     o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)
+    o["similarity_ann_lsh"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["text_token_stats"] = textops.token_stats_sql()
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()

@@ -12,10 +12,15 @@ Exactly-once contract
 ---------------------
 * The watermark (last ingested commit label) is read from the ``commit_log``
   table, which is written **last** in each epoch.
-* A crash between the segments/relations MERGE and the commit-log append
-  replays the epoch; the MERGE is idempotent (content-hash gids, whole-row
-  upserts), so replay converges to the same state — verified by the
-  digest-equality tests.
+* Epoch write order: relations MERGE + metrics MERGE (both replay-idempotent:
+  same edges re-upserted; metrics keyed on ``(epoch, partition_id)``), then
+  the **segments** MERGE, then the commit-log append.  The fold's resume
+  state comes from segments alone, so a crash anywhere before the segments
+  merge replays the fold over unchanged input and converges; a crash between
+  the segments merge and the commit-log append is caught by the epoch guard
+  (segments' snapshot summary already carries this epoch's ``end_commit``)
+  and the replay skips straight to the bookkeeping — re-folding there would
+  wrongly intersect the edition with its own descendants.
 * Duplicate / reordered events inside an epoch are collapsed by a
   deterministic last-writer-wins rule per ``(repo, path, commit)`` inside the
   fold (window-dedup semantics without the extra shuffle).
@@ -177,6 +182,9 @@ class CdcEngine:
         self.warehouse = os.path.abspath(warehouse)
         self.geom_type = geom_type
         self.n_buckets = n_buckets
+        # test hook: raise after the named step to exercise crash-replay
+        # windows ("relations_merge", "segments_merge", "metrics")
+        self._crash_after: str | None = None
 
     # ---------------------------------------------------------------- tables
 
@@ -186,22 +194,29 @@ class CdcEngine:
     def create_tables(self, overwrite: bool = False) -> None:
         seg_schema = ", ".join(f"{c} {t}" for c, t in SEGMENT_BASE_COLUMNS)
         rel_schema = ", ".join(f"{c} {t}" for c, t in RELATION_COLUMNS)
+        # MERGE identity stays the content-hash gid / edge pair, but the file
+        # layout buckets on (repo, path): the ingest epoch can then prune its
+        # leaf-state read to exactly the buckets its batch keys hash into,
+        # making epoch cost independent of untouched-table size.
         LakeTable.create(
             self.spark, self._path("segments"), seg_schema,
-            key_cols=["gid"], n_buckets=self.n_buckets, overwrite=overwrite,
+            key_cols=["gid"], bucket_cols=["repo", "path"],
+            n_buckets=self.n_buckets, overwrite=overwrite,
         )
         LakeTable.create(
             self.spark, self._path("relations"), rel_schema,
-            key_cols=["parent_gid", "child_gid"], n_buckets=self.n_buckets,
-            overwrite=overwrite,
+            key_cols=["parent_gid", "child_gid"], bucket_cols=["repo", "path"],
+            n_buckets=self.n_buckets, overwrite=overwrite,
         )
         LakeTable.create(
             self.spark, self._path("commit_log"), COMMIT_LOG_SCHEMA,
             key_cols=[], n_buckets=1, overwrite=overwrite,
         )
+        # keyed on (epoch, partition_id) so a replayed epoch UPSERTs instead
+        # of appending duplicate accounting rows (replay idempotence)
         LakeTable.create(
             self.spark, self._path("metrics"), METRICS_SCHEMA,
-            key_cols=[], n_buckets=1, overwrite=overwrite,
+            key_cols=["epoch", "partition_id"], n_buckets=1, overwrite=overwrite,
         )
 
     @property
@@ -233,6 +248,22 @@ class CdcEngine:
 
     def current_leaves(self) -> DataFrame:
         return self.segments.read().filter(F.col("is_leaf") & ~F.col("retired"))
+
+    def _pruned_leaves(self, batch_keys: DataFrame) -> tuple[DataFrame, list[int]]:
+        """Leaf state for exactly the batch's ``(repo, path)`` keys, reading
+        only the manifest buckets those keys hash into.
+
+        At 100 TB this is the load-bearing pruning: an epoch touching 0.1% of
+        keys opens ~0.1% of the segments files instead of scanning the whole
+        table (round 1 read the entire table every epoch)."""
+        segs = self.segments
+        buckets = segs.buckets_for(batch_keys)
+        leaves = (
+            segs.read(buckets=buckets)
+            .filter(F.col("is_leaf") & ~F.col("retired"))
+            .join(batch_keys, on=["repo", "path"], how="left_semi")
+        )
+        return leaves, buckets
 
     # ---------------------------------------------------------------- ingest
 
@@ -286,23 +317,39 @@ class CdcEngine:
         # (within-batch duplicate events are collapsed deterministically
         # inside the fold — no separate window shuffle needed)
 
-        leaves_tbl = self.current_leaves()
-        extras = sorted(
-            {
-                (f.name, f.dataType.simpleString())
-                for f in batch.schema.fields
-                if f.name not in EVENT_CORE_COLS
-            }
-            | {
-                (f.name, f.dataType.simpleString())
-                for f in leaves_tbl.schema.fields
-                if f.name not in {c for c, _ in SEGMENT_BASE_COLUMNS}
-            }
-        )
-        # resume state: current leaves of only the keys present in this batch
-        leaves = leaves_tbl.join(
-            batch.select("repo", "path").distinct(), on=["repo", "path"], how="left_semi"
-        )
+        cnt = batch.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("repo", "path").alias("k")
+        ).collect()[0]
+        n_events, n_keys = cnt["n"], cnt["k"]
+
+        # Exactly-once replay guard: the segments merge is the LAST state
+        # write of an epoch (relations and metrics precede it and are
+        # idempotent re-applied).  If segments already carry this epoch's
+        # end_commit, the crash hit the window between that merge and the
+        # commit-log append — re-folding now would intersect the edition with
+        # its own descendants, so skip straight to the bookkeeping.
+        seg_applied = self.segments.latest_summary_value("end_commit")
+        if seg_applied is not None and str(seg_applied) >= end_commit:
+            batch.unpersist()
+            return self._finish_epoch(epoch, start_commit, end_commit, n_events, n_keys, t0)
+
+        # resume state: current leaves of only the keys present in this
+        # batch, read from only the buckets those keys hash into
+        batch_keys = batch.select("repo", "path").distinct()
+        leaves, _ = self._pruned_leaves(batch_keys)
+        # schema evolution: extra columns from either side, deduped by NAME
+        # (an evolved column present in both with different types must not
+        # yield two same-named output columns); the lake table's type wins
+        # and the event side is cast to it
+        seg_base_names = {c for c, _ in SEGMENT_BASE_COLUMNS}
+        extras_map: dict[str, str] = {}
+        for f in batch.schema.fields:
+            if f.name not in EVENT_CORE_COLS:
+                extras_map[f.name] = f.dataType.simpleString()
+        for f in leaves.schema.fields:
+            if f.name not in seg_base_names:
+                extras_map[f.name] = f.dataType.simpleString()
+        extras = sorted(extras_map.items())
 
         def _null(t):
             return F.lit(None).cast(t)
@@ -310,7 +357,7 @@ class CdcEngine:
         ev_side = batch.select(
             "repo", "path", "commit", "content",
             *[
-                (F.col(c) if c in batch.columns else _null(t)).alias(c)
+                (F.col(c).cast(t) if c in batch.columns else _null(t)).alias(c)
                 for c, t in extras
             ],
             *[_null(t).alias(c) for c, t in _STATE_TYPES],
@@ -347,28 +394,6 @@ class CdcEngine:
         rel_changes = changes.filter(F.col("kind") == "relation").select(
             *[c for c, _ in RELATION_COLUMNS]
         )
-        # the fold emits each gid / edge exactly once per batch → sources are
-        # key-unique by construction (assume_unique skips a dedup shuffle);
-        # the two table merges are independent → run them concurrently
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(
-                self.segments.merge_upsert,
-                seg_changes,
-                summary={"epoch": epoch, "end_commit": end_commit},
-                assume_unique=True,
-            )
-            f2 = pool.submit(
-                self.relations.merge_upsert,
-                rel_changes,
-                summary={"epoch": epoch, "end_commit": end_commit},
-                assume_unique=True,
-            )
-            f1.result()
-            f2.result()
-        mark("merges")
-
         # per-partition lineage metrics (north_rule: lineage + metrics table)
         mrows = (
             changes.groupBy("_pid")
@@ -386,15 +411,63 @@ class CdcEngine:
                 F.lit(None).cast("long").alias("n_events"),
             )
         )
-        cnt = batch.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("repo", "path").alias("k")
-        ).collect()[0]
-        n_events, n_keys = cnt["n"], cnt["k"]
-        self.metrics.append(mrows, summary={"epoch": epoch})
-        mark("metrics")
+
+        # Write order is the exactly-once contract (see module docstring):
+        # relations + metrics first (both idempotent on replay — relations
+        # upserts the same edges, metrics upserts on (epoch, partition_id)),
+        # the SEGMENTS merge last, because the fold reads its resume state
+        # from segments alone.  Any crash before the segments merge replays
+        # the fold over unchanged input state; a crash after it is caught by
+        # the epoch guard above.  Fold sources are key-unique by construction
+        # (assume_unique skips a dedup shuffle).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(
+                self.relations.merge_upsert,
+                rel_changes,
+                summary={"epoch": epoch, "end_commit": end_commit},
+                assume_unique=True,
+            )
+            f2 = pool.submit(
+                self.metrics.merge_upsert,
+                mrows,
+                summary={"epoch": epoch},
+                assume_unique=True,
+            )
+            f1.result()
+            f2.result()
+        mark("relations+metrics")
+        if self._crash_after == "relations_merge":
+            raise RuntimeError("injected crash: after relations/metrics, before segments")
+        self.segments.merge_upsert(
+            seg_changes,
+            summary={"epoch": epoch, "end_commit": end_commit},
+            assume_unique=True,
+        )
+        mark("segments_merge")
         changes.unpersist()
         batch.unpersist()
+        if self._crash_after == "segments_merge":
+            raise RuntimeError("injected crash: after segments merge, before commit log")
+        es = self._finish_epoch(epoch, start_commit, end_commit, n_events, n_keys, t0)
+        if trace:
+            mark("log")
+            prev = t0
+            spans = []
+            for label, ts in marks[1:]:
+                spans.append(f"{label}={ts - prev:.1f}s")
+                prev = ts
+            print(f"[epoch {epoch}] " + " ".join(spans), file=sys.stderr)
+        return es
 
+    def _finish_epoch(
+        self, epoch: int, start_commit: str, end_commit: str,
+        n_events: int, n_keys: int, t0: float,
+    ) -> EpochStats:
+        """Append the commit-log row — the watermark write that makes the
+        epoch durable.  Written LAST; also the entire replay path for an
+        epoch whose state writes already landed."""
         wall_ms = (time.monotonic() - t0) * 1000.0
         log_row = self.spark.createDataFrame(
             [
@@ -410,14 +483,5 @@ class CdcEngine:
             ],
             COMMIT_LOG_SCHEMA,
         )
-        # written LAST: the watermark only advances once the epoch is durable
         self.commit_log.append(log_row, summary={"epoch": epoch, "end_commit": end_commit})
-        if trace:
-            mark("log")
-            prev = t0
-            spans = []
-            for label, ts in marks[1:]:
-                spans.append(f"{label}={ts - prev:.1f}s")
-                prev = ts
-            print(f"[epoch {epoch}] " + " ".join(spans), file=sys.stderr)
         return EpochStats(epoch, start_commit, end_commit, n_events, n_keys, wall_ms)

@@ -69,7 +69,12 @@ class LakeTable:
         key_cols: list[str] | None = None,
         n_buckets: int = 16,
         overwrite: bool = False,
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
+        """``key_cols`` is the MERGE identity; ``bucket_cols`` (default:
+        key_cols) chooses the file-layout hash.  Splitting them lets the CDC
+        tables bucket by ``(repo, path)`` — the key the ingest loop prunes
+        by — while still upserting on content-hash ``gid``."""
         t = cls(spark, path)
         if overwrite and os.path.exists(t.path):
             shutil.rmtree(t.path)
@@ -83,6 +88,7 @@ class LakeTable:
                 summary={},
                 key_cols=key_cols or [],
                 n_buckets=n_buckets,
+                bucket_cols=bucket_cols if bucket_cols is not None else (key_cols or []),
             )
         return t
 
@@ -127,7 +133,10 @@ class LakeTable:
     def schema(self, version: int | None = None) -> StructType:
         return StructType.fromJson(self.snapshot(version)["schema"])
 
-    def _commit_snapshot(self, version, schema, files, operation, summary, key_cols=None, n_buckets=None):
+    def _commit_snapshot(
+        self, version, schema, files, operation, summary,
+        key_cols=None, n_buckets=None, bucket_cols=None,
+    ):
         prev = None if version == 0 else self.snapshot(version - 1)
         snap = {
             "version": version,
@@ -138,6 +147,11 @@ class LakeTable:
             "summary": summary or {},
             "key_cols": key_cols if key_cols is not None else prev["key_cols"],
             "n_buckets": n_buckets if n_buckets is not None else prev["n_buckets"],
+            "bucket_cols": (
+                bucket_cols
+                if bucket_cols is not None
+                else prev.get("bucket_cols", prev["key_cols"]) if prev else key_cols or []
+            ),
         }
         final = os.path.join(self.path, _SNAP_DIR, f"v{version}.json")
         tmp = final + ".tmp"
@@ -171,10 +185,15 @@ class LakeTable:
 
     def bucket_expr(self, df: DataFrame):
         snap = self.snapshot()
-        keys = snap["key_cols"]
-        if not keys:
+        cols = snap.get("bucket_cols", snap["key_cols"])
+        if not cols:
             return F.lit(0)
-        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(snap["n_buckets"])).cast("int")
+        return F.pmod(F.xxhash64(*[F.col(k) for k in cols]), F.lit(snap["n_buckets"])).cast("int")
+
+    def buckets_for(self, df: DataFrame) -> list[int]:
+        """Distinct bucket ids of df's rows (df must carry the bucket
+        columns) — the manifest-pruning handle for :meth:`read`."""
+        return [r["_b"] for r in df.select(self.bucket_expr(df).alias("_b")).distinct().collect()]
 
     # ---------------------------------------------------------------- writes
 

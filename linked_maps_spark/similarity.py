@@ -89,15 +89,27 @@ def ann_lsh_topk(
     n_queries: int = 5,
     k: int = 5,
     n_planes: int = 8,
+    n_bands: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane signature bucketing.
+    """Approximate top-k: random-hyperplane LSH with band-OR candidates.
 
     Hyperplane p's component for dimension d is
     ``(h32(f"{p}:{d}") / 2^31) - 1 ∈ [-1, 1)`` — pure function of (p, d), so
     every executor materializes identical planes without broadcasting RNG
-    state.  Candidates = vectors sharing the query's full sign signature;
-    exact cosine re-ranks within the bucket."""
+    state, and the whole pipeline is DuckDB-expressible (see
+    :func:`ann_lsh_topk_sql`).
+
+    Round-1 required an exact match on the FULL ``n_planes``-bit signature
+    (one bucket, no multi-probe), which collapsed recall (12 of the 25
+    brute-force rows at sf0.01).  Now the signature splits into ``n_bands``
+    bands and a vector is a candidate if it shares ANY band with the query —
+    the classic OR-construction: P(candidate) = 1-(1-s^r)^b for sign-agree
+    rate s, r = planes/band.  Exact cosine re-ranks candidates.
+
+    Scale plan: base side explodes to N×bands rows joined on the band value
+    (equi-join, AQE-splittable); the query side is broadcast."""
+    rows = n_planes // n_bands
     planes = [
         F.array(
             *[
@@ -108,27 +120,41 @@ def ann_lsh_topk(
         for p in range(n_planes)
     ]
     base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
-    sig = F.concat_ws(
-        "",
+    bits = [
+        F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    band_vals = F.array(
         *[
-            F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ],
+            F.concat_ws("", F.lit(f"{b}_"), *bits[b * rows : (b + 1) * rows])
+            for b in range(n_bands)
+        ]
     )
-    bucketed = base.withColumn("bucket", sig).select("vec_id", "_v", "_norm", "bucket")
-    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+    banded = base.select("vec_id", F.explode(band_vals).alias("band_val"))
+    qb = banded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band_val"
+    )
+    cand = (
+        banded.join(
+            F.broadcast(qb),
+            (banded.band_val == qb.band_val) & (banded.vec_id != qb.query_id),
+        )
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    vecs = with_norm(embeddings).select("vec_id", "_v", "_norm")
+    qv = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qn"),
-        F.col("bucket").alias("qbucket"),
     )
-    cand = bucketed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+    scored = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -137,3 +163,61 @@ def ann_lsh_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_lsh_topk_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`ann_lsh_topk` — the hyperplanes are md5-hash
+    functions of (plane, dim), so the whole ANN path is SQL-expressible."""
+    rows = n_planes // n_bands
+
+    def plane(p: int) -> str:
+        return (
+            f"list_transform(range(0, {dim}), d -> "
+            f"CAST(('0x' || substr(md5('{p}:' || d), 1, 8)) AS UBIGINT)::BIGINT"
+            f" / 2147483648.0 - 1.0)"
+        )
+
+    bits = ", ".join(
+        f"CASE WHEN list_dot_product(v, {plane(p)}) >= 0 THEN '1' ELSE '0' END AS bit_{p}"
+        for p in range(n_planes)
+    )
+    sig = " || ".join(f"bit_{p}" for p in range(n_planes))
+    band_or = " OR ".join(
+        f"substr(b.sig, {b * rows + 1}, {rows}) = substr(q.qsig, {b * rows + 1}, {rows})"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    bitted AS (SELECT vec_id, v, nrm, {bits} FROM base),
+    sig AS (SELECT vec_id, v, nrm, {sig} AS sig FROM bitted),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig AS qsig
+          FROM sig WHERE vec_id < {n_queries}),
+    cand AS (
+        SELECT DISTINCT q.query_id, b.vec_id
+        FROM sig b JOIN q ON b.vec_id <> q.query_id AND ({band_or})
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(b.v, q.qv) / (b.nrm * q.qn), 6) AS cosine
+        FROM cand c JOIN sig b ON b.vec_id = c.vec_id
+                    JOIN q ON q.query_id = c.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

@@ -107,6 +107,47 @@ def test_kill_and_resume_replay(spark, tmp_path, wal_pdf, full):
     assert table_digest(resumed.relations.read()) == table_digest(eng.relations.read())
 
 
+@pytest.mark.parametrize("crash_point", ["relations_merge", "segments_merge"])
+def test_crash_mid_epoch_replay(spark, tmp_path, wal_pdf, full, crash_point):
+    """Exactly-once across MID-epoch crash windows (the round-1 suite only
+    killed at epoch boundaries): a crash after the relations/metrics merges
+    (before segments) or after the segments merge (before the commit-log
+    append) must replay to the digest of an uninterrupted run — the latter
+    window is the one where a naive re-fold would intersect an edition with
+    its own descendants."""
+    eng, _ = full
+    part = _engine(spark, tmp_path, f"crash_{crash_point}")
+    part._crash_after = crash_point
+    with pytest.raises(RuntimeError, match="injected crash"):
+        part.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+    # watermark did NOT advance past the crashed epoch
+    assert (part.watermark() or "") < max(wal_pdf["commit"])
+    part._crash_after = None
+    resumed = CdcEngine(spark, part.warehouse, geom_type=G.LINE, n_buckets=4)
+    resumed.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+    assert _seg_digest(resumed) == _seg_digest(eng)
+    assert table_digest(resumed.relations.read()) == table_digest(eng.relations.read())
+    # commit log ends up contiguous with no duplicate epochs
+    epochs = [r["epoch"] for r in resumed.commit_log.read().orderBy("epoch").collect()]
+    assert epochs == sorted(set(epochs))
+
+
+def test_epoch_leaf_read_is_bucket_pruned(spark, tmp_path, wal_pdf, full):
+    """Epoch cost must not scale with untouched-table size: leaf state for a
+    1-key batch reads only the buckets that key hashes into, and matches the
+    unpruned full-scan semi-join."""
+    eng, _ = full
+    one_key = eng.current_segments().select("repo", "path").distinct().limit(1)
+    leaves, buckets = eng._pruned_leaves(one_key)
+    n_buckets = eng.segments.snapshot()["n_buckets"]
+    assert 0 < len(buckets) < n_buckets
+    # manifest files outside the touched buckets are not opened
+    all_files = eng.segments.snapshot()["files"]
+    assert {f["bucket"] for f in all_files} - set(buckets), "fixture too small"
+    full_scan = eng.current_leaves().join(one_key, ["repo", "path"], "left_semi")
+    assert table_digest(leaves, SEG_COLS) == table_digest(full_scan, SEG_COLS)
+
+
 def test_epoch_size_and_dup_reorder_invariance(spark, tmp_path, wal_pdf, full):
     """(a) one big epoch == three small epochs; (b) dup_log fixture
     (FIXTURES.md §6): duplicated rows in shuffled order → identical state."""

@@ -82,6 +82,21 @@ def test_ann_lsh_subset_of_exact(vecs):
     assert approx <= exact  # bucket candidates re-ranked exactly
 
 
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Band-OR candidates must recover ≥80% of the brute-force top-k on the
+    real embeddings table (round-1's single-bucket probe managed 48%)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, n_queries=5, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(emb, n_queries=5, k=5).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
 def test_token_stats_and_langid(docs):
     stats = {r["doc_id"]: r for r in textops.token_stats(docs).collect()}
     assert stats[1]["n_tokens"] == 11
