@@ -79,7 +79,19 @@ def main() -> None:
     print(f"# cdc_ingest: {ingest_sec:.1f}s, {n_events} events, {eps} events/s",
           file=sys.stderr)
 
-    # ---- headline analytical queries
+    # ---- headline analytical queries, in a FRESH JVM: the 1M+-row ingest
+    # leaves GC/page-cache pressure that was measured distorting small-query
+    # timings by >5x (round-1 customers_single_priority: 52s dirty vs ~5s
+    # clean).  The query session also re-enables AQE partition coalescing —
+    # it's only disabled globally for the python-heavy fold stage's benefit.
+    spark.stop()
+    spark = get_spark(
+        "linked-maps-bench-queries",
+        cores=cpus,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # JVM warmup so query 1 doesn't pay startup
     qs = entry_mod.queries()
     for name in HEADLINE:
         t0 = time.monotonic()

@@ -104,6 +104,73 @@ class FoldResult:
     n_nodes_created: int
 
 
+def leaves_from_rows(leaves_in: list[dict], geom_type: str = G.LINE) -> "list[_Node]":
+    """Rehydrate leaf ``_Node``s from ``segments`` table rows (seq order)."""
+    _base = {c for c, _ in SEGMENT_BASE_COLUMNS} | {"is_leaf", "retired"}
+    return [
+        _Node(
+            seq=int(r["seq"]),
+            gid=r["gid"],
+            name=r["name"],
+            ids=G.parse_wkt(r["wkt"], geom_type),
+            # editions may arrive as list / numpy array / None via Arrow
+            editions=tuple(r["editions"]) if r["editions"] is not None else (),
+            commit_created=r.get("commit_created", ""),
+            extras={k: v for k, v in r.items() if k not in _base},
+            dirty=False,
+        )
+        for r in sorted(leaves_in, key=lambda r: int(r["seq"]))
+    ]
+
+
+def node_to_row(repo: str, path: str, node: "_Node", geom_type: str = G.LINE) -> dict:
+    """Serialize a node to a ``segments`` table row (shared by the
+    sequential fold and the salted sub-folds so emission stays identical)."""
+    wkt = G.to_wkt(node.ids, geom_type)
+    row = {
+        "repo": repo,
+        "path": path,
+        "gid": node.gid,
+        "name": node.name,
+        "seq": node.seq,
+        "commit_created": node.commit_created,
+        "wkt": wkt,
+        "content_sha256": G.sha256_hex(wkt),
+        "editions": list(node.editions),
+        "is_leaf": node.is_leaf,
+        "retired": node.retired,
+    }
+    row.update(node.extras)
+    return row
+
+
+def dedup_events(events: list[dict]) -> list[dict]:
+    """Deterministic last-writer-wins dedup within a batch: one event per
+    commit, largest content wins (SURVEY.md §2.11 window-dedup semantics,
+    done fold-side to save a separate window shuffle).  Shared by the
+    sequential fold and every salted sub-fold so replicas of the same event
+    stream collapse identically."""
+
+    def _ev_rank(e: dict) -> tuple:
+        return (
+            e.get("content") or "",
+            tuple(
+                sorted(
+                    (k, str(v))
+                    for k, v in e.items()
+                    if k not in ("repo", "path", "commit")
+                )
+            ),
+        )
+
+    by_commit: dict[str, dict] = {}
+    for ev in events:
+        cur = by_commit.get(ev["commit"])
+        if cur is None or _ev_rank(ev) > _ev_rank(cur):
+            by_commit[ev["commit"]] = ev
+    return sorted(by_commit.values(), key=lambda e: e["commit"])
+
+
 def fold_key(
     repo: str,
     path: str,
@@ -119,21 +186,7 @@ def fold_key(
     key (``gid, name, seq, wkt, editions``), i.e. resume state lives in the
     lake table itself, not in Spark state stores (SURVEY.md §7.3).
     """
-    _base = {c for c, _ in SEGMENT_BASE_COLUMNS} | {"is_leaf", "retired"}
-    leaves: list[_Node] = [
-        _Node(
-            seq=int(r["seq"]),
-            gid=r["gid"],
-            name=r["name"],
-            ids=G.parse_wkt(r["wkt"], geom_type),
-            # editions may arrive as list / numpy array / None via Arrow
-            editions=tuple(r["editions"]) if r["editions"] is not None else (),
-            commit_created=r.get("commit_created", ""),
-            extras={k: v for k, v in r.items() if k not in _base},
-            dirty=False,
-        )
-        for r in sorted(leaves_in, key=lambda r: int(r["seq"]))
-    ]
+    leaves: list[_Node] = leaves_from_rows(leaves_in, geom_type)
     next_seq = max((l.seq for l in leaves), default=-1) + 1
     created: list[_Node] = []
     touched: dict[str, _Node] = {}
@@ -166,28 +219,7 @@ def fold_key(
             parent.dirty = True
             touched[parent.gid] = parent
 
-    # deterministic last-writer-wins dedup within the batch: one event per
-    # commit, largest content wins (SURVEY.md §2.11 window-dedup semantics,
-    # done here to save the separate window shuffle)
-    def _ev_rank(e: dict) -> tuple:
-        return (
-            e.get("content") or "",
-            tuple(
-                sorted(
-                    (k, str(v))
-                    for k, v in e.items()
-                    if k not in ("repo", "path", "commit")
-                )
-            ),
-        )
-
-    by_commit: dict[str, dict] = {}
-    for ev in events:
-        cur = by_commit.get(ev["commit"])
-        if cur is None or _ev_rank(ev) > _ev_rank(cur):
-            by_commit[ev["commit"]] = ev
-
-    for ev in sorted(by_commit.values(), key=lambda e: e["commit"]):
+    for ev in dedup_events(events):
         commit = ev["commit"]
         content = ev.get("content") or ""
         extras = {
@@ -239,24 +271,10 @@ def fold_key(
             key=lambda n: n.seq,
         )
 
-    seg_rows = []
-    for node in sorted(touched.values(), key=lambda n: n.seq):
-        wkt = G.to_wkt(node.ids, geom_type)
-        row = {
-            "repo": repo,
-            "path": path,
-            "gid": node.gid,
-            "name": node.name,
-            "seq": node.seq,
-            "commit_created": node.commit_created,
-            "wkt": wkt,
-            "content_sha256": G.sha256_hex(wkt),
-            "editions": list(node.editions),
-            "is_leaf": node.is_leaf,
-            "retired": node.retired,
-        }
-        row.update(node.extras)
-        seg_rows.append(row)
+    seg_rows = [
+        node_to_row(repo, path, node, geom_type)
+        for node in sorted(touched.values(), key=lambda n: n.seq)
+    ]
 
     return FoldResult(
         segments=seg_rows,

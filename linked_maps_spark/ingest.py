@@ -50,7 +50,7 @@ COMMIT_LOG_SCHEMA = (
 )
 METRICS_SCHEMA = (
     "epoch long, partition_id int, n_keys long, n_segments long, "
-    "n_relations long, n_events long"
+    "n_relations long, n_events long, wall_ms double"
 )
 
 
@@ -58,7 +58,19 @@ def _fold_output_schema(extras: list[tuple[str, str]]) -> str:
     base = ", ".join(f"{c} {t}" for c, t in SEGMENT_BASE_COLUMNS)
     rel = "parent_gid string, child_gid string"
     extra = "".join(f", {c} {t}" for c, t in extras)
-    return f"kind string, _pid int, {base}, {rel}{extra}"
+    return f"kind string, _pid int, {base}, {rel}{extra}, _wall_ms double"
+
+
+def _normalize_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """NaN→None once for a whole Arrow partition frame (arrays in
+    ``editions`` can't go through a frame-wide ``where()``)."""
+    for c in pdf.columns:
+        if c != "editions":
+            s = pdf[c]
+            if s.dtype == object or s.isna().any():
+                s = s.astype(object)
+                pdf[c] = s.where(s.notna(), None)
+    return pdf
 
 
 _STATE_TYPES = [
@@ -86,11 +98,12 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
     16k keys/epoch."""
     seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS]
     extra_cols = [c for c, _ in extras]
-    out_cols = ["kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols]
+    out_cols = ["kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols, "_wall_ms"]
 
     def fn(batches) -> "pd.DataFrame":
         from pyspark import TaskContext
 
+        t0 = time.monotonic()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else -1
         chunks = list(batches)
@@ -98,14 +111,7 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         del chunks
-        # NaN→None once for the whole partition (arrays in `editions`
-        # can't go through a frame-wide where())
-        for c in pdf.columns:
-            if c != "editions":
-                s = pdf[c]
-                if s.dtype == object or s.isna().any():
-                    s = s.astype(object)
-                    pdf[c] = s.where(s.notna(), None)
+        pdf = _normalize_pdf(pdf)
 
         rows: list[dict] = []
         for (repo, path), grp in pdf.groupby(["repo", "path"], sort=False):
@@ -121,22 +127,134 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
                 st[["repo", "path", *_STATE_COLS, *extra_cols]].to_dict("records"),
                 geom_type=geom_type,
             )
-            for seg in res.segments:
-                row = {c: seg.get(c) for c in seg_cols + extra_cols}
-                row.update(kind="segment", _pid=pid, parent_gid=None, child_gid=None)
-                rows.append(row)
-            for rel in res.relations:
-                row = dict.fromkeys(seg_cols + extra_cols)
-                row.update(
-                    kind="relation",
-                    _pid=pid,
-                    repo=rel["repo"],
-                    path=rel["path"],
-                    parent_gid=rel["parent_gid"],
-                    child_gid=rel["child_gid"],
-                )
-                rows.append(row)
+            rows.extend(_format_rows(res.segments, res.relations, pid, seg_cols, extra_cols))
+        # per-task fold wall time (kind='timing'), for skew accounting
+        row = dict.fromkeys(seg_cols + extra_cols)
+        row.update(kind="timing", _pid=pid, parent_gid=None, child_gid=None,
+                   _wall_ms=(time.monotonic() - t0) * 1000.0)
+        rows.append(row)
         yield pd.DataFrame(rows, columns=out_cols)
+
+    return fn
+
+
+def _format_rows(segments, relations, pid, seg_cols, extra_cols) -> list[dict]:
+    """Fold output → the unified changes-frame rows (kind segment/relation)."""
+    rows: list[dict] = []
+    for seg in segments:
+        row = {c: seg.get(c) for c in seg_cols + extra_cols}
+        row.update(kind="segment", _pid=pid, parent_gid=None, child_gid=None, _wall_ms=None)
+        rows.append(row)
+    for rel in relations:
+        row = dict.fromkeys(seg_cols + extra_cols)
+        row.update(
+            kind="relation",
+            _pid=pid,
+            repo=rel["repo"],
+            path=rel["path"],
+            parent_gid=rel["parent_gid"],
+            child_gid=rel["child_gid"],
+            _wall_ms=None,
+        )
+        rows.append(row)
+    return rows
+
+
+def _make_slice_fn(geom_type: str, extras: list[tuple[str, str]]):
+    """Phase-1 salted sub-fold: one ``(repo, path, salt)`` group = one leaf
+    slice folded over the (replicated) epoch events; output is a single
+    pickled payload row carrying the slice's segments/relations, its
+    per-round partial intersection unions, renumber metadata, and wall time."""
+    import pickle
+
+    extra_cols = [c for c, _ in extras]
+
+    def fn(key, pdf):
+        from .saltfold import fold_slice
+
+        t0 = time.monotonic()
+        repo, path, salt = str(key[0]), str(key[1]), int(key[2])
+        pdf = _normalize_pdf(pdf)
+        is_event = pdf["_is_event"].astype(bool)
+        ev = pdf[is_event]
+        st = pdf[~is_event]
+        res = fold_slice(
+            repo,
+            path,
+            ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
+            st[["repo", "path", *_STATE_COLS, *extra_cols]].to_dict("records"),
+            geom_type=geom_type,
+        )
+        payload = pickle.dumps(
+            {
+                "salt": salt,
+                "segments": res.segments,
+                "relations": res.relations,
+                "partials": res.partials,
+                "metas": res.metas,
+                "initial_seqs": res.initial_seqs,
+                "wall_ms": (time.monotonic() - t0) * 1000.0,
+            }
+        )
+        return pd.DataFrame(
+            [{"repo": repo, "path": path, "_salt": salt, "payload": payload}]
+        )
+
+    return fn
+
+
+def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]]):
+    """Phase-2 per-key coordinator: folds the edition/mu lineage with the
+    slices' partials mixed in, replays the sequential seq numbering, and
+    emits the combined changes rows."""
+    import pickle
+
+    extra_cols = [c for c, _ in extras]
+    seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS]
+    out_cols = ["kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols, "_wall_ms"]
+
+    def fn(key, pdf):
+        from pyspark import TaskContext
+
+        from .saltfold import SliceResult, combine, fold_coord, merge_partials
+
+        t0 = time.monotonic()
+        ctx = TaskContext.get()
+        # offset keeps metrics (epoch, partition_id) keys from colliding with
+        # the cold fold stage's task ids
+        pid = 20000 + (ctx.partitionId() if ctx else 0)
+        repo, path = str(key[0]), str(key[1])
+        pdf = _normalize_pdf(pdf)
+        is_event = pdf["_is_event"].astype(bool)
+        ev = pdf[is_event]
+        payloads = [
+            pickle.loads(bytes(b)) for b in pdf[~is_event]["payload"] if b is not None
+        ]
+        ext = merge_partials([p["partials"] for p in payloads])
+        coord = fold_coord(
+            repo,
+            path,
+            ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
+            ext,
+            geom_type=geom_type,
+        )
+        slice_objs = [
+            SliceResult(
+                p["segments"], p["relations"], p["partials"], p["metas"], p["initial_seqs"]
+            )
+            for p in payloads
+        ]
+        segments, relations = combine(slice_objs, coord)
+        rows = _format_rows(segments, relations, pid, seg_cols, extra_cols)
+        # timing: the max slice wall (phase 1) and the coordinator wall —
+        # what the skew accounting and straggler checks read
+        wall = max(
+            [p["wall_ms"] for p in payloads] + [(time.monotonic() - t0) * 1000.0]
+        )
+        trow = dict.fromkeys(seg_cols + extra_cols)
+        trow.update(kind="timing", _pid=pid, parent_gid=None, child_gid=None, _wall_ms=wall)
+        rows.append(trow)
+        return pd.DataFrame(rows, columns=out_cols)
 
     return fn
 
@@ -177,13 +295,21 @@ class CdcEngine:
         warehouse: str,
         geom_type: str = G.LINE,
         n_buckets: int = 16,
+        n_salts: int = 8,
+        salt_leaf_threshold: int = 256,
     ):
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         self.geom_type = geom_type
         self.n_buckets = n_buckets
+        # hot-key salted fold (SURVEY §7.3): keys whose current leaf count
+        # reaches the threshold are folded as n_salts leaf slices + a
+        # coordinator instead of one sequential task.  Threshold 0 or
+        # n_salts <= 1 disables the path.
+        self.n_salts = n_salts
+        self.salt_leaf_threshold = salt_leaf_threshold
         # test hook: raise after the named step to exercise crash-replay
-        # windows ("relations_merge", "segments_merge", "metrics")
+        # windows ("relations_merge", "segments_merge")
         self._crash_after: str | None = None
 
     # ---------------------------------------------------------------- tables
@@ -317,10 +443,16 @@ class CdcEngine:
         # (within-batch duplicate events are collapsed deterministically
         # inside the fold — no separate window shuffle needed)
 
-        cnt = batch.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("repo", "path").alias("k")
+        # one driver job: event/key counts + the set of table buckets this
+        # batch touches (bucket count is bounded by n_buckets, so the collect
+        # stays driver-light at any scale)
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("repo", "path").alias("k"),
+            F.collect_set(self.segments.bucket_expr(batch)).alias("bks"),
         ).collect()[0]
-        n_events, n_keys = cnt["n"], cnt["k"]
+        n_events, n_keys = stats["n"], stats["k"]
+        buckets = sorted(stats["bks"])
 
         # Exactly-once replay guard: the segments merge is the LAST state
         # write of an epoch (relations and metrics precede it and are
@@ -336,7 +468,13 @@ class CdcEngine:
         # resume state: current leaves of only the keys present in this
         # batch, read from only the buckets those keys hash into
         batch_keys = batch.select("repo", "path").distinct()
-        leaves, _ = self._pruned_leaves(batch_keys)
+        keep = set(buckets)
+        state_has_files = any(f["bucket"] in keep for f in self.segments.snapshot()["files"])
+        leaves = (
+            self.segments.read(buckets=buckets)
+            .filter(F.col("is_leaf") & ~F.col("retired"))
+            .join(batch_keys, on=["repo", "path"], how="left_semi")
+        )
         # schema evolution: extra columns from either side, deduped by NAME
         # (an evolved column present in both with different types must not
         # yield two same-named output columns); the lake table's type wins
@@ -373,17 +511,42 @@ class CdcEngine:
             F.lit(False).alias("_is_event"),
         )
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        changes = (
-            ev_side.unionByName(st_side)
-            # hash-partition by key: every (repo,path)'s events+state land in
-            # one partition; the mapper groups in pandas (one Arrow
-            # round-trip per partition, not per key)
-            .repartition(n_parts, "repo", "path")
-            .mapInPandas(
-                _make_fold_fn(self.geom_type, extras), _fold_output_schema(extras)
+        shaped = ev_side.unionByName(st_side)
+        fold_fn = _make_fold_fn(self.geom_type, extras)
+        out_schema = _fold_output_schema(extras)
+
+        # Zipf-head detection: keys whose accumulated leaf lattice crosses
+        # the threshold would serialize an entire stage behind one task;
+        # route them through the salted fold (leaf slices + coordinator,
+        # saltfold.py), everything else through the plain partition fold.
+        hot: list[tuple[str, str]] = []
+        if state_has_files and self.n_salts > 1 and self.salt_leaf_threshold > 0:
+            hot = [
+                (r["repo"], r["path"])
+                for r in leaves.groupBy("repo", "path")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= self.salt_leaf_threshold)
+                .collect()
+            ]
+        if not hot:
+            folded = (
+                shaped
+                # hash-partition by key: every (repo,path)'s events+state land
+                # in one partition; the mapper groups in pandas (one Arrow
+                # round-trip per partition, not per key)
+                .repartition(n_parts, "repo", "path")
+                .mapInPandas(fold_fn, out_schema)
             )
-            .cache()
-        )
+        else:
+            hot_df = self.spark.createDataFrame(hot, "repo string, path string")
+            cold = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_anti")
+            hotr = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_semi")
+            cold_changes = cold.repartition(n_parts, "repo", "path").mapInPandas(
+                fold_fn, out_schema
+            )
+            hot_changes = self._salted_fold(hotr, extras, out_schema)
+            folded = cold_changes.unionByName(hot_changes)
+        changes = folded.cache()
 
         # materialize the fold into the cache ONCE, before the two merge
         # threads start — otherwise they race to compute it concurrently
@@ -394,13 +557,15 @@ class CdcEngine:
         rel_changes = changes.filter(F.col("kind") == "relation").select(
             *[c for c, _ in RELATION_COLUMNS]
         )
-        # per-partition lineage metrics (north_rule: lineage + metrics table)
+        # per-partition lineage metrics (north_rule: lineage + metrics table);
+        # timing rows fold in as the task's wall_ms
         mrows = (
             changes.groupBy("_pid")
             .agg(
                 F.countDistinct("repo", "path").alias("n_keys"),
                 F.sum(F.when(F.col("kind") == "segment", 1).otherwise(0)).alias("n_segments"),
                 F.sum(F.when(F.col("kind") == "relation", 1).otherwise(0)).alias("n_relations"),
+                F.max("_wall_ms").alias("wall_ms"),
             )
             .select(
                 F.lit(epoch).alias("epoch"),
@@ -409,6 +574,7 @@ class CdcEngine:
                 "n_segments",
                 "n_relations",
                 F.lit(None).cast("long").alias("n_events"),
+                "wall_ms",
             )
         )
 
@@ -460,6 +626,46 @@ class CdcEngine:
                 prev = ts
             print(f"[epoch {epoch}] " + " ".join(spans), file=sys.stderr)
         return es
+
+    def _salted_fold(
+        self, shaped: DataFrame, extras: list[tuple[str, str]], out_schema: str
+    ) -> DataFrame:
+        """Salted fold for hot keys: events replicate to every salt, leaves
+        slice by ``seq % n_salts``, phase-1 slice folds run as
+        ``(repo, path, salt)`` groups, and a per-key coordinator group folds
+        the edition/mu lineage, renumbers, and emits the combined changes."""
+        n_salts = self.n_salts
+        ev = shaped.filter(F.col("_is_event"))
+        st = shaped.filter(~F.col("_is_event"))
+        ev_rep = ev.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
+        st_s = st.withColumn("_salt", F.pmod(F.col("seq"), F.lit(n_salts)).cast("int"))
+        payloads = (
+            ev_rep.unionByName(st_s)
+            .groupBy("repo", "path", "_salt")
+            .applyInPandas(
+                _make_slice_fn(self.geom_type, extras),
+                "repo string, path string, _salt int, payload binary",
+            )
+        )
+        pay_side = payloads.select(
+            "repo",
+            "path",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in ev.schema.fields
+                if f.name not in ("repo", "path", "_is_event")
+            ],
+            F.lit(False).alias("_is_event"),
+            "payload",
+        )
+        ev_side = ev.withColumn("payload", F.lit(None).cast("binary"))
+        return (
+            ev_side.unionByName(pay_side)
+            .groupBy("repo", "path")
+            .applyInPandas(_make_coord_fn(self.geom_type, extras), out_schema)
+        )
 
     def _finish_epoch(
         self, epoch: int, start_commit: str, end_commit: str,
