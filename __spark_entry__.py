@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_triples_by_predicate"] = entry_cdc.cdc_triples_by_predicate
     q["cdc_editions_fixpoint"] = entry_cdc.cdc_editions_fixpoint
     q["cdc_metrics"] = entry_cdc.cdc_metrics
+    q["cdc_snap_offgrid"] = entry_cdc.cdc_snap_offgrid
     return q
 
 

@@ -129,6 +129,46 @@ def cdc_metrics(spark, sf_dir) -> DataFrame:
     return eng.metrics.read().orderBy("epoch", "partition_id")
 
 
+def cdc_snap_offgrid(spark, sf_dir) -> DataFrame:
+    """Snap-rounding front-end end-to-end (rows-only driver check): an
+    arbitrary-coordinate (NAD83-style) WAL is snapped to the engine grid,
+    ingested, and classified — the reference-shaped-data path the strict
+    grid parser alone cannot serve."""
+    import numpy as np
+
+    from .snap import snap_change_log
+
+    key = "snap_" + os.path.basename(os.path.normpath(sf_dir))
+    if key not in _ENGINES:
+        rng = np.random.default_rng(SEED)
+        rows = []
+        for k in range(6):
+            x0 = -122.5 + float(rng.uniform(0, 0.05))
+            y0 = 37.5 + float(rng.uniform(0, 0.05))
+            pts = [(x0 + i * 0.004 + float(rng.uniform(-0.001, 0.001)),
+                    y0 + i * 0.003 + float(rng.uniform(-0.001, 0.001)))
+                   for i in range(6)]
+            for e in range(3):
+                shift = e * 0.0063
+                content = "LINESTRING (" + ", ".join(
+                    f"{a + shift:.6f} {b:.6f}" for a, b in pts
+                ) + ")"
+                rows.append(("nad83", f"railroads/{k:04d}", commit_label(e), "wkt", content))
+        wal = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        wh = os.path.join(tempfile.gettempdir(), f"lms_warehouse_{key}_{SEED}")
+        if os.path.exists(wh):
+            shutil.rmtree(wh)
+        eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=4)
+        eng.create_tables(overwrite=True)
+        eng.ingest(snap_change_log(wal), commits_per_epoch=2)
+        _ENGINES[key] = eng
+    eng = _ENGINES[key]
+    y1, y2 = commit_label(0)[:4], commit_label(2)[:4]
+    return classify_changes(eng.current_segments(), eng.relations.read(), y1, y2)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """entry() smoke: full pipeline (WAL → ingest → classify) at tiny scale.
 

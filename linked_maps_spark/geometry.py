@@ -83,6 +83,26 @@ class GeometryError(ValueError):
 _RING_RE = re.compile(r"\(([^()]+)\)")
 
 
+def split_groups(s: str) -> list[str]:
+    """Top-level parenthesized groups of ``s`` (paren-depth splitter) —
+    shared with the snap-rounding front-end for structure-aware parsing."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                start = i + 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    if depth != 0:
+        raise GeometryError("unbalanced parentheses in WKT")
+    return groups
+
+
 def _snap_arr(vals: np.ndarray) -> np.ndarray:
     iv = np.rint(vals * _SCALE).astype(np.int64)
     if not np.all(np.abs(vals - iv * PITCH) <= 1e-9):
@@ -149,6 +169,17 @@ def parse_wkt(wkt: str, geom_type: str = LINE) -> np.ndarray:
         if head not in ("MULTIPOLYGON", "POLYGON"):
             raise GeometryError(f"expected {geom_type}, got {head}")
         body = wkt[len(wkt.split("(", 1)[0]):]
+        # hole guard: a polygon body with >1 ring is an interior hole the
+        # grid algebra would silently treat as solid area — reject it here
+        # (the snap-rounding front-end handles holes by even-odd fill)
+        outer = split_groups(body)
+        polys = split_groups(outer[0]) if head == "MULTIPOLYGON" else outer
+        for poly in polys:
+            if len(split_groups(poly)) > 1:
+                raise GeometryError(
+                    "polygon holes are not supported by the strict grid "
+                    "parser; pre-process with snap.snap_wkt"
+                )
         cells: list[np.ndarray] = []
         for arr in _parse_rings(body):
             if len(arr) >= 2 and (arr[0] == arr[-1]).all():

@@ -308,6 +308,11 @@ class CdcEngine:
         # n_salts <= 1 disables the path.
         self.n_salts = n_salts
         self.salt_leaf_threshold = salt_leaf_threshold
+        # adaptive bucket sizing: once mean bucket size crosses this, the
+        # post-ingest maintenance pass doubles the table's bucket count so
+        # COW MERGE write amplification stays ~delta-sized instead of
+        # ~table/n_buckets (256 MB ≈ 2 parquet row groups per bucket)
+        self.target_bucket_bytes = 256 * 1024 * 1024
         # test hook: raise after the named step to exercise crash-replay
         # windows ("relations_merge", "segments_merge")
         self._crash_after: str | None = None
@@ -421,7 +426,26 @@ class CdcEngine:
                 epoch0 + i // commits_per_epoch, change_log, chunk[0], chunk[-1]
             )
             stats.epochs.append(es)
+        self.maybe_rebucket()
         return stats
+
+    def maybe_rebucket(self, target_bucket_bytes: int | None = None) -> None:
+        """Post-ingest maintenance: double a table's bucket count while its
+        mean bucket size exceeds the target.  Layout-only (digests
+        unchanged); amortized once per ingest call, not per epoch."""
+        target = target_bucket_bytes or self.target_bucket_bytes
+        for tbl in (self.segments, self.relations):
+            stats = tbl.bucket_stats()
+            if not stats:
+                continue
+            n = tbl.snapshot()["n_buckets"]
+            mean = sum(stats.values()) / n
+            new_n = n
+            while mean > target and new_n < (1 << 20):
+                new_n *= 2
+                mean /= 2
+            if new_n != n:
+                tbl.rebucket(new_n, summary={"reason": "mean bucket over target"})
 
     def _ingest_epoch(
         self, epoch: int, change_log: DataFrame, start_commit: str, end_commit: str
@@ -578,39 +602,49 @@ class CdcEngine:
             )
         )
 
-        # Write order is the exactly-once contract (see module docstring):
+        # COMMIT order is the exactly-once contract (see module docstring):
         # relations + metrics first (both idempotent on replay — relations
         # upserts the same edges, metrics upserts on (epoch, partition_id)),
-        # the SEGMENTS merge last, because the fold reads its resume state
-        # from segments alone.  Any crash before the segments merge replays
+        # the SEGMENTS commit last, because the fold reads its resume state
+        # from segments alone.  Any crash before the segments commit replays
         # the fold over unchanged input state; a crash after it is caught by
-        # the epoch guard above.  Fold sources are key-unique by construction
-        # (assume_unique skips a dedup shuffle).
+        # the epoch guard above.  The expensive data WRITES of all three
+        # merges still run concurrently (defer_commit): only the atomic
+        # snapshot links are sequenced.  Fold sources are key-unique by
+        # construction (assume_unique skips a dedup shuffle).
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_rel = pool.submit(
                 self.relations.merge_upsert,
                 rel_changes,
                 summary={"epoch": epoch, "end_commit": end_commit},
                 assume_unique=True,
+                defer_commit=True,
             )
-            f2 = pool.submit(
+            f_met = pool.submit(
                 self.metrics.merge_upsert,
                 mrows,
                 summary={"epoch": epoch},
                 assume_unique=True,
+                defer_commit=True,
             )
-            f1.result()
-            f2.result()
+            f_seg = pool.submit(
+                self.segments.merge_upsert,
+                seg_changes,
+                summary={"epoch": epoch, "end_commit": end_commit},
+                assume_unique=True,
+                defer_commit=True,
+            )
+            commit_rel, commit_met, commit_seg = (
+                f_rel.result(), f_met.result(), f_seg.result()
+            )
+        commit_rel()
+        commit_met()
         mark("relations+metrics")
         if self._crash_after == "relations_merge":
             raise RuntimeError("injected crash: after relations/metrics, before segments")
-        self.segments.merge_upsert(
-            seg_changes,
-            summary={"epoch": epoch, "end_commit": end_commit},
-            assume_unique=True,
-        )
+        commit_seg()
         mark("segments_merge")
         changes.unpersist()
         batch.unpersist()

@@ -45,17 +45,33 @@ def rel_jl(relations: DataFrame) -> DataFrame:
     return relations.select("parent_gid", "child_gid")
 
 
-def export_jl(segments: DataFrame, relations: DataFrame, out_prefix: str) -> None:
-    """main.py:158-160: <prefix>.geom.jl / .seg.jl / .rel.jl directories."""
+def osm_jl(osm_links: DataFrame) -> DataFrame:
+    """linked_maps_to_osm.py:239-253 export: {gid, osm_uris}."""
+    return osm_links.select("gid", "osm_uris")
+
+
+def export_jl(
+    segments: DataFrame,
+    relations: DataFrame,
+    out_prefix: str,
+    osm_links: DataFrame | None = None,
+) -> None:
+    """main.py:158-160: <prefix>.geom.jl / .seg.jl / .rel.jl directories,
+    plus .osm.jl when a link table is supplied (linked_maps_to_osm.py:248)."""
     geom_jl(segments).write.mode("overwrite").json(out_prefix + ".geom.jl")
     seg_jl(segments).write.mode("overwrite").json(out_prefix + ".seg.jl")
     rel_jl(relations).write.mode("overwrite").json(out_prefix + ".rel.jl")
+    if osm_links is not None:
+        osm_jl(osm_links).write.mode("overwrite").json(out_prefix + ".osm.jl")
 
 
-def read_jl(spark: SparkSession, out_prefix: str):
+def read_jl(spark: SparkSession, out_prefix: str, with_osm: bool = False):
     """S7 readers with explicit schemas (never infer at scale)."""
-    return (
+    out = (
         spark.read.schema(GEOM_JL_SCHEMA).json(out_prefix + ".geom.jl"),
         spark.read.schema(SEG_JL_SCHEMA).json(out_prefix + ".seg.jl"),
         spark.read.schema(REL_JL_SCHEMA).json(out_prefix + ".rel.jl"),
     )
+    if with_osm:
+        return (*out, spark.read.schema(OSM_JL_SCHEMA).json(out_prefix + ".osm.jl"))
+    return out

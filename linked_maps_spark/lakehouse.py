@@ -268,6 +268,7 @@ class LakeTable:
         order_col: str | None = None,
         summary: dict[str, Any] | None = None,
         assume_unique: bool = False,
+        defer_commit: bool = False,
     ) -> int:
         """MERGE INTO … ON key_cols WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *.
 
@@ -275,6 +276,14 @@ class LakeTable:
         keys are rewritten; untouched buckets' files carry over unchanged in
         the new manifest.  Idempotent: re-merging the same source is a no-op
         state-wise (same keys → same rows).
+
+        ``defer_commit=True`` splits the MERGE into its two phases and
+        returns a zero-argument commit callable instead of committing: the
+        expensive data write happens now, the atomic snapshot link later.
+        The ingest loop uses this to PREPARE all of an epoch's table merges
+        concurrently while still COMMITTING them in the exactly-once order
+        (relations, metrics, segments last).  Uncommitted prepared files are
+        overwritten by the replay's re-prepare of the same version.
         """
         snap = self.snapshot()
         keys = snap["key_cols"]
@@ -305,10 +314,58 @@ class LakeTable:
         new_files = self._write_data(merged, version)
         touched_set = set(touched)
         files = [f for f in snap["files"] if f["bucket"] not in touched_set] + new_files
-        self._commit_snapshot(version, schema, files, "merge", summary)
-        return version
+
+        def commit() -> int:
+            self._commit_snapshot(version, schema, files, "merge", summary)
+            return version
+
+        return commit if defer_commit else commit()
 
     # ---------------------------------------------------------- maintenance
+
+    def rebucket(self, n_buckets: int, summary: dict[str, Any] | None = None) -> int:
+        """Rewrite the table with a new bucket count (layout-only — row
+        content and digests are unchanged).
+
+        This is the scale lever for COW write amplification: with a fixed
+        bucket count, every MERGE rewrites ≥1/n_buckets of the table no
+        matter how small the delta, so bucket count must grow with the
+        table.  The engine doubles it whenever mean bucket size crosses a
+        target (see ``CdcEngine.maybe_rebucket``); a production deployment
+        would do the same from a table-maintenance job, exactly like
+        Iceberg's rewrite_data_files."""
+        snap = self.snapshot()
+        if n_buckets == snap["n_buckets"]:
+            return self.version()
+        df = self.read()
+        version = self.version() + 1
+        self._commit_snapshot(
+            version, self.schema(), snap["files"], "rebucket-meta",
+            {**(summary or {}), "n_buckets": n_buckets},
+            key_cols=snap["key_cols"], n_buckets=n_buckets,
+            bucket_cols=snap.get("bucket_cols", snap["key_cols"]),
+        )
+        # data rewrite under the new layout, committed as the next version;
+        # a crash in between leaves v(N+1) pointing at the old (still valid)
+        # files — the rewrite is redone on the next maintenance pass
+        new_files = self._write_data(self._align_to(df, self.schema()), version + 1)
+        self._commit_snapshot(
+            version + 1, self.schema(), new_files, "rebucket",
+            {**(summary or {}), "n_buckets": n_buckets},
+        )
+        return version + 1
+
+    def bucket_stats(self) -> dict[int, int]:
+        """bucket → total file bytes of the current snapshot (manifest-only,
+        no Spark job)."""
+        sizes: dict[int, int] = {}
+        for f in self.snapshot()["files"]:
+            full = os.path.join(self.path, f["path"])
+            try:
+                sizes[f["bucket"]] = sizes.get(f["bucket"], 0) + os.path.getsize(full)
+            except OSError:
+                continue
+        return sizes
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Iceberg-style snapshot expiration: drop snapshot metadata older

@@ -165,3 +165,63 @@ def to_ntriples(triples: DataFrame):
 
 def write_ntriples(triples: DataFrame, path: str) -> None:
     to_ntriples(triples).write.mode("overwrite").text(path)
+
+
+# Turtle prefixing (generate_graph.py:121 serializes Turtle; the reference's
+# bundled golden file data/railroads/ca/linked_maps.railroads.ca.ttl uses
+# these prefixes)
+_TURTLE_PREFIXES = [
+    ("lmg:", LMG),
+    ("geo:", GEO),
+    ("dcterms:", DCTERMS),
+    ("rdf:", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+    ("xsd:", "http://www.w3.org/2001/XMLSchema#"),
+]
+
+
+def _curie(col):
+    """Compress a URI column to a CURIE where a prefix matches, else <uri>."""
+    expr = F.concat(F.lit("<"), col, F.lit(">"))
+    for short, long in reversed(_TURTLE_PREFIXES):
+        expr = F.when(
+            col.startswith(long),
+            F.concat(F.lit(short), F.substring(col, len(long) + 1, 4096)),
+        ).otherwise(expr)
+    return expr
+
+
+def to_turtle(triples: DataFrame) -> DataFrame:
+    """Turtle body lines with prefixed names (S9 parity with
+    generate_graph.py:121's Turtle serialization; one triple per line —
+    subject grouping is a cosmetic Turtle feature, not required syntax)."""
+    is_uri = F.col("o").startswith("http")
+    obj = (
+        F.when(
+            F.col("o_dt").isNotNull(),
+            F.concat(F.lit('"'), F.col("o"), F.lit('"^^'), _curie(F.col("o_dt"))),
+        )
+        .when(is_uri, _curie(F.col("o")))
+        .otherwise(F.concat(F.lit('"'), F.col("o"), F.lit('"')))
+    )
+    return triples.select(
+        F.concat(
+            _curie(F.col("s")), F.lit(" "), _curie(F.col("p")), F.lit(" "),
+            obj, F.lit(" ."),
+        ).alias("value")
+    )
+
+
+def write_turtle(triples: DataFrame, path: str) -> None:
+    """Single-file Turtle export: @prefix header then body.  The header must
+    precede every use, so this coalesces to one file — Turtle export is a
+    report-sized boundary artifact, not a data-plane sink (use
+    :func:`write_ntriples` for bulk graph export)."""
+    spark = triples.sparkSession
+    header = spark.createDataFrame(
+        [(f"@prefix {s} <{l}> .",) for s, l in _TURTLE_PREFIXES], "value string"
+    ).coalesce(1)
+    # coalesce AFTER the union keeps partition order (header, then body) and
+    # produces one part file
+    header.unionAll(to_turtle(triples).coalesce(1)).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)

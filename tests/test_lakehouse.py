@@ -123,3 +123,40 @@ def test_expire_snapshots(spark, tbl):
 
     with _pytest.raises(FileNotFoundError):
         tbl.snapshot(0)
+
+
+def test_rebucket_preserves_content_and_prunes(spark, tbl):
+    rows = [(f"k{i}", i) for i in range(40)]
+    tbl.append(_df(spark, rows))
+    d1 = table_digest(tbl.read(), ["k", "v"])
+    v = tbl.rebucket(16)
+    snap = tbl.snapshot()
+    assert snap["n_buckets"] == 16 and snap["operation"] == "rebucket"
+    assert tbl.version() == v
+    assert table_digest(tbl.read(), ["k", "v"]) == d1
+    # new layout actually spreads across more buckets, and merge touches fewer
+    assert len({f["bucket"] for f in snap["files"]}) > 4
+    tbl.merge_upsert(_df(spark, [("k1", 100)]))
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got["k1"] == 100 and len(got) == 40
+
+
+def test_maybe_rebucket_policy(spark, tmp_path):
+    from linked_maps_spark import geometry as G
+    from linked_maps_spark.changelog import synth_change_log, to_spark
+    from linked_maps_spark.ingest import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "rb"), geom_type=G.LINE, n_buckets=2)
+    eng.create_tables(overwrite=True)
+    eng.ingest(to_spark(spark, synth_change_log(n_keys=6, n_commits=3, seed=3)),
+               commits_per_epoch=3)
+    assert eng.segments.snapshot()["n_buckets"] == 2  # default target never hit
+    d1 = table_digest(eng.current_segments(), ["gid", "wkt", "seq"])
+    eng.maybe_rebucket(target_bucket_bytes=1024)  # force the policy
+    assert eng.segments.snapshot()["n_buckets"] > 2
+    assert table_digest(eng.current_segments(), ["gid", "wkt", "seq"]) == d1
+    # epoch pruning still works against the new layout
+    leaves, buckets = eng._pruned_leaves(
+        eng.current_segments().select("repo", "path").distinct().limit(1)
+    )
+    assert leaves.count() > 0 and buckets
