@@ -477,6 +477,7 @@ class CdcEngine:
         ).collect()[0]
         n_events, n_keys = stats["n"], stats["k"]
         buckets = sorted(stats["bks"])
+        mark("stats")
 
         # Exactly-once replay guard: the segments merge is the LAST state
         # write of an epoch (relations and metrics precede it and are
@@ -552,6 +553,7 @@ class CdcEngine:
                 .filter(F.col("n") >= self.salt_leaf_threshold)
                 .collect()
             ]
+        mark("hot_detect")
         if not hot:
             folded = (
                 shaped

@@ -165,6 +165,110 @@ def ann_lsh_topk(
     )
 
 
+def dedup_embedding_cosine(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family variant of
+    ANN): candidates from the band-OR hyperplane LSH self-join — never a
+    cross join — then exact cosine verification at ``threshold``.
+
+    Approximate-candidate + exact-verify semantics: a qualifying pair is
+    reported iff it shares ≥1 LSH band (standard near-dup practice; raise
+    ``n_bands`` for recall).  The SQL oracle mirrors the same candidate rule,
+    so results are value-exact."""
+    rows = n_planes // n_bands
+    planes = [
+        F.array(
+            *[(h32(F.lit(f"{p}:{d}")) / F.lit(float(1 << 31)) - 1.0) for d in range(dim)]
+        ).alias(f"plane_{p}")
+        for p in range(n_planes)
+    ]
+    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
+    bits = [
+        F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    band_vals = F.array(
+        *[
+            F.concat_ws("", F.lit(f"{b}_"), *bits[b * rows : (b + 1) * rows])
+            for b in range(n_bands)
+        ]
+    )
+    banded = base.select("vec_id", F.explode(band_vals).alias("band_val"))
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(c, (F.col("a.band_val") == F.col("c.band_val"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = with_norm(embeddings).select("vec_id", "_v", "_norm")
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"),
+                     F.col("_norm").alias("_na"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"),
+                     F.col("_norm").alias("_nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def dedup_embedding_cosine_sql(
+    threshold: float = 0.9, n_planes: int = 8, n_bands: int = 4, dim: int = 64
+) -> str:
+    rows = n_planes // n_bands
+
+    def plane(p: int) -> str:
+        return (
+            f"list_transform(range(0, {dim}), d -> "
+            f"CAST(('0x' || substr(md5('{p}:' || d), 1, 8)) AS UBIGINT)::BIGINT"
+            f" / 2147483648.0 - 1.0)"
+        )
+
+    bits = ", ".join(
+        f"CASE WHEN list_dot_product(v, {plane(p)}) >= 0 THEN '1' ELSE '0' END AS bit_{p}"
+        for p in range(n_planes)
+    )
+    sig = " || ".join(f"bit_{p}" for p in range(n_planes))
+    band_or = " OR ".join(
+        f"substr(a.sig, {b * rows + 1}, {rows}) = substr(c.sig, {b * rows + 1}, {rows})"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    bitted AS (SELECT vec_id, v, nrm, {bits} FROM base),
+    sig AS (SELECT vec_id, v, nrm, {sig} AS sig FROM bitted),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM sig a JOIN sig c ON a.vec_id < c.vec_id AND ({band_or})
+    ),
+    scored AS (
+        SELECT cand.vec_a, cand.vec_b,
+               ROUND(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cosine
+        FROM cand JOIN sig sa ON sa.vec_id = cand.vec_a
+                  JOIN sig sb ON sb.vec_id = cand.vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM scored
+    WHERE cosine >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
+
+
 def ann_lsh_topk_sql(
     n_queries: int = 5,
     k: int = 5,

@@ -1,9 +1,15 @@
-"""Two-parallelism scaling evidence → BENCH/BASELINE.md.
+"""Two-parallelism scaling evidence → BENCH/scaling_latest.md.
 
 Runs tools/ingest_job.py at local[N] and local[4N] (fresh JVM each, identical
 seeded input) and reports T_N, T_4N and scaling efficiency
 T_4N_throughput / (4 × T_N_throughput) — the sandbox evidence for the
 north_rule's N→4N ≥ 0.8 criterion (BASELINE.md).
+
+Each leg runs SCALE_REPEATS times and the BEST (max-throughput) sample is
+used: this sandbox shares a hypervisor whose background load was measured
+swinging identical runs by up to 1.8× (e.g. the same 4-core job: 144 s /
+166 s / 258 s back-to-back), and best-of-N is the standard estimator of the
+uncontended machine.  All samples are reported in the artifact.
 """
 
 from __future__ import annotations
@@ -16,7 +22,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cores: int, keys: int, commits: int) -> dict:
+def run_once(cores: int, keys: int, commits: int) -> dict:
     out = subprocess.run(
         [
             sys.executable, os.path.join(REPO, "tools", "ingest_job.py"),
@@ -29,30 +35,41 @@ def run(cores: int, keys: int, commits: int) -> dict:
     return json.loads(line)
 
 
+def run(cores: int, keys: int, commits: int, repeats: int) -> tuple[dict, list[dict]]:
+    samples = [run_once(cores, keys, commits) for _ in range(repeats)]
+    best = max(samples, key=lambda s: s["events_per_sec"])
+    return best, samples
+
+
 def main() -> None:
     # default pair: N=1 → 4N=4 cores — the compute-bound regime where local
     # scaling predicts executor scaling (see BENCH/BASELINE.md analysis).
-    # 16000 keys = 128k events matches the curated measurement; the input
-    # must be large enough that per-epoch fixed costs amortize (at 32k
-    # events the same pair measures ~0.72; at 128k it measures 1.08).
-    # Full run takes ~15 min (T_1 alone is ~11 min).
+    # 16000 keys = 128k events: large enough that per-epoch fixed costs
+    # amortize (at 32k events the same pair measures ~0.72).
     n = int(os.environ.get("SCALE_N", "1"))
     keys = int(os.environ.get("SCALE_KEYS", "16000"))
     commits = int(os.environ.get("SCALE_COMMITS", "8"))
-    lo = run(n, keys, commits)
-    hi = run(4 * n, keys, commits)
+    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+    lo, lo_samples = run(n, keys, commits, repeats)
+    hi, hi_samples = run(4 * n, keys, commits, repeats)
     eff = hi["events_per_sec"] / (4 * lo["events_per_sec"])
+
+    def fmt_samples(samples: list[dict]) -> str:
+        return ", ".join(f"{s['sec']}s ({s['events_per_sec']} ev/s)" for s in samples)
+
     md = f"""# BENCH — two-parallelism scaling evidence
 
 Per BASELINE.md's sandbox evidence plan: the **identical** CDC ingest job
 (seeded Zipf-skewed WAL, {lo['events']} change events, same configs with
 shuffle partitions scaled to cores) run at two local parallelism levels in
-fresh JVMs, standing in for N vs 4N executors.
+fresh JVMs, standing in for N vs 4N executors.  Each leg = best of
+{repeats} runs (hypervisor background load swings identical runs by up to
+1.8×; all samples below).
 
-| run | master | events | wall (s) | events/sec |
-|---|---|---|---|---|
-| T_N  | local[{n}]  | {lo['events']} | {lo['sec']} | {lo['events_per_sec']} |
-| T_4N | local[{4*n}] | {hi['events']} | {hi['sec']} | {hi['events_per_sec']} |
+| run | master | events | wall (s) | events/sec | all samples |
+|---|---|---|---|---|---|
+| T_N  | local[{n}]  | {lo['events']} | {lo['sec']} | {lo['events_per_sec']} | {fmt_samples(lo_samples)} |
+| T_4N | local[{4*n}] | {hi['events']} | {hi['sec']} | {hi['events_per_sec']} | {fmt_samples(hi_samples)} |
 
 **Scaling efficiency** = T_4N_throughput / (4 × T_N_throughput)
 = {hi['events_per_sec']} / (4 × {lo['events_per_sec']}) = **{eff:.3f}**
@@ -63,14 +80,15 @@ Input digest check: both runs produced {lo['segments_rows']} vs
 state).
 
 Reproduce: `python tools/bench_scaling.py` (env: SCALE_N, SCALE_KEYS,
-SCALE_COMMITS).
+SCALE_COMMITS, SCALE_REPEATS).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # curated analysis lives in BENCH/BASELINE.md; reproductions land here
     with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as fh:
         fh.write(md)
     print(md)
-    print(json.dumps({"t_n": lo, "t_4n": hi, "efficiency": round(eff, 3)}))
+    print(json.dumps({"t_n": lo, "t_4n": hi, "efficiency": round(eff, 3),
+                      "t_n_samples": lo_samples, "t_4n_samples": hi_samples}))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,14 @@ CHECKS = {
     "event_sequencing": ["Window"],
     "dedup_exact": ["HashAggregate"],
     "similarity_cosine_topk": ["BroadcastNestedLoopJoin", "Window"],
+    # round 2: single equi-join on exploded band values, cached signature
+    # (InMemoryTableScan ×3 uses, zero lineage recompute); the equi-join is
+    # AQE's choice (broadcast at test scale, shuffled/SMJ at 100 TB) — the
+    # invariant is "a hash equi-join, never a nested-loop/cartesian"
+    "dedup_minhash_lsh": ["InMemoryTableScan", "HashJoin"],
+    # band-OR ANN: broadcast query side, exact re-rank window
+    "similarity_ann_lsh": ["BroadcastHashJoin", "Window"],
+    "dedup_embedding_cosine": ["HashJoin"],
 }
 
 
