@@ -100,6 +100,81 @@ def decode_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFr
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, width int, height int, thumb binary"
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_offset_s double, frame string"
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """'Resize' kernel over Arrow batches.  With ``fake=True`` the thumb is a
+    deterministic function of (payload sha256, target size) — byte plumbing,
+    batch shape and schema are real; ``fake=False`` marks where PIL/opencv
+    would decode+resample (not in this container)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv; use fake=True"
+                )
+            thumbs = []
+            for payload in pdf["payload"]:
+                seed = hashlib.sha256(bytes(payload) + f"{width}x{height}".encode())
+                # deterministic fake pixel buffer of the right byte size
+                reps = (width * height * 3 + 31) // 32
+                thumbs.append((seed.digest() * reps)[: width * height * 3])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "thumb": thumbs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, fps: float = 1.0, max_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """'Frame-sample' kernel for video payloads: emit ≤ ``max_frames`` rows
+    per media at 1/fps spacing.  Fake frames are sha256(payload ‖ idx); real
+    decode (ffmpeg) is the documented NotImplementedError."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; use fake=True"
+                )
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                # fake duration: 1 second per 64 payload bytes
+                n = min(max_frames, max(1, len(bytes(payload)) // 64))
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": i,
+                            "frame_offset_s": i / fps,
+                            "frame": hashlib.sha256(
+                                bytes(payload) + i.to_bytes(4, "big")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_offset_s", "frame"]
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, FRAMES_SCHEMA)
+    )
+
+
 def feature_values(media: DataFrame, dim: int = 8) -> DataFrame:
     """Driver-facing projection of :func:`decode_features`: the raw
     ``array<float>`` column is not canonicalizable by the oracle harness

@@ -15,10 +15,15 @@ continuous trigger tails new files as they land.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .changelog import CHANGE_LOG_SCHEMA
 from .ingest import CdcEngine
+
+EVENTS_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts timestamp, value double"
+)
 
 
 def stream_ingest(
@@ -49,3 +54,89 @@ def stream_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    schema: str = EVENTS_SCHEMA,
+) -> DataFrame:
+    """§2.11 streaming windowed aggregation with a watermark: per
+    (event-time window, event_type) counts over a file stream.
+
+    The watermark bounds the aggregation state Spark keeps for late data —
+    at 100 TB/day this is what makes the operator's memory finite.  Drains
+    with ``availableNow`` into a memory sink and returns the result frame
+    (tests assert stream ≡ batch)."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def user_running_stats(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    schema: str = EVENTS_SCHEMA,
+) -> DataFrame:
+    """§2.11 custom stateful streaming operator via
+    ``applyInPandasWithState``: per-user running (event count, value sum) —
+    the arbitrary-state shape Spark's built-in aggregations can't express
+    when the update logic grows beyond algebraic aggregates.
+
+    State lives in the state store keyed by user_id (bounded by #users);
+    each micro-batch's Arrow frames fold into it and the updated row is
+    emitted."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total}]
+        )
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

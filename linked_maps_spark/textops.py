@@ -18,6 +18,10 @@ LANG_MARKERS = {
 }
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 PUNCT_CLASS = r"[.,!?;:]"
+# BPE-ish pre-tokenizer (GPT-2-style shape): contraction suffixes, letter
+# runs, digit runs, other-symbol runs — same pattern semantics in Java regex
+# (Spark) and RE2 (DuckDB), so the count is oracle-exact
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
 def _hits(toks, words: list[str]):
@@ -38,6 +42,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
         n_chars.alias("n_chars"),
         F.round(n_punct / n_chars, 6).alias("punct_ratio"),
         F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
@@ -52,9 +57,11 @@ def token_stats(documents: DataFrame) -> DataFrame:
 def token_stats_sql() -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    bpe = BPE_PATTERN.replace("'", "''")
     return f"""
     SELECT doc_id,
            len({toks}) AS n_tokens,
+           len(regexp_extract_all(text, '{bpe}')) AS n_bpe_tokens,
            length(text) AS n_chars,
            ROUND((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
                  / length(text), 6) AS punct_ratio,

@@ -139,3 +139,22 @@ def test_multimodal_plumbing(docs):
     assert by_id[1] == by_id[2]
     with pytest.raises(Exception):
         multimodal.decode_features(media, fake=False).collect()
+
+
+def test_multimodal_resize_and_frames(docs):
+    """Resize / frame-sample plumbing: schema, batch shape, determinism; the
+    real codecs stay documented NotImplementedError stubs."""
+    media = multimodal.synth_media(docs)
+    thumbs = {r["media_id"]: r for r in multimodal.resize_images(media, 16, 16).collect()}
+    assert len(thumbs) == 5
+    assert all(len(bytes(r["thumb"])) == 16 * 16 * 3 for r in thumbs.values())
+    assert bytes(thumbs[1]["thumb"]) == bytes(thumbs[2]["thumb"])  # same payload
+    frames = multimodal.sample_frames(media, fps=2.0).collect()
+    assert frames and all(r["frame_offset_s"] == r["frame_idx"] / 2.0 for r in frames)
+    # only video media emit frames
+    kinds = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+    assert {r["media_id"] for r in frames} <= kinds
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, fake=False).collect()
+    with pytest.raises(Exception):
+        multimodal.sample_frames(media, fake=False).collect()

@@ -69,3 +69,61 @@ def test_jsonlines_roundtrip(spark, tmp_path):
     wkts = {r["gid"]: r["wkt"] for r in geom_df.collect()}
     for r in seg.select("gid", "wkt").collect():
         assert wkts[r["gid"]] == r["wkt"]
+
+
+def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
+    """§2.11 watermarked windowed agg: stream result ≡ batch groupBy over the
+    same files."""
+    import pyspark.sql.functions as F
+
+    from linked_maps_spark.streaming import EVENTS_SCHEMA, windowed_event_counts
+
+    # the streaming file source wants a directory; stage the driver's single
+    # parquet file into one
+    import shutil
+
+    src = str(tmp_path / "events_dir")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+    got = windowed_event_counts(
+        spark, src, str(tmp_path / "ck_win"), "win_counts_t"
+    )
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    exp = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    res = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    assert res == exp and res
+
+
+def test_user_running_stats_stateful_stream(spark, tmp_path):
+    """§2.11 applyInPandasWithState: the custom stateful operator's final
+    per-user state ≡ the batch aggregate."""
+    import pyspark.sql.functions as F
+
+    from linked_maps_spark.streaming import EVENTS_SCHEMA, user_running_stats
+
+    import shutil
+
+    src = str(tmp_path / "events_dir")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+    got = user_running_stats(spark, src, str(tmp_path / "ck_state"), "user_stats_t")
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    exp = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    # availableNow drains in one (or more) micro-batches; the memory sink in
+    # update mode holds the latest row per user
+    res = {}
+    for r in got.collect():
+        res[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert set(res) == set(exp) and res
+    for uid, (n, total) in exp.items():
+        assert res[uid][0] == n
+        assert abs(res[uid][1] - total) < 1e-6 * max(1.0, abs(total))
