@@ -58,3 +58,31 @@ def test_algebra_laws(a, b):
     assert np.array_equal(
         G.union_all([G.intersect(a, b), G.difference(a, b)]), a
     )
+
+
+# ------------------------------------------------------ snap front-end props
+
+_float_lines = st.lists(
+    st.tuples(
+        st.floats(min_value=-124.9, max_value=-95.0, allow_nan=False),
+        st.floats(min_value=32.1, max_value=60.0, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_float_lines)
+def test_snap_always_yields_canonical_grid_wkt(pts):
+    """Any arbitrary-coordinate polyline snaps to WKT the strict parser
+    accepts, and the result is a canonical fixpoint (parse→to_wkt stable;
+    re-snapping on the engine grid is the identity)."""
+    from linked_maps_spark import snap as S
+
+    wkt = "LINESTRING (" + ", ".join(f"{x:.7f} {y:.7f}" for x, y in pts) + ")"
+    s = S.snap_wkt(wkt)
+    ids = G.parse_wkt(s, G.LINE)  # strict parser accepts the snapped form
+    assert G.to_wkt(ids, G.LINE) == s
+    if ids.size:
+        assert S.snap_wkt(s, pitch=G.PITCH, origin=(0.0, 0.0)) == s
