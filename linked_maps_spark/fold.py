@@ -94,6 +94,11 @@ class _Node:
     retired: bool = False
     extras: dict = field(default_factory=dict)
     dirty: bool = True  # needs to be emitted (new node or flag change)
+    # canonical serialization carried from the lake row: a state leaf whose
+    # geometry is untouched (flag-only change) re-emits these instead of
+    # re-serializing — to_wkt was 33% of fold CPU
+    wkt: str | None = None
+    sha: str | None = None
 
 
 @dataclass
@@ -118,15 +123,33 @@ def leaves_from_rows(leaves_in: list[dict], geom_type: str = G.LINE) -> "list[_N
             commit_created=r.get("commit_created", ""),
             extras={k: v for k, v in r.items() if k not in _base},
             dirty=False,
+            wkt=r["wkt"],
+            sha=r.get("content_sha256"),
         )
         for r in sorted(leaves_in, key=lambda r: int(r["seq"]))
     ]
 
 
+def rows_from_nodes(
+    repo: str, path: str, nodes: "list[_Node]", geom_type: str = G.LINE
+) -> list[dict]:
+    """Emit rows for many nodes, serializing every un-serialized geometry in
+    ONE vectorized pass (``to_wkt_batch``) — the per-node serializer was the
+    top CPU cost of the fold after parse vectorization."""
+    need = [n for n in nodes if n.wkt is None]
+    for n, w in zip(need, G.to_wkt_batch([n.ids for n in need], geom_type)):
+        n.wkt = w
+        n.sha = G.sha256_hex(w)
+    return [node_to_row(repo, path, n, geom_type) for n in nodes]
+
+
 def node_to_row(repo: str, path: str, node: "_Node", geom_type: str = G.LINE) -> dict:
     """Serialize a node to a ``segments`` table row (shared by the
-    sequential fold and the salted sub-folds so emission stays identical)."""
-    wkt = G.to_wkt(node.ids, geom_type)
+    sequential fold and the salted sub-folds so emission stays identical).
+    State leaves whose geometry is untouched reuse their stored canonical
+    wkt/sha (bit-identical: to_wkt is a canonical form)."""
+    wkt = node.wkt if node.wkt is not None else G.to_wkt(node.ids, geom_type)
+    sha = node.sha if node.sha is not None else G.sha256_hex(wkt)
     row = {
         "repo": repo,
         "path": path,
@@ -135,7 +158,7 @@ def node_to_row(repo: str, path: str, node: "_Node", geom_type: str = G.LINE) ->
         "seq": node.seq,
         "commit_created": node.commit_created,
         "wkt": wkt,
-        "content_sha256": G.sha256_hex(wkt),
+        "content_sha256": sha,
         "editions": list(node.editions),
         "is_leaf": node.is_leaf,
         "retired": node.retired,
@@ -271,10 +294,9 @@ def fold_key(
             key=lambda n: n.seq,
         )
 
-    seg_rows = [
-        node_to_row(repo, path, node, geom_type)
-        for node in sorted(touched.values(), key=lambda n: n.seq)
-    ]
+    seg_rows = rows_from_nodes(
+        repo, path, sorted(touched.values(), key=lambda n: n.seq), geom_type
+    )
 
     return FoldResult(
         segments=seg_rows,

@@ -43,7 +43,7 @@ from .fold import (
     leaves_from_rows,
     make_gid,
     md5_hex,
-    node_to_row,
+    rows_from_nodes,
 )
 
 
@@ -153,10 +153,9 @@ def fold_slice(
             key=lambda n: n.seq,
         )
 
-    segments = [
-        node_to_row(repo, path, n, geom_type)
-        for n in sorted(touched.values(), key=lambda n: n.seq)
-    ]
+    segments = rows_from_nodes(
+        repo, path, sorted(touched.values(), key=lambda n: n.seq), geom_type
+    )
     return SliceResult(segments, relations, partials, metas, initial_seqs)
 
 
@@ -258,10 +257,9 @@ def fold_coord(
             key=lambda n: n.seq,
         )
 
-    segments = [
-        node_to_row(repo, path, n, geom_type)
-        for n in sorted(touched.values(), key=lambda n: n.seq)
-    ]
+    segments = rows_from_nodes(
+        repo, path, sorted(touched.values(), key=lambda n: n.seq), geom_type
+    )
     return SliceResult(segments, relations, [], metas, {})
 
 

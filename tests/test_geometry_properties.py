@@ -86,3 +86,30 @@ def test_snap_always_yields_canonical_grid_wkt(pts):
     assert G.to_wkt(ids, G.LINE) == s
     if ids.size:
         assert S.snap_wkt(s, pitch=G.PITCH, origin=(0.0, 0.0)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_edge_ids, min_size=0, max_size=6))
+def test_to_wkt_batch_equals_per_node(ids_list):
+    """The batched serializer must emit byte-identical strings to the
+    per-node reference implementation (it feeds content_sha256)."""
+    assert G.to_wkt_batch(ids_list, G.LINE) == [
+        G.to_wkt(i, G.LINE) for i in ids_list
+    ]
+
+
+_cell_ids = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 50)), min_size=0, max_size=60
+).map(
+    lambda pts: np.unique(
+        np.array([x * G._P + y for x, y in pts], dtype=np.int64)
+    )
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_cell_ids, min_size=0, max_size=6))
+def test_to_wkt_batch_equals_per_node_polygon(ids_list):
+    assert G.to_wkt_batch(ids_list, G.POLYGON) == [
+        G.to_wkt(i, G.POLYGON) for i in ids_list
+    ]
