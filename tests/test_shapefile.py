@@ -84,3 +84,26 @@ def test_reference_editions_fold_end_to_end(spark, tmp_path):
     )
     cols = ["gid", "name", "seq", "wkt", "content_sha256", "is_leaf", "retired"]
     assert table_digest(eng2.current_segments(), cols) == table_digest(seg, cols)
+
+
+@needs_refdata
+def test_reference_wetlands_polygon_end_to_end(spark, tmp_path):
+    """Polygon-mode reference data (data/wetlands/ca): both editions ingest
+    through snap scan-fill and fold into a MULTIPOLYGON lattice."""
+    from linked_maps_spark.ingest import CdcEngine
+    from linked_maps_spark.snap import snap_change_log
+
+    wal = shp_dir_change_log(spark, CA_WET)
+    commits = sorted(r["commit"] for r in wal.select("commit").distinct().collect())
+    assert len(commits) >= 2
+    eng = CdcEngine(spark, str(tmp_path / "wet"), geom_type=G.POLYGON, n_buckets=2)
+    eng.create_tables(overwrite=True)
+    eng.ingest(
+        # the wetlands tile sits near (-121.1, 41.2): its own origin window
+        snap_change_log(wal, geom_type=G.POLYGON, pitch=0.002, origin=(-121.5, 41.0)),
+        commits_per_epoch=len(commits),
+    )
+    seg = eng.current_segments()
+    wkts = [r["wkt"] for r in seg.select("wkt").collect()]
+    assert wkts and all(w.startswith("MULTIPOLYGON") for w in wkts)
+    assert seg.count() > len(commits)  # intersections across editions exist
