@@ -474,9 +474,13 @@ class CdcEngine:
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("repo", "path").alias("k"),
             F.collect_set(self.segments.bucket_expr(batch)).alias("bks"),
+            # relations may have a different bucket count after rebucketing —
+            # its touched set is computed separately in the same job
+            F.collect_set(self.relations.bucket_expr(batch)).alias("rbks"),
         ).collect()[0]
         n_events, n_keys = stats["n"], stats["k"]
         buckets = sorted(stats["bks"])
+        rel_buckets = sorted(stats["rbks"])
         mark("stats")
 
         # Exactly-once replay guard: the segments merge is the LAST state
@@ -623,6 +627,7 @@ class CdcEngine:
                 summary={"epoch": epoch, "end_commit": end_commit},
                 assume_unique=True,
                 defer_commit=True,
+                touched_buckets=rel_buckets,
             )
             f_met = pool.submit(
                 self.metrics.merge_upsert,
@@ -630,6 +635,7 @@ class CdcEngine:
                 summary={"epoch": epoch},
                 assume_unique=True,
                 defer_commit=True,
+                touched_buckets=[0],  # n_buckets=1: everything is bucket 0
             )
             f_seg = pool.submit(
                 self.segments.merge_upsert,
@@ -637,6 +643,7 @@ class CdcEngine:
                 summary={"epoch": epoch, "end_commit": end_commit},
                 assume_unique=True,
                 defer_commit=True,
+                touched_buckets=buckets,
             )
             commit_rel, commit_met, commit_seg = (
                 f_rel.result(), f_met.result(), f_seg.result()

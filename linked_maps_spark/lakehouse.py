@@ -228,9 +228,13 @@ class LakeTable:
         keys = snap["key_cols"]
         if keys:
             # fan a hot bucket's write across salt_n tasks, keep bucket files
-            # separate (skew salting on the write shuffle)
+            # separate (skew salting on the write shuffle); partition count
+            # pinned to buckets*salt so small merges don't spray hundreds of
+            # near-empty tasks/files through the dynamic-partition writer
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_n))
-            bucketed = bucketed.repartition(F.col("_bucket"), salt)
+            bucketed = bucketed.repartition(
+                snap["n_buckets"] * salt_n, F.col("_bucket"), salt
+            )
         else:
             # key-less (append-only log) tables: single small file, no shuffle
             bucketed = bucketed.coalesce(1)
@@ -269,6 +273,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         assume_unique: bool = False,
         defer_commit: bool = False,
+        touched_buckets: list[int] | None = None,
     ) -> int:
         """MERGE INTO … ON key_cols WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *.
 
@@ -284,6 +289,11 @@ class LakeTable:
         concurrently while still COMMITTING them in the exactly-once order
         (relations, metrics, segments last).  Uncommitted prepared files are
         overwritten by the replay's re-prepare of the same version.
+
+        ``touched_buckets``: callers that already know the buckets the source
+        covers (the ingest epoch computes them once from the batch keys) pass
+        them to skip the distinct+collect discovery job.  MUST be a superset
+        of the source rows' buckets — rows outside it would be written twice.
         """
         snap = self.snapshot()
         keys = snap["key_cols"]
@@ -306,7 +316,11 @@ class LakeTable:
             aligned = aligned.dropDuplicates(keys)
 
         src = aligned.withColumn("_bucket", self.bucket_expr(aligned))
-        touched = [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
+        touched = (
+            list(touched_buckets)
+            if touched_buckets is not None
+            else [r["_bucket"] for r in src.select("_bucket").distinct().collect()]
+        )
         current = self._align_to(self.read(buckets=touched), schema)
         kept = current.join(src.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(src.drop("_bucket"))
