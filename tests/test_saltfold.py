@@ -154,3 +154,74 @@ def test_salted_with_duplicate_events():
         seq_res = fold_key(repo, path, events, [])
         salt_res = fold_key_salted(repo, path, dup, [], n_salts=4)
         _assert_equal(seq_res, salt_res, (repo, path))
+
+
+# ------------------------------------------------------- hypothesis fuzzing
+
+from hypothesis import given, settings, strategies as hst
+
+
+def _wkt_from_cells(cells):
+    """Tiny grid multiline from (x, y, dir) triples (axis/diag unit edges)."""
+    import numpy as np
+
+    from linked_maps_spark import geometry as G
+
+    ids = []
+    for x, y, d in cells:
+        ux, uy = G._DIRS[d]
+        if not (0 <= x + ux < 40 and 0 <= y + uy < 40):
+            continue
+        p = x * G._P + y
+        q = (x + ux) * G._P + (y + uy)
+        ids.append(min(p, q) * G._E + max(p, q))
+    if not ids:
+        return ""  # degenerate → tombstone-shaped content
+    import numpy as np
+
+    return G.to_wkt(np.unique(np.array(ids, dtype=np.int64)), G.LINE)
+
+
+_events_strategy = hst.lists(
+    hst.tuples(
+        hst.integers(0, 5),  # commit index
+        hst.one_of(
+            hst.just("TOMB"),
+            hst.lists(
+                hst.tuples(hst.integers(0, 38), hst.integers(0, 38), hst.integers(0, 3)),
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events_strategy, hst.integers(1, 5))
+def test_salted_equals_sequential_fuzzed(raw_events, n_salts):
+    """Any event sequence — duplicate commits, tombstones, empty and
+    overlapping geometries — folds bit-identically salted vs sequential."""
+    events = []
+    for ci, payload in raw_events:
+        content = "" if payload == "TOMB" else _wkt_from_cells(payload)
+        events.append(
+            {"repo": "r", "path": "p", "commit": f"{1950 + ci:04d}c",
+             "lang": "wkt", "content": content}
+        )
+    seq_res = fold_key("r", "p", events, [])
+    salt_res = fold_key_salted("r", "p", events, [], n_salts=n_salts)
+    _assert_equal(seq_res, salt_res, ("r", "p"))
+    # and again over the surviving state (steady-state epoch shape)
+    leaves = [r for r in seq_res.segments if r["is_leaf"] and not r["retired"]]
+    more = [
+        {"repo": "r", "path": "p", "commit": "1980c", "lang": "wkt",
+         "content": _wkt_from_cells([(5, 5, 0), (6, 5, 0), (7, 7, 2)])}
+    ]
+    _assert_equal(
+        fold_key("r", "p", more, leaves),
+        fold_key_salted("r", "p", more, leaves, n_salts=n_salts),
+        ("r", "p", "epoch2"),
+    )
