@@ -540,6 +540,19 @@ class CdcEngine:
             F.lit(False).alias("_is_event"),
         )
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        # Fold partition key REFINES both tables' bucket hashes: partitions =
+        # k × lcm(n_buckets) on pmod(xxhash64(repo,path), ·), so every fold
+        # output partition is bucket-pure and the bucketed COW writes can
+        # skip their own exchange (write_shuffle=False below) — one shuffle
+        # of the epoch's changes instead of three.  Both tables' bucket
+        # counts start equal and only ever double (rebucket), so the larger
+        # is always a multiple of the smaller.
+        nb = max(
+            self.segments.snapshot()["n_buckets"],
+            self.relations.snapshot()["n_buckets"],
+        )
+        modulus = nb * max(1, round(n_parts / nb))
+        fold_part = F.pmod(F.xxhash64("repo", "path"), F.lit(modulus))
         shaped = ev_side.unionByName(st_side)
         fold_fn = _make_fold_fn(self.geom_type, extras)
         out_schema = _fold_output_schema(extras)
@@ -564,14 +577,14 @@ class CdcEngine:
                 # hash-partition by key: every (repo,path)'s events+state land
                 # in one partition; the mapper groups in pandas (one Arrow
                 # round-trip per partition, not per key)
-                .repartition(n_parts, "repo", "path")
+                .repartition(modulus, fold_part)
                 .mapInPandas(fold_fn, out_schema)
             )
         else:
             hot_df = self.spark.createDataFrame(hot, "repo string, path string")
             cold = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_anti")
             hotr = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_semi")
-            cold_changes = cold.repartition(n_parts, "repo", "path").mapInPandas(
+            cold_changes = cold.repartition(modulus, fold_part).mapInPandas(
                 fold_fn, out_schema
             )
             hot_changes = self._salted_fold(hotr, extras, out_schema)
@@ -628,6 +641,7 @@ class CdcEngine:
                 assume_unique=True,
                 defer_commit=True,
                 touched_buckets=rel_buckets,
+                write_shuffle=False,
             )
             f_met = pool.submit(
                 self.metrics.merge_upsert,
@@ -644,6 +658,7 @@ class CdcEngine:
                 assume_unique=True,
                 defer_commit=True,
                 touched_buckets=buckets,
+                write_shuffle=False,
             )
             commit_rel, commit_met, commit_seg = (
                 f_rel.result(), f_met.result(), f_seg.result()

@@ -218,15 +218,26 @@ class LakeTable:
                 merged = merged.add(f)
         return merged, self._align_to(df, merged)
 
-    def _write_data(self, df: DataFrame, version: int, salt_n: int = 4) -> list[dict]:
-        """Write df bucketed by key hash under data/v{version}; return manifest."""
+    def _write_data(
+        self, df: DataFrame, version: int, salt_n: int = 4,
+        write_shuffle: bool = True,
+    ) -> list[dict]:
+        """Write df bucketed by key hash under data/v{version}; return manifest.
+
+        ``write_shuffle=False`` skips the pre-write repartition: callers whose
+        source partitioning already refines the bucket hash (the ingest fold
+        shuffles by ``pmod(xxhash64(bucket_cols), k·n_buckets)``) write
+        straight from their layout — dropping a full exchange of the epoch's
+        changes per table.  Correctness never depends on the layout (the
+        dynamic-partition writer splits by ``_bucket`` regardless); only file
+        counts do."""
         snap = self.snapshot()
         out_dir = os.path.join(self.path, "data", f"v{version}")
         if os.path.exists(out_dir):  # crashed previous attempt for this version
             shutil.rmtree(out_dir)
         bucketed = df.withColumn("_bucket", self.bucket_expr(df))
         keys = snap["key_cols"]
-        if keys:
+        if keys and write_shuffle:
             # fan a hot bucket's write across salt_n tasks, keep bucket files
             # separate (skew salting on the write shuffle); partition count
             # pinned to buckets*salt so small merges don't spray hundreds of
@@ -235,7 +246,7 @@ class LakeTable:
             bucketed = bucketed.repartition(
                 snap["n_buckets"] * salt_n, F.col("_bucket"), salt
             )
-        else:
+        elif not keys:
             # key-less (append-only log) tables: single small file, no shuffle
             bucketed = bucketed.coalesce(1)
         bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
@@ -274,6 +285,7 @@ class LakeTable:
         assume_unique: bool = False,
         defer_commit: bool = False,
         touched_buckets: list[int] | None = None,
+        write_shuffle: bool = True,
     ) -> int:
         """MERGE INTO … ON key_cols WHEN MATCHED UPDATE * WHEN NOT MATCHED INSERT *.
 
@@ -325,7 +337,7 @@ class LakeTable:
         kept = current.join(src.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(src.drop("_bucket"))
 
-        new_files = self._write_data(merged, version)
+        new_files = self._write_data(merged, version, write_shuffle=write_shuffle)
         touched_set = set(touched)
         files = [f for f in snap["files"] if f["bucket"] not in touched_set] + new_files
 
