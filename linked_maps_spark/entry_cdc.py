@@ -126,7 +126,7 @@ def cdc_editions_fixpoint(spark, sf_dir) -> DataFrame:
 
 def cdc_metrics(spark, sf_dir) -> DataFrame:
     eng = warehouse_engine(spark, sf_dir)
-    return eng.metrics.read().orderBy("epoch", "partition_id")
+    return eng.read_metrics().orderBy("epoch", "partition_id")
 
 
 def cdc_snap_offgrid(spark, sf_dir) -> DataFrame:

@@ -12,8 +12,9 @@ Exactly-once contract
 ---------------------
 * The watermark (last ingested commit label) is read from the ``commit_log``
   table, which is written **last** in each epoch.
-* Epoch write order: relations MERGE + metrics MERGE (both replay-idempotent:
-  same edges re-upserted; metrics keyed on ``(epoch, partition_id)``), then
+* Epoch write order: relations MERGE + metrics APPEND (both replay-safe:
+  the same edges re-upsert; metrics rows re-append under a higher ``attempt``
+  and the read path keeps only each epoch's latest attempt), then
   the **segments** MERGE, then the commit-log append.  The fold's resume
   state comes from segments alone, so a crash anywhere before the segments
   merge replays the fold over unchanged input and converges; a crash between
@@ -50,7 +51,7 @@ COMMIT_LOG_SCHEMA = (
 )
 METRICS_SCHEMA = (
     "epoch long, partition_id int, n_keys long, n_segments long, "
-    "n_relations long, n_events long, wall_ms double"
+    "n_relations long, n_events long, wall_ms double, attempt long"
 )
 
 
@@ -343,11 +344,15 @@ class CdcEngine:
             self.spark, self._path("commit_log"), COMMIT_LOG_SCHEMA,
             key_cols=[], n_buckets=1, overwrite=overwrite,
         )
-        # keyed on (epoch, partition_id) so a replayed epoch UPSERTs instead
-        # of appending duplicate accounting rows (replay idempotence)
+        # APPEND-ONLY (key-less): a keyed COW upsert would re-read and
+        # rewrite the whole metrics history every epoch — O(N²) rows over N
+        # epochs.  Appends are O(epoch-delta); a replayed epoch re-appends
+        # its rows under a higher ``attempt`` and ``read_metrics`` keeps only
+        # each epoch's latest attempt (full replacement even when the
+        # replay's task partition ids differ from the crashed attempt's).
         LakeTable.create(
             self.spark, self._path("metrics"), METRICS_SCHEMA,
-            key_cols=["epoch", "partition_id"], n_buckets=1, overwrite=overwrite,
+            key_cols=[], n_buckets=1, overwrite=overwrite,
         )
 
     @property
@@ -365,6 +370,22 @@ class CdcEngine:
     @property
     def metrics(self) -> LakeTable:
         return LakeTable.load(self.spark, self._path("metrics"))
+
+    def read_metrics(self) -> DataFrame:
+        """Metrics with replay dedup: the table is append-only, so a crashed
+        epoch's replay re-appends its rows under a higher ``attempt``; keep
+        only each epoch's latest attempt (stale partial accounting from the
+        crashed attempt — possibly under different task partition ids — is
+        fully replaced)."""
+        from pyspark.sql import Window
+
+        m = self.metrics.read()
+        w = Window.partitionBy("epoch")
+        return (
+            m.withColumn("_ma", F.max("attempt").over(w))
+            .filter(F.col("attempt") == F.col("_ma"))
+            .drop("_ma", "attempt")
+        )
 
     # ----------------------------------------------------------------- state
 
@@ -426,8 +447,39 @@ class CdcEngine:
                 epoch0 + i // commits_per_epoch, change_log, chunk[0], chunk[-1]
             )
             stats.epochs.append(es)
-        self.maybe_rebucket()
+        self.maintain()
         return stats
+
+    def maintain(
+        self,
+        target_bucket_bytes: int | None = None,
+        keep_snapshots: int = 4,
+        max_log_files: int = 8,
+    ) -> None:
+        """Post-ingest table maintenance (amortized once per ingest call):
+
+        * :meth:`maybe_rebucket` — keep COW write amplification ~delta-sized;
+        * **log compaction** — ``commit_log``/``metrics`` add one small file
+          per epoch; once past ``max_log_files`` they are rewritten into a
+          single file (metrics with replay-dedup applied) so the watermark
+          read stays O(1) in epochs, not O(K) tiny parquet opens;
+        * **snapshot expiry** — drop snapshot metadata beyond the last
+          ``keep_snapshots`` versions and GC unreferenced data files, keeping
+          COW storage amplification bounded (the Iceberg
+          expire_snapshots/remove_orphan_files analog).
+        """
+        self.maybe_rebucket(target_bucket_bytes)
+        for tbl, dedup in ((self.commit_log, False), (self.metrics, True)):
+            if len(tbl.snapshot()["files"]) > max_log_files:
+                df = self.read_metrics() if dedup else tbl.read()
+                if dedup:
+                    # compaction re-bases attempts: deduped rows all become
+                    # attempt 0 of the compacted generation (later appends
+                    # commit at higher versions, so monotonicity holds)
+                    df = df.withColumn("attempt", F.lit(0).cast("long"))
+                tbl.overwrite(df, summary={"reason": "log-compaction"})
+        for tbl in (self.segments, self.relations, self.commit_log, self.metrics):
+            tbl.expire_snapshots(keep_last=keep_snapshots)
 
     def maybe_rebucket(self, target_bucket_bytes: int | None = None) -> None:
         """Post-ingest maintenance: double a table's bucket count while its
@@ -601,7 +653,10 @@ class CdcEngine:
             *[c for c, _ in RELATION_COLUMNS]
         )
         # per-partition lineage metrics (north_rule: lineage + metrics table);
-        # timing rows fold in as the task's wall_ms
+        # timing rows fold in as the task's wall_ms.  ``attempt`` = the
+        # metrics snapshot version this append will commit as — monotonic
+        # across replays, so read_metrics can keep only the latest attempt.
+        attempt = self.metrics.version() + 1
         mrows = (
             changes.groupBy("_pid")
             .agg(
@@ -618,12 +673,13 @@ class CdcEngine:
                 "n_relations",
                 F.lit(None).cast("long").alias("n_events"),
                 "wall_ms",
+                F.lit(attempt).alias("attempt"),
             )
         )
 
         # COMMIT order is the exactly-once contract (see module docstring):
-        # relations + metrics first (both idempotent on replay — relations
-        # upserts the same edges, metrics upserts on (epoch, partition_id)),
+        # relations + metrics first (both replay-safe — relations upserts the
+        # same edges, metrics re-appends under a higher attempt),
         # the SEGMENTS commit last, because the fold reads its resume state
         # from segments alone.  Any crash before the segments commit replays
         # the fold over unchanged input state; a crash after it is caught by
@@ -644,12 +700,10 @@ class CdcEngine:
                 write_shuffle=False,
             )
             f_met = pool.submit(
-                self.metrics.merge_upsert,
+                self.metrics.append,
                 mrows,
                 summary={"epoch": epoch},
-                assume_unique=True,
                 defer_commit=True,
-                touched_buckets=[0],  # n_buckets=1: everything is bucket 0
             )
             f_seg = pool.submit(
                 self.segments.merge_upsert,

@@ -183,12 +183,13 @@ class LakeTable:
         paths = [os.path.join(self.path, f["path"]) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def bucket_expr(self, df: DataFrame):
+    def bucket_expr(self, df: DataFrame, n_buckets: int | None = None):
         snap = self.snapshot()
         cols = snap.get("bucket_cols", snap["key_cols"])
         if not cols:
             return F.lit(0)
-        return F.pmod(F.xxhash64(*[F.col(k) for k in cols]), F.lit(snap["n_buckets"])).cast("int")
+        n = snap["n_buckets"] if n_buckets is None else n_buckets
+        return F.pmod(F.xxhash64(*[F.col(k) for k in cols]), F.lit(n)).cast("int")
 
     def buckets_for(self, df: DataFrame) -> list[int]:
         """Distinct bucket ids of df's rows (df must carry the bucket
@@ -220,7 +221,7 @@ class LakeTable:
 
     def _write_data(
         self, df: DataFrame, version: int, salt_n: int = 4,
-        write_shuffle: bool = True,
+        write_shuffle: bool = True, n_buckets_override: int | None = None,
     ) -> list[dict]:
         """Write df bucketed by key hash under data/v{version}; return manifest.
 
@@ -235,7 +236,7 @@ class LakeTable:
         out_dir = os.path.join(self.path, "data", f"v{version}")
         if os.path.exists(out_dir):  # crashed previous attempt for this version
             shutil.rmtree(out_dir)
-        bucketed = df.withColumn("_bucket", self.bucket_expr(df))
+        bucketed = df.withColumn("_bucket", self.bucket_expr(df, n_buckets_override))
         keys = snap["key_cols"]
         if keys and write_shuffle:
             # fan a hot bucket's write across salt_n tasks, keep bucket files
@@ -244,7 +245,8 @@ class LakeTable:
             # near-empty tasks/files through the dynamic-partition writer
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_n))
             bucketed = bucketed.repartition(
-                snap["n_buckets"] * salt_n, F.col("_bucket"), salt
+                (n_buckets_override or snap["n_buckets"]) * salt_n,
+                F.col("_bucket"), salt,
             )
         elif not keys:
             # key-less (append-only log) tables: single small file, no shuffle
@@ -262,13 +264,26 @@ class LakeTable:
                     )
         return files
 
-    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+    def append(
+        self, df: DataFrame, summary: dict[str, Any] | None = None,
+        defer_commit: bool = False,
+    ):
+        """Append df's rows as new data files (no key semantics).
+
+        ``defer_commit=True`` (as in :meth:`merge_upsert`) runs the data
+        write now and returns a zero-argument commit callable — the ingest
+        epoch uses it to sequence the metrics append inside the exactly-once
+        commit order while its write runs concurrently with the merges."""
         version = self.version() + 1
         schema, aligned = self._merged_schema(df)
         new_files = self._write_data(aligned, version)
         files = self.snapshot()["files"] + new_files
-        self._commit_snapshot(version, schema, files, "append", summary)
-        return version
+
+        def commit() -> int:
+            self._commit_snapshot(version, schema, files, "append", summary)
+            return version
+
+        return commit if defer_commit else commit()
 
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         version = self.version() + 1
@@ -363,23 +378,25 @@ class LakeTable:
         snap = self.snapshot()
         if n_buckets == snap["n_buckets"]:
             return self.version()
-        df = self.read()
         version = self.version() + 1
+        # ATOMIC: the data files are rewritten under the NEW layout first,
+        # and the new bucket count + new file list land in ONE snapshot
+        # commit.  A crash before the commit leaves only orphan files under
+        # data/v{version} (cleaned by the retry's _write_data rmtree or by
+        # expire_snapshots); at no point does a committed snapshot pair the
+        # new n_buckets with files tagged under the old one — a reader's
+        # bucket-pruned scan can never silently drop keys mid-rebucket.
+        new_files = self._write_data(
+            self._align_to(self.read(), self.schema()), version,
+            n_buckets_override=n_buckets,
+        )
         self._commit_snapshot(
-            version, self.schema(), snap["files"], "rebucket-meta",
+            version, self.schema(), new_files, "rebucket",
             {**(summary or {}), "n_buckets": n_buckets},
             key_cols=snap["key_cols"], n_buckets=n_buckets,
             bucket_cols=snap.get("bucket_cols", snap["key_cols"]),
         )
-        # data rewrite under the new layout, committed as the next version;
-        # a crash in between leaves v(N+1) pointing at the old (still valid)
-        # files — the rewrite is redone on the next maintenance pass
-        new_files = self._write_data(self._align_to(df, self.schema()), version + 1)
-        self._commit_snapshot(
-            version + 1, self.schema(), new_files, "rebucket",
-            {**(summary or {}), "n_buckets": n_buckets},
-        )
-        return version + 1
+        return version
 
     def bucket_stats(self) -> dict[int, int]:
         """bucket → total file bytes of the current snapshot (manifest-only,

@@ -25,7 +25,7 @@ def register_views(engine, osm_links: DataFrame | None = None) -> None:
     engine.segments.read().createOrReplaceTempView("segments")
     engine.relations.read().createOrReplaceTempView("relations")
     engine.commit_log.read().createOrReplaceTempView("commit_log")
-    engine.metrics.read().createOrReplaceTempView("metrics")
+    engine.read_metrics().createOrReplaceTempView("metrics")
     if osm_links is not None:
         osm_links.createOrReplaceTempView("osm_links")
     spark.sql(
@@ -38,48 +38,55 @@ def register_views(engine, osm_links: DataFrame | None = None) -> None:
 
 
 def sql_q1_edition(spark: SparkSession, year: str) -> DataFrame:
-    """'1 edition' (ui/main.py:25-33)."""
+    """'1 edition' (ui/main.py:25-33).
+
+    Year values bind as named SQL parameters (no string interpolation —
+    user-supplied labels can't inject into the query text)."""
     return spark.sql(
-        f"""
-        SELECT gid, wkt FROM leaf_features
-        WHERE array_contains(editions, '{year}')
         """
+        SELECT gid, wkt FROM leaf_features
+        WHERE array_contains(editions, :year)
+        """,
+        args={"year": year},
     )
 
 
 def sql_q2_edition_unique(spark: SparkSession, year: str) -> DataFrame:
     """'1 edition - unique' (ui/main.py:34-45): HAVING COUNT(DISTINCT date)=1."""
     return spark.sql(
-        f"""
+        """
         SELECT gid, wkt
         FROM (SELECT gid, wkt, explode(editions) AS d
               FROM leaf_features
-              WHERE array_contains(editions, '{year}'))
+              WHERE array_contains(editions, :year))
         GROUP BY gid, wkt
         HAVING COUNT(DISTINCT d) = 1
-        """
+        """,
+        args={"year": year},
     )
 
 
 def sql_q3_persisted(spark: SparkSession, year1: str, year2: str) -> DataFrame:
     """'2 editions - similar' (ui/main.py:46-55)."""
     return spark.sql(
-        f"""
-        SELECT gid, wkt FROM leaf_features
-        WHERE array_contains(editions, '{year1}')
-          AND array_contains(editions, '{year2}')
         """
+        SELECT gid, wkt FROM leaf_features
+        WHERE array_contains(editions, :year1)
+          AND array_contains(editions, :year2)
+        """,
+        args={"year1": year1, "year2": year2},
     )
 
 
 def sql_q4_retired(spark: SparkSession, year1: str, year2: str) -> DataFrame:
     """'2 editions - difference' (ui/main.py:56-65): the SPARQL MINUS."""
     return spark.sql(
-        f"""
-        SELECT gid, wkt FROM leaf_features
-        WHERE array_contains(editions, '{year1}')
-          AND NOT array_contains(editions, '{year2}')
         """
+        SELECT gid, wkt FROM leaf_features
+        WHERE array_contains(editions, :year1)
+          AND NOT array_contains(editions, :year2)
+        """,
+        args={"year1": year1, "year2": year2},
     )
 
 
@@ -89,14 +96,15 @@ def sql_q5_persisted_with_osm(
     """'2 editions - similar - LinkedGeoData' (ui/main.py:66-78): the SPARQL
     SERVICE federation as an equi-join against the registered osm_links."""
     return spark.sql(
-        f"""
+        """
         SELECT f.gid, f.wkt, l.osm_uri
         FROM leaf_features f
         JOIN (SELECT gid, explode(osm_uris) AS osm_uri FROM osm_links) l
           ON f.gid = l.gid
-        WHERE array_contains(f.editions, '{year1}')
-          AND array_contains(f.editions, '{year2}')
-        """
+        WHERE array_contains(f.editions, :year1)
+          AND array_contains(f.editions, :year2)
+        """,
+        args={"year1": year1, "year2": year2},
     )
 
 

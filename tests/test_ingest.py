@@ -159,6 +159,62 @@ def test_epoch_size_and_dup_reorder_invariance(spark, tmp_path, wal_pdf, full):
     assert table_digest(other.relations.read()) == table_digest(eng.relations.read())
 
 
+def test_metrics_append_io_flat_in_epoch_count(spark, tmp_path, monkeypatch):
+    """The metrics table is append-only: epoch K's write I/O must not grow
+    with K (the round-2 COW merge re-read and rewrote the whole history every
+    epoch — O(N²) rows over N epochs).  Maintenance is disabled so each
+    epoch's appended file bytes are observable."""
+    import os
+
+    wal = synth_change_log(n_keys=4, n_commits=8, seed=9)
+    eng = _engine(spark, tmp_path, "flat")
+    monkeypatch.setattr(eng, "maintain", lambda *a, **k: None)
+    sdf = to_spark(spark, wal)
+    sizes = []
+    for _ in range(8):
+        before = {f["path"] for f in eng.metrics.snapshot()["files"]}
+        st = eng.ingest(sdf, commits_per_epoch=1, max_epochs=1)
+        assert len(st.epochs) == 1
+        new = [
+            f for f in eng.metrics.snapshot()["files"] if f["path"] not in before
+        ]
+        sizes.append(
+            sum(os.path.getsize(os.path.join(eng.metrics.path, f["path"])) for f in new)
+        )
+    assert all(s > 0 for s in sizes)
+    # flat: the 8th epoch writes about as much as the 1st (the old design
+    # wrote ~8× by now); generous bound for parquet footer variance
+    assert sizes[-1] < 2 * sizes[0]
+    # replay dedup view returns one accounting set per epoch
+    m = eng.read_metrics()
+    assert m.select("epoch").distinct().count() == 8
+    assert "attempt" not in m.columns
+
+
+def test_maintenance_bounds_log_files_and_snapshots(spark, tmp_path):
+    """After many epochs, commit_log/metrics must not accumulate one file —
+    and one snapshot — per epoch: the post-ingest maintenance pass compacts
+    the logs and expires old snapshots (bounded constants)."""
+    import os
+
+    wal = synth_change_log(n_keys=4, n_commits=12, seed=11)
+    eng = _engine(spark, tmp_path, "bounded")
+    eng.ingest(to_spark(spark, wal), commits_per_epoch=1)  # 12 epochs
+    for tbl in (eng.commit_log, eng.metrics):
+        assert len(tbl.snapshot()["files"]) <= 2
+        snap_dir = os.path.join(tbl.path, "_snapshots")
+        assert len(os.listdir(snap_dir)) <= 4
+    # nothing lost: all 12 epochs still present in both logs
+    assert eng.commit_log.read().select("epoch").distinct().count() == 12
+    assert eng.read_metrics().select("epoch").distinct().count() == 12
+    assert eng.watermark() == max(wal["commit"])
+    # a resume against the maintained warehouse still works (no state lost
+    # to compaction/expiry)
+    resumed = CdcEngine(spark, eng.warehouse, geom_type=G.LINE, n_buckets=4)
+    st = resumed.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    assert st.n_events == 0
+
+
 def test_schema_evolution(spark, tmp_path):
     """evolving_log fixture: later epochs add an ``attrs`` column; MERGE
     evolves the segments schema, pre-evolution rows read NULL."""

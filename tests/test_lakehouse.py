@@ -141,6 +141,43 @@ def test_rebucket_preserves_content_and_prunes(spark, tbl):
     assert got["k1"] == 100 and len(got) == 40
 
 
+def test_rebucket_is_atomic_single_commit(spark, tbl):
+    """A crash mid-rebucket must never leave a committed snapshot whose
+    n_buckets disagrees with its files' bucket tags — a bucket-pruned read
+    would silently drop keys (resume-state loss, forked lineages).  Rebucket
+    is write-first + ONE atomic commit: a crash before the commit leaves the
+    old snapshot fully intact."""
+    tbl.append(_df(spark, [(f"k{i}", i) for i in range(40)]))
+    d1 = table_digest(tbl.read(), ["k", "v"])
+    v_before = tbl.version()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before rebucket commit")
+
+    orig = tbl._commit_snapshot
+    tbl._commit_snapshot = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tbl.rebucket(16)
+    tbl._commit_snapshot = orig
+    # nothing committed: version, bucket count, and reads all unchanged
+    assert tbl.version() == v_before
+    assert tbl.snapshot()["n_buckets"] == 4
+    assert table_digest(tbl.read(), ["k", "v"]) == d1
+    # the corruption mode was: new count + old file tags → key hashes to a
+    # bucket its file isn't tagged with → invisible to a pruned read
+    one = tbl.read().limit(1)
+    hit = tbl.read(buckets=tbl.buckets_for(one)).join(
+        one.select("k"), "k", "left_semi"
+    )
+    assert hit.count() == 1
+    # the retried rebucket lands as exactly one new snapshot
+    v = tbl.rebucket(16)
+    assert v == v_before + 1
+    snap = tbl.snapshot()
+    assert snap["n_buckets"] == 16 and snap["operation"] == "rebucket"
+    assert table_digest(tbl.read(), ["k", "v"]) == d1
+
+
 def test_maybe_rebucket_policy(spark, tmp_path):
     from linked_maps_spark import geometry as G
     from linked_maps_spark.changelog import synth_change_log, to_spark

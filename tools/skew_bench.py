@@ -50,7 +50,7 @@ try:
     cols = ["repo", "path", "gid", "name", "seq", "wkt", "content_sha256",
             "editions", "is_leaf", "retired"]
     digest = table_digest(eng.current_segments(), cols)
-    walls = [r["wall_ms"] for r in eng.metrics.read().collect()
+    walls = [r["wall_ms"] for r in eng.read_metrics().collect()
              if r["wall_ms"] is not None]
 finally:
     shutil.rmtree(wh, ignore_errors=True)
