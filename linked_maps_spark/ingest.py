@@ -59,7 +59,14 @@ def _fold_output_schema(extras: list[tuple[str, str]]) -> str:
     base = ", ".join(f"{c} {t}" for c, t in SEGMENT_BASE_COLUMNS)
     rel = "parent_gid string, child_gid string"
     extra = "".join(f", {c} {t}" for c, t in extras)
-    return f"kind string, _pid int, {base}, {rel}{extra}, _wall_ms double"
+    # _n_* ride on the per-task 'timing' row: the fold task already knows its
+    # own key/segment/relation counts, so the metrics append reads them
+    # straight off the changes cache — no groupBy shuffle over the epoch's
+    # full change set just for accounting
+    return (
+        f"kind string, _pid int, {base}, {rel}{extra}, _wall_ms double, "
+        "_n_keys long, _n_segments long, _n_relations long"
+    )
 
 
 def _normalize_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -99,7 +106,10 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
     16k keys/epoch."""
     seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS]
     extra_cols = [c for c, _ in extras]
-    out_cols = ["kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols, "_wall_ms"]
+    out_cols = [
+        "kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols,
+        "_wall_ms", "_n_keys", "_n_segments", "_n_relations",
+    ]
 
     def fn(batches) -> "pd.DataFrame":
         from pyspark import TaskContext
@@ -115,6 +125,7 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
         pdf = _normalize_pdf(pdf)
 
         rows: list[dict] = []
+        n_keys = n_segs = n_rels = 0
         for (repo, path), grp in pdf.groupby(["repo", "path"], sort=False):
             is_event = grp["_is_event"].astype(bool)
             ev = grp[is_event]
@@ -129,10 +140,16 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
                 geom_type=geom_type,
             )
             rows.extend(_format_rows(res.segments, res.relations, pid, seg_cols, extra_cols))
-        # per-task fold wall time (kind='timing'), for skew accounting
+            n_keys += 1
+            n_segs += len(res.segments)
+            n_rels += len(res.relations)
+        # per-task fold wall time + accounting (kind='timing'): the metrics
+        # append reads these rows directly instead of re-aggregating the
+        # whole change set
         row = dict.fromkeys(seg_cols + extra_cols)
         row.update(kind="timing", _pid=pid, parent_gid=None, child_gid=None,
-                   _wall_ms=(time.monotonic() - t0) * 1000.0)
+                   _wall_ms=(time.monotonic() - t0) * 1000.0,
+                   _n_keys=n_keys, _n_segments=n_segs, _n_relations=n_rels)
         rows.append(row)
         yield pd.DataFrame(rows, columns=out_cols)
 
@@ -212,7 +229,10 @@ def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]]):
 
     extra_cols = [c for c, _ in extras]
     seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS]
-    out_cols = ["kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols, "_wall_ms"]
+    out_cols = [
+        "kind", "_pid", *seg_cols, "parent_gid", "child_gid", *extra_cols,
+        "_wall_ms", "_n_keys", "_n_segments", "_n_relations",
+    ]
 
     def fn(key, pdf):
         from pyspark import TaskContext
@@ -253,7 +273,9 @@ def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]]):
             [p["wall_ms"] for p in payloads] + [(time.monotonic() - t0) * 1000.0]
         )
         trow = dict.fromkeys(seg_cols + extra_cols)
-        trow.update(kind="timing", _pid=pid, parent_gid=None, child_gid=None, _wall_ms=wall)
+        trow.update(kind="timing", _pid=pid, parent_gid=None, child_gid=None,
+                    _wall_ms=wall, _n_keys=1,
+                    _n_segments=len(segments), _n_relations=len(relations))
         rows.append(trow)
         return pd.DataFrame(rows, columns=out_cols)
 
@@ -633,7 +655,10 @@ class CdcEngine:
                 .mapInPandas(fold_fn, out_schema)
             )
         else:
-            hot_df = self.spark.createDataFrame(hot, "repo string, path string")
+            hot_df = self.spark.createDataFrame(
+                pd.DataFrame(hot, columns=["repo", "path"]),
+                "repo string, path string",
+            )
             cold = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_anti")
             hotr = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_semi")
             cold_changes = cold.repartition(modulus, fold_part).mapInPandas(
@@ -652,17 +677,23 @@ class CdcEngine:
         rel_changes = changes.filter(F.col("kind") == "relation").select(
             *[c for c, _ in RELATION_COLUMNS]
         )
-        # per-partition lineage metrics (north_rule: lineage + metrics table);
-        # timing rows fold in as the task's wall_ms.  ``attempt`` = the
-        # metrics snapshot version this append will commit as — monotonic
-        # across replays, so read_metrics can keep only the latest attempt.
+        # per-partition lineage metrics (north_rule: lineage + metrics table)
+        # read straight off the fold's per-task 'timing' rows — no groupBy
+        # shuffle over the epoch's full change set just for accounting.
+        # ``attempt`` = the metrics snapshot version this append will commit
+        # as — monotonic across replays, so read_metrics can keep only the
+        # latest attempt.
         attempt = self.metrics.version() + 1
         mrows = (
-            changes.groupBy("_pid")
+            changes.filter(F.col("kind") == "timing")
+            # several salted-coordinator key groups can share a task pid —
+            # collapse to one accounting row per pid (a shuffle over ~one
+            # row per task, not the epoch's change set)
+            .groupBy("_pid")
             .agg(
-                F.countDistinct("repo", "path").alias("n_keys"),
-                F.sum(F.when(F.col("kind") == "segment", 1).otherwise(0)).alias("n_segments"),
-                F.sum(F.when(F.col("kind") == "relation", 1).otherwise(0)).alias("n_relations"),
+                F.sum("_n_keys").alias("n_keys"),
+                F.sum("_n_segments").alias("n_segments"),
+                F.sum("_n_relations").alias("n_relations"),
                 F.max("_wall_ms").alias("wall_ms"),
             )
             .select(
@@ -689,31 +720,42 @@ class CdcEngine:
         # construction (assume_unique skips a dedup shuffle).
         from concurrent.futures import ThreadPoolExecutor
 
+        durs: dict[str, float] = {}
+
+        def timed(label, fn, *a, **k):
+            def run():
+                ts = time.monotonic()
+                out = fn(*a, **k)
+                durs[label] = time.monotonic() - ts
+                return out
+
+            return run
+
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_rel = pool.submit(
-                self.relations.merge_upsert,
+            f_rel = pool.submit(timed(
+                "rel", self.relations.merge_upsert,
                 rel_changes,
                 summary={"epoch": epoch, "end_commit": end_commit},
                 assume_unique=True,
                 defer_commit=True,
                 touched_buckets=rel_buckets,
                 write_shuffle=False,
-            )
-            f_met = pool.submit(
-                self.metrics.append,
+            ))
+            f_met = pool.submit(timed(
+                "met", self.metrics.append,
                 mrows,
                 summary={"epoch": epoch},
                 defer_commit=True,
-            )
-            f_seg = pool.submit(
-                self.segments.merge_upsert,
+            ))
+            f_seg = pool.submit(timed(
+                "seg", self.segments.merge_upsert,
                 seg_changes,
                 summary={"epoch": epoch, "end_commit": end_commit},
                 assume_unique=True,
                 defer_commit=True,
                 touched_buckets=buckets,
                 write_shuffle=False,
-            )
+            ))
             commit_rel, commit_met, commit_seg = (
                 f_rel.result(), f_met.result(), f_seg.result()
             )
@@ -736,6 +778,7 @@ class CdcEngine:
             for label, ts in marks[1:]:
                 spans.append(f"{label}={ts - prev:.1f}s")
                 prev = ts
+            spans += [f"w_{k}={v:.1f}s" for k, v in durs.items()]
             print(f"[epoch {epoch}] " + " ".join(spans), file=sys.stderr)
         return es
 
@@ -787,19 +830,21 @@ class CdcEngine:
         epoch durable.  Written LAST; also the entire replay path for an
         epoch whose state writes already landed."""
         wall_ms = (time.monotonic() - t0) * 1000.0
-        log_row = self.spark.createDataFrame(
-            [
-                (
-                    epoch,
-                    start_commit,
-                    end_commit,
-                    n_events,
-                    n_keys,
-                    wall_ms,
-                    n_events / (wall_ms / 1000.0) if wall_ms else 0.0,
-                )
-            ],
-            COMMIT_LOG_SCHEMA,
+        # literal-projection row (NOT createDataFrame-from-tuples, whose
+        # python-RDD plan costs ~5-8 s per write job in this runtime)
+        vals = {
+            "epoch": F.lit(epoch).cast("long"),
+            "start_commit": F.lit(start_commit),
+            "end_commit": F.lit(end_commit),
+            "n_events": F.lit(n_events).cast("long"),
+            "n_keys": F.lit(n_keys).cast("long"),
+            "wall_ms": F.lit(wall_ms),
+            "throughput_eps": F.lit(
+                n_events / (wall_ms / 1000.0) if wall_ms else 0.0
+            ),
+        }
+        log_row = self.spark.range(1).select(
+            *[v.alias(c) for c, v in vals.items()]
         )
         self.commit_log.append(log_row, summary={"epoch": epoch, "end_commit": end_commit})
         return EpochStats(epoch, start_commit, end_commit, n_events, n_keys, wall_ms)

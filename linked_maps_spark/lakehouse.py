@@ -179,7 +179,12 @@ class LakeTable:
             keep = set(buckets)
             files = [f for f in files if f["bucket"] in keep]
         if not files:
-            return self.spark.createDataFrame([], schema)
+            # JVM-only empty relation: createDataFrame([], schema) builds a
+            # python-RDD-backed plan whose every downstream write job pays a
+            # measured ~5-8 s python-runner fixed cost in this runtime
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
         paths = [os.path.join(self.path, f["path"]) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
