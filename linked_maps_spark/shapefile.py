@@ -66,18 +66,24 @@ def _fmt_part(part: np.ndarray) -> str:
 
 def shp_to_wkt(path: str) -> tuple[str, str]:
     """One .shp file → (geom_kind, dissolved WKT): every feature's parts
-    merged into a single MULTILINESTRING / POLYGON ring set — the reference's
+    merged into a single MULTILINESTRING / MULTIPOLYGON — the reference's
     per-edition ST_UNION dissolve (all geometry of an edition is one operand
-    to the fold).  Polygon rings stay together under one POLYGON body: the
-    snap front-end's even-odd fill resolves outer/hole without ring
-    classification."""
+    to the fold).
+
+    Polygons keep ONE polygon group per shapefile *record*: even-odd ring
+    parity inside a record resolves its outer/hole structure, and the snap
+    front-end unions the per-record cell sets (``union_all``).  Collapsing
+    all records into one ring set would instead XOR overlapping solid
+    features — their overlap would misclassify as a hole, diverging from
+    ST_UNION semantics."""
     shape_type, features = read_shp(path)
-    parts = [p for feat in features for p in feat]
     if shape_type == SHP_POLYLINE:
         return "MULTILINESTRING", "MULTILINESTRING (" + ", ".join(
-            _fmt_part(p) for p in parts
+            _fmt_part(p) for feat in features for p in feat
         ) + ")"
-    return "MULTIPOLYGON", "POLYGON (" + ", ".join(_fmt_part(p) for p in parts) + ")"
+    return "MULTIPOLYGON", "MULTIPOLYGON (" + ", ".join(
+        "(" + ", ".join(_fmt_part(p) for p in feat) + ")" for feat in features
+    ) + ")"
 
 
 def shp_dir_change_log(spark, directory: str, repo: str | None = None,
