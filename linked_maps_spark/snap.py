@@ -39,11 +39,13 @@ from . import geometry as G
 
 DEFAULT_PITCH = 0.002  # degrees — same order as the reference's 0.0015° buffer
 # The grid window is G._P (=16384) cells per axis → pitch × 16384 degrees
-# (32.77° at the default pitch).  ``origin`` is a DATASET-level choice that
-# places the window: it must be identical for every feature that will be
-# compared (ids are origin-relative).  The default covers the reference's
-# California rasters (data/railroads/ca, NAD83 lng/lat); continental-scale
-# corpora shard by region tile or raise the pitch.
+# (32.77° at the default pitch).  ``origin`` places the window: it must be
+# identical for every feature that will be compared (ids are origin-
+# relative, and comparisons only ever happen within one (repo, path) key).
+# The default covers the reference's California rasters
+# (data/railroads/ca, NAD83 lng/lat); corpora wider than one window shard
+# origins per region tile — see ``derive_origins`` / the ``origins``
+# parameter of ``snap_change_log``.
 DEFAULT_ORIGIN = (-125.0, 32.0)
 
 _NUM_RE = re.compile(r"[-+0-9.eE]+")
@@ -181,15 +183,99 @@ def snap_change_log(
     geom_type: str = G.LINE,
     pitch: float = DEFAULT_PITCH,
     origin: tuple[float, float] = DEFAULT_ORIGIN,
+    origins: dict[str, tuple[float, float]] | None = None,
+    origin_key: str = "repo",
 ):
     """Spark transform: snap a WAL's ``content`` column (arbitrary WKT) to
     engine-grid WKT — the ingest adapter for reference-shaped (NAD83) data.
-    Runs as an Arrow-batched pandas UDF; tombstones ('') pass through."""
+    Runs as an Arrow-batched pandas UDF; tombstones ('') pass through.
+
+    **Region-tile origin sharding**: one grid window spans
+    ``pitch × 16384`` degrees (32.8° at the default pitch, 8.2° at 0.0005°),
+    so a corpus wider than one window passes ``origins`` — a mapping from
+    the ``origin_key`` column's value (e.g. repo or region path) to that
+    tile's origin, usually built once by :func:`derive_origins` and
+    persisted with :func:`save_origins`.  Grid ids are origin-relative, but
+    the fold's algebra is strictly per ``(repo, path)`` key and ids never
+    compare across keys, so per-region origins are sound.  A key whose
+    geometry outgrows its window still trips the grid-range guard
+    (geometry.py) rather than corrupting ids."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def snap_col(s: pd.Series) -> pd.Series:
-        return s.map(lambda w: snap_wkt(w, geom_type, pitch, origin))
+    if origins is None:
+        @pandas_udf("string")
+        def snap_col(s: pd.Series) -> pd.Series:
+            return s.map(lambda w: snap_wkt(w, geom_type, pitch, origin))
 
-    return df.withColumn("content", snap_col(F.col("content")))
+        return df.withColumn("content", snap_col(F.col("content")))
+
+    omap = dict(origins)
+
+    @pandas_udf("string")
+    def snap_tiled(key: pd.Series, s: pd.Series) -> pd.Series:
+        out = []
+        for k, w in zip(key, s):
+            if k not in omap:
+                raise G.GeometryError(f"no tile origin for {origin_key}={k!r}")
+            out.append(snap_wkt(w, geom_type, pitch, tuple(omap[k])))
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn("content", snap_tiled(F.col(origin_key), F.col("content")))
+
+
+def derive_origins(
+    df,
+    pitch: float = DEFAULT_PITCH,
+    origin_key: str = "repo",
+    margin_frac: float = 0.05,
+) -> dict[str, tuple[float, float]]:
+    """One Spark job over an onboarding corpus: per ``origin_key`` group,
+    the min vertex corner minus a ``margin_frac``-of-window margin becomes
+    that region tile's origin.
+
+    The result is STATE: derive it once from the initial corpus, persist it
+    (:func:`save_origins` / :func:`load_origins`) next to the warehouse, and
+    reuse it for every later ingest of the same keys — re-deriving over a
+    different WAL slice could shift an origin and fork a key's grid ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("minx double, miny double")
+    def bounds(s: pd.Series) -> pd.DataFrame:
+        out = []
+        for w in s:
+            w = (w or "").strip()
+            if not w or w.upper().endswith("EMPTY"):
+                out.append((None, None))
+                continue
+            vals = np.asarray(_NUM_RE.findall(w.partition("(")[2]), dtype=np.float64)
+            out.append((float(vals[0::2].min()), float(vals[1::2].min())))
+        return pd.DataFrame(out, columns=["minx", "miny"])
+
+    margin = margin_frac * pitch * G._P
+    rows = (
+        df.select(F.col(origin_key).alias("k"), bounds(F.col("content")).alias("b"))
+        .groupBy("k")
+        .agg(F.min("b.minx").alias("minx"), F.min("b.miny").alias("miny"))
+        .collect()
+    )
+    return {
+        r["k"]: (r["minx"] - margin, r["miny"] - margin)
+        for r in rows
+        if r["minx"] is not None
+    }
+
+
+def save_origins(origins: dict[str, tuple[float, float]], path: str) -> None:
+    import json
+
+    with open(path, "w") as fh:
+        json.dump({k: list(v) for k, v in origins.items()}, fh, indent=1)
+
+
+def load_origins(path: str) -> dict[str, tuple[float, float]]:
+    import json
+
+    with open(path) as fh:
+        return {k: tuple(v) for k, v in json.load(fh).items()}

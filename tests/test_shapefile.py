@@ -149,6 +149,48 @@ def test_reference_editions_fold_end_to_end(spark, tmp_path):
 
 
 @needs_refdata
+def test_region_tile_origin_sharding_two_states(spark, tmp_path):
+    """Two far-apart regions (reference ca + co railroads, ~17° of
+    longitude apart) in ONE WAL, at a pitch whose grid window (0.0005° ×
+    16384 ≈ 8.2°) cannot cover both: per-region derived origins ingest both
+    through one engine, while the single-origin path trips the grid-range
+    guard."""
+    from linked_maps_spark.ingest import CdcEngine
+    from linked_maps_spark.snap import (
+        derive_origins, load_origins, save_origins, snap_change_log,
+    )
+
+    co = CA_RAIL.replace("/ca", "/co")
+    wal = shp_dir_change_log(spark, CA_RAIL).unionByName(
+        shp_dir_change_log(spark, co)
+    )
+    pitch = 0.0005
+    # single shared origin cannot express both tiles
+    with pytest.raises(Exception, match="grid window"):
+        snap_change_log(wal, pitch=pitch, origin=(-122.2, 41.4)).select(
+            "content"
+        ).collect()
+    origins = derive_origins(wal, pitch=pitch, origin_key="path")
+    assert set(origins) == {"ca", "co"}
+    assert abs(origins["ca"][0] - origins["co"][0]) > 10  # truly different tiles
+    p = str(tmp_path / "tiles.json")
+    save_origins(origins, p)
+    origins = load_origins(p)  # persisted-state round trip
+
+    eng = CdcEngine(spark, str(tmp_path / "two"), geom_type=G.LINE, n_buckets=2)
+    eng.create_tables(overwrite=True)
+    eng.ingest(
+        snap_change_log(wal, pitch=pitch, origins=origins, origin_key="path"),
+        commits_per_epoch=4,
+    )
+    seg = eng.current_segments()
+    per_key = {r["path"]: r["n"] for r in seg.groupBy("path").count()
+               .withColumnRenamed("count", "n").collect()}
+    # both regions folded into real lattices (editions + derived nodes)
+    assert per_key["ca"] > 7 and per_key["co"] > 4
+
+
+@needs_refdata
 def test_golden_ttl_parity_ca_railroads(spark, tmp_path):
     """Parity against the reference's SHIPPED golden output
     (data/railroads/ca/linked_maps.railroads.ca.ttl, README.md:168-183) —
