@@ -181,6 +181,9 @@ def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataF
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+_live_sig: DataFrame | None = None  # see dedup_minhash_lsh cache lifecycle
+
+
 def dedup_minhash_lsh(
     documents: DataFrame,
     perms: int = MINHASH_PERMS,
@@ -203,9 +206,19 @@ def dedup_minhash_lsh(
     3. join the distinct candidate pairs back to the cached signatures to
        score ``est_jaccard``.
 
-    One shuffle for candidates instead of four, zero signature recompute."""
+    One shuffle for candidates instead of four, zero signature recompute.
+
+    Cache lifecycle: the returned plan references the persisted signature,
+    so it cannot unpersist before the caller materializes; instead each call
+    releases the PREVIOUS call's signature blocks, bounding executor storage
+    at one signature table no matter how many times bench/driver loops
+    re-invoke the query."""
+    global _live_sig
     rows = perms // bands
+    if _live_sig is not None:
+        _live_sig.unpersist(blocking=False)
     sig = minhash_signature(documents, perms).persist()
+    _live_sig = sig
     band_vals = F.array(
         *[
             F.concat_ws(

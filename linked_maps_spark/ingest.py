@@ -614,13 +614,20 @@ class CdcEngine:
             F.lit(False).alias("_is_event"),
         )
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        # Fold partition key REFINES both tables' bucket hashes: partitions =
-        # k × lcm(n_buckets) on pmod(xxhash64(repo,path), ·), so every fold
-        # output partition is bucket-pure and the bucketed COW writes can
-        # skip their own exchange (write_shuffle=False below) — one shuffle
-        # of the epoch's changes instead of three.  Both tables' bucket
-        # counts start equal and only ever double (rebucket), so the larger
-        # is always a multiple of the smaller.
+        # Fold partition key REFINES both tables' bucket hashes: the fold
+        # shuffles on fold_part = pmod(xxhash64(repo,path), k·n_buckets), so
+        # the bucketed COW writes can skip their own exchange
+        # (write_shuffle=False below) — one shuffle of the epoch's changes
+        # instead of three.  NOTE repartition(modulus, fold_part) hash-
+        # partitions on murmur3(fold_part), not fold_part itself, so a Spark
+        # partition is NOT bucket-pure (it may hold several fold_part
+        # values); correctness never depends on that (the dynamic-partition
+        # writer splits by _bucket regardless).  File count stays bounded
+        # because each fold_part VALUE lands wholly in one partition and
+        # maps to exactly one bucket (n_buckets | modulus): a merge writes
+        # ≤ #distinct-fold_part-values ≈ min(modulus, n_keys) files, not
+        # partitions × buckets.  Both tables' bucket counts start equal and
+        # only ever double (rebucket), so the larger divides the modulus.
         nb = max(
             self.segments.snapshot()["n_buckets"],
             self.relations.snapshot()["n_buckets"],

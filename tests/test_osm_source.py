@@ -36,6 +36,48 @@ def test_parse_overpass_elements():
     assert rows[2]["tags"] == {}
 
 
+def test_parse_recorded_overpass_response(spark):
+    """Real-shaped recorded Overpass payload (out:json + out meta: osm3s
+    header, node/way/relation elements with meta attrs, way node lists,
+    relation members) parses into the catalog schema, loads into Spark, and
+    survives the linking tag filter — the parse path exercised on the wire
+    format, not only hand-minimal dicts."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from linked_maps_spark.osm_link import OSM_CATALOG_SCHEMA
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "overpass_bray_ca.json"
+    )
+    with open(fixture) as fh:
+        payload = json.load(fh)
+    rows = parse_overpass_elements(payload["elements"])
+    assert len(rows) == 6
+    by_id = {r["osm_id"]: r for r in rows}
+    # 64-bit node id, meta attrs ignored, coords carried
+    n = by_id[4586023001]
+    assert n["osm_type"] == "node" and n["tags"] == {}
+    assert n["lat"] == pytest.approx(41.6429534)
+    assert n["lng"] == pytest.approx(-121.9837482)
+    # numeric-looking tag values arrive as strings; ways/relations have no
+    # coords in this query shape (reference keys votes on identity)
+    w = by_id[23721097]
+    assert w["osm_type"] == "way" and w["lat"] is None
+    assert w["tags"]["gauge"] == "1435" and w["tags"]["railway"] == "rail"
+    assert by_id[9202403]["osm_type"] == "relation"
+    # loads under the catalog schema and the P5 tag filter behaves
+    df = spark.createDataFrame(rows, OSM_CATALOG_SCHEMA)
+    kept = df.filter(
+        F.map_contains_key(F.col("tags"), F.lit("railway"))
+        | F.array_contains(F.map_values("tags"), "railway")
+    )
+    # switch + level_crossing + rail way + route=railway relation
+    assert kept.count() == 4
+
+
 def test_http_source_raises_offline():
     src = HttpOverpass(timeout_s=0.5, throttle_s=0.0)
     with pytest.raises(RuntimeError, match="Overpass fetch failed"):
