@@ -439,6 +439,37 @@ class CdcEngine:
         )
         return leaves, buckets
 
+    def _leaves_for(
+        self,
+        batch_keys: DataFrame,
+        buckets: list[int],
+        patch_changes: DataFrame | None,
+    ) -> DataFrame:
+        """Resume-state leaves for the batch keys: bucket-pruned table read,
+        optionally patched with the in-flight previous epoch's change set
+        (pipelined ingest).  The patch applies exactly the MERGE the table
+        is about to commit — anti-join out updated gids, union the new rows,
+        re-filter leaves — so downstream sees post-merge state."""
+        base = (
+            self.segments.read(buckets=buckets)
+            .filter(F.col("is_leaf") & ~F.col("retired"))
+            .join(batch_keys, on=["repo", "path"], how="left_semi")
+        )
+        if patch_changes is None:
+            return base
+        drop = {"kind", "_pid", "parent_gid", "child_gid",
+                "_wall_ms", "_n_keys", "_n_segments", "_n_relations"}
+        delta = (
+            patch_changes.filter(F.col("kind") == "segment")
+            .select(*[c for c in patch_changes.columns if c not in drop])
+            .join(batch_keys, on=["repo", "path"], how="left_semi")
+        )
+        kept = base.join(delta.select("gid"), on="gid", how="left_anti")
+        return (
+            kept.unionByName(delta, allowMissingColumns=True)
+            .filter(F.col("is_leaf") & ~F.col("retired"))
+        )
+
     # ---------------------------------------------------------------- ingest
 
     def ingest(
@@ -451,6 +482,18 @@ class CdcEngine:
 
         ``max_epochs`` stops early (kill-and-resume tests); a subsequent call
         resumes from the watermark and converges to the same final state.
+
+        **Pipelined epochs**: epoch k+1's PREPARE (stats, resume-state read,
+        fold, cache materialization) overlaps epoch k's merge WRITES — the
+        two halves of consecutive epochs that dominate the wall.  The
+        exactly-once COMMIT order is untouched: epoch k's ordered snapshot
+        commits (relations, metrics, segments, commit_log) all land before
+        epoch k+1's writes start.  Epoch k+1's resume state cannot come from
+        the table (k isn't committed while k+1 prepares), so the pruned leaf
+        read against the pre-k snapshot is PATCHED with epoch k's in-memory
+        change set — semantically the same MERGE the table is about to
+        apply, so the fold input is bit-identical to the serial schedule
+        (the epoch-size-invariance and kill/resume digest tests pin this).
         """
         wm = self.watermark()
         pending = (
@@ -461,14 +504,51 @@ class CdcEngine:
         commits = sorted(r["commit"] for r in pending.collect())
         stats = IngestStats()
         epoch0 = (self.commit_log.read().count() or 0)
-        for i in range(0, len(commits), commits_per_epoch):
-            if max_epochs is not None and i // commits_per_epoch >= max_epochs:
-                break
-            chunk = commits[i : i + commits_per_epoch]
-            es = self._ingest_epoch(
-                epoch0 + i // commits_per_epoch, change_log, chunk[0], chunk[-1]
-            )
-            stats.epochs.append(es)
+        chunks = [
+            commits[i : i + commits_per_epoch]
+            for i in range(0, len(commits), commits_per_epoch)
+        ]
+        if max_epochs is not None:
+            chunks = chunks[:max_epochs]
+        live: list[DataFrame] = []  # caches to release on any exit
+
+        def release(df: DataFrame) -> None:
+            try:
+                df.unpersist()  # no-op warning for checkpointed frames
+            except Exception:
+                pass
+            live[:] = [d for d in live if d is not df]  # identity, not Column ==
+
+        prev: dict | None = None
+        try:
+            for j, chunk in enumerate(chunks):
+                prep = self._prepare_epoch(
+                    epoch0 + j, change_log, chunk[0], chunk[-1],
+                    patch_changes=None if prev is None else prev["changes"],
+                )
+                if not prep.get("skip"):
+                    live.append(prep["changes"])
+                if prev is not None:
+                    stats.epochs.append(self._commit_epoch(prev))
+                    release(prev["changes"])
+                    prev = None
+                if prep.get("skip"):
+                    stats.epochs.append(
+                        self._finish_epoch(
+                            prep["epoch"], prep["start_commit"], prep["end_commit"],
+                            prep["n_events"], prep["n_keys"], prep["t0"],
+                        )
+                    )
+                else:
+                    self._start_writes(prep)
+                    prev = prep
+            if prev is not None:
+                stats.epochs.append(self._commit_epoch(prev))
+                release(prev["changes"])
+                prev = None
+        finally:
+            for df in list(live):  # crash path: release in-flight caches
+                df.unpersist()
         self.maintain()
         return stats
 
@@ -521,11 +601,19 @@ class CdcEngine:
             if new_n != n:
                 tbl.rebucket(new_n, summary={"reason": "mean bucket over target"})
 
-    def _ingest_epoch(
-        self, epoch: int, change_log: DataFrame, start_commit: str, end_commit: str
-    ) -> EpochStats:
-        import sys
-
+    def _prepare_epoch(
+        self,
+        epoch: int,
+        change_log: DataFrame,
+        start_commit: str,
+        end_commit: str,
+        patch_changes: DataFrame | None = None,
+    ) -> dict:
+        """PREPARE phase: batch stats, resume-state read (optionally patched
+        with the previous in-flight epoch's changes), fold, and cache
+        materialization.  Returns the epoch context for :meth:`_start_writes`
+        / :meth:`_commit_epoch`, or ``{"skip": True, ...}`` when the
+        exactly-once guard says this epoch's state already landed."""
         trace = os.environ.get("LMS_TRACE_INGEST") == "1"
         marks: list[tuple[str, float]] = []
 
@@ -562,22 +650,31 @@ class CdcEngine:
         # idempotent re-applied).  If segments already carry this epoch's
         # end_commit, the crash hit the window between that merge and the
         # commit-log append — re-folding now would intersect the edition with
-        # its own descendants, so skip straight to the bookkeeping.
+        # its own descendants, so skip straight to the bookkeeping.  (A skip
+        # can only trigger on the first epoch of a call — later epochs'
+        # commits are excluded by the watermark — so it never races the
+        # pipeline's in-flight writes.)
         seg_applied = self.segments.latest_summary_value("end_commit")
         if seg_applied is not None and str(seg_applied) >= end_commit:
             batch.unpersist()
-            return self._finish_epoch(epoch, start_commit, end_commit, n_events, n_keys, t0)
+            return {
+                "skip": True, "epoch": epoch, "start_commit": start_commit,
+                "end_commit": end_commit, "n_events": n_events,
+                "n_keys": n_keys, "t0": t0,
+            }
 
         # resume state: current leaves of only the keys present in this
-        # batch, read from only the buckets those keys hash into
+        # batch, read from only the buckets those keys hash into.  With the
+        # pipeline in flight the table read sees the PRE-previous-epoch
+        # snapshot; the previous epoch's uncommitted changes patch in via
+        # the same anti-join ∪ override the MERGE itself will apply.
         batch_keys = batch.select("repo", "path").distinct()
         keep = set(buckets)
-        state_has_files = any(f["bucket"] in keep for f in self.segments.snapshot()["files"])
-        leaves = (
-            self.segments.read(buckets=buckets)
-            .filter(F.col("is_leaf") & ~F.col("retired"))
-            .join(batch_keys, on=["repo", "path"], how="left_semi")
+        state_has_files = (
+            any(f["bucket"] in keep for f in self.segments.snapshot()["files"])
+            or patch_changes is not None
         )
+        leaves = self._leaves_for(batch_keys, buckets, patch_changes)
         # schema evolution: extra columns from either side, deduped by NAME
         # (an evolved column present in both with different types must not
         # yield two same-named output columns); the lake table's type wins
@@ -673,11 +770,15 @@ class CdcEngine:
             )
             hot_changes = self._salted_fold(hotr, extras, out_schema)
             folded = cold_changes.unionByName(hot_changes)
-        changes = folded.cache()
-
-        # materialize the fold into the cache ONCE, before the two merge
-        # threads start — otherwise they race to compute it concurrently
-        changes.count()
+        # Eager localCheckpoint (not .cache()+count): materializes the fold
+        # ONCE before the merge writes fan out AND truncates the logical
+        # plan to a LogicalRDD.  The pipelined patch embeds this epoch's
+        # changes into the NEXT epoch's fold plan; without truncation the
+        # plan nests one epoch deeper every epoch and Catalyst analysis
+        # time blows up (measured: minutes of driver time by epoch ~10).
+        # Block cleanup is the ContextCleaner's job once the epoch's
+        # references drop (standard Spark lifecycle).
+        changes = folded.localCheckpoint(eager=True)
         mark("fold")
         seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS] + [c for c, _ in extras]
         seg_changes = changes.filter(F.col("kind") == "segment").select(*seg_cols)
@@ -715,16 +816,21 @@ class CdcEngine:
             )
         )
 
-        # COMMIT order is the exactly-once contract (see module docstring):
-        # relations + metrics first (both replay-safe — relations upserts the
-        # same edges, metrics re-appends under a higher attempt),
-        # the SEGMENTS commit last, because the fold reads its resume state
-        # from segments alone.  Any crash before the segments commit replays
-        # the fold over unchanged input state; a crash after it is caught by
-        # the epoch guard above.  The expensive data WRITES of all three
-        # merges still run concurrently (defer_commit): only the atomic
-        # snapshot links are sequenced.  Fold sources are key-unique by
-        # construction (assume_unique skips a dedup shuffle).
+        batch.unpersist()
+        return {
+            "epoch": epoch, "start_commit": start_commit, "end_commit": end_commit,
+            "n_events": n_events, "n_keys": n_keys, "t0": t0,
+            "changes": changes, "seg_changes": seg_changes,
+            "rel_changes": rel_changes, "mrows": mrows,
+            "buckets": buckets, "rel_buckets": rel_buckets,
+            "trace": trace, "marks": marks,
+        }
+
+    def _start_writes(self, prep: dict) -> None:
+        """Submit the epoch's three merge WRITES (the expensive data jobs)
+        concurrently; commits stay deferred.  Must run after the previous
+        epoch's commits (each merge reads the then-current table for its
+        kept rows)."""
         from concurrent.futures import ThreadPoolExecutor
 
         durs: dict[str, float] = {}
@@ -738,34 +844,58 @@ class CdcEngine:
 
             return run
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_rel = pool.submit(timed(
-                "rel", self.relations.merge_upsert,
-                rel_changes,
-                summary={"epoch": epoch, "end_commit": end_commit},
-                assume_unique=True,
-                defer_commit=True,
-                touched_buckets=rel_buckets,
-                write_shuffle=False,
-            ))
-            f_met = pool.submit(timed(
-                "met", self.metrics.append,
-                mrows,
-                summary={"epoch": epoch},
-                defer_commit=True,
-            ))
-            f_seg = pool.submit(timed(
-                "seg", self.segments.merge_upsert,
-                seg_changes,
-                summary={"epoch": epoch, "end_commit": end_commit},
-                assume_unique=True,
-                defer_commit=True,
-                touched_buckets=buckets,
-                write_shuffle=False,
-            ))
-            commit_rel, commit_met, commit_seg = (
-                f_rel.result(), f_met.result(), f_seg.result()
-            )
+        epoch, end_commit = prep["epoch"], prep["end_commit"]
+        pool = ThreadPoolExecutor(max_workers=3)
+        prep["durs"] = durs
+        prep["pool"] = pool
+        prep["f_rel"] = pool.submit(timed(
+            "rel", self.relations.merge_upsert,
+            prep["rel_changes"],
+            summary={"epoch": epoch, "end_commit": end_commit},
+            assume_unique=True,
+            defer_commit=True,
+            touched_buckets=prep["rel_buckets"],
+            write_shuffle=False,
+        ))
+        prep["f_met"] = pool.submit(timed(
+            "met", self.metrics.append,
+            prep["mrows"],
+            summary={"epoch": epoch},
+            defer_commit=True,
+        ))
+        prep["f_seg"] = pool.submit(timed(
+            "seg", self.segments.merge_upsert,
+            prep["seg_changes"],
+            summary={"epoch": epoch, "end_commit": end_commit},
+            assume_unique=True,
+            defer_commit=True,
+            touched_buckets=prep["buckets"],
+            write_shuffle=False,
+        ))
+
+    def _commit_epoch(self, prep: dict) -> EpochStats:
+        """COMMIT order is the exactly-once contract (see module docstring):
+        relations + metrics first (both replay-safe — relations upserts the
+        same edges, metrics re-appends under a higher attempt), the SEGMENTS
+        commit last, because the fold reads its resume state from segments
+        alone.  Any crash before the segments commit replays the fold over
+        unchanged input state; a crash after it is caught by the epoch
+        guard.  Only the atomic snapshot links are sequenced here — the data
+        writes ran concurrently (and, pipelined, under the NEXT epoch's
+        fold)."""
+        import sys
+
+        marks = prep["marks"]
+        trace = prep["trace"]
+
+        def mark(label: str) -> None:
+            if trace:
+                marks.append((label, time.monotonic()))
+
+        commit_rel, commit_met, commit_seg = (
+            prep["f_rel"].result(), prep["f_met"].result(), prep["f_seg"].result()
+        )
+        prep["pool"].shutdown(wait=False)
         commit_rel()
         commit_met()
         mark("relations+metrics")
@@ -773,20 +903,21 @@ class CdcEngine:
             raise RuntimeError("injected crash: after relations/metrics, before segments")
         commit_seg()
         mark("segments_merge")
-        changes.unpersist()
-        batch.unpersist()
         if self._crash_after == "segments_merge":
             raise RuntimeError("injected crash: after segments merge, before commit log")
-        es = self._finish_epoch(epoch, start_commit, end_commit, n_events, n_keys, t0)
+        es = self._finish_epoch(
+            prep["epoch"], prep["start_commit"], prep["end_commit"],
+            prep["n_events"], prep["n_keys"], prep["t0"],
+        )
         if trace:
             mark("log")
-            prev = t0
+            prev = prep["t0"]
             spans = []
             for label, ts in marks[1:]:
                 spans.append(f"{label}={ts - prev:.1f}s")
                 prev = ts
-            spans += [f"w_{k}={v:.1f}s" for k, v in durs.items()]
-            print(f"[epoch {epoch}] " + " ".join(spans), file=sys.stderr)
+            spans += [f"w_{k}={v:.1f}s" for k, v in prep["durs"].items()]
+            print(f"[epoch {prep['epoch']}] " + " ".join(spans), file=sys.stderr)
         return es
 
     def _salted_fold(
