@@ -33,6 +33,7 @@ in Spark state stores — SURVEY.md §7.3.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -457,13 +458,7 @@ class CdcEngine:
         )
         if patch_changes is None:
             return base
-        drop = {"kind", "_pid", "parent_gid", "child_gid",
-                "_wall_ms", "_n_keys", "_n_segments", "_n_relations"}
-        delta = (
-            patch_changes.filter(F.col("kind") == "segment")
-            .select(*[c for c in patch_changes.columns if c not in drop])
-            .join(batch_keys, on=["repo", "path"], how="left_semi")
-        )
+        delta = patch_changes.join(batch_keys, on=["repo", "path"], how="left_semi")
         kept = base.join(delta.select("gid"), on="gid", how="left_anti")
         return (
             kept.unionByName(delta, allowMissingColumns=True)
@@ -510,27 +505,27 @@ class CdcEngine:
         ]
         if max_epochs is not None:
             chunks = chunks[:max_epochs]
-        live: list[DataFrame] = []  # caches to release on any exit
+        live: list[dict] = []  # in-flight epochs to release on any exit
 
-        def release(df: DataFrame) -> None:
+        def release(p: dict) -> None:
             try:
-                df.unpersist()  # no-op warning for checkpointed frames
+                p["release"]()
             except Exception:
                 pass
-            live[:] = [d for d in live if d is not df]  # identity, not Column ==
+            live[:] = [d for d in live if d is not p]
 
         prev: dict | None = None
         try:
             for j, chunk in enumerate(chunks):
                 prep = self._prepare_epoch(
                     epoch0 + j, change_log, chunk[0], chunk[-1],
-                    patch_changes=None if prev is None else prev["changes"],
+                    patch_changes=None if prev is None else prev["patch_df"],
                 )
                 if not prep.get("skip"):
-                    live.append(prep["changes"])
+                    live.append(prep)
                 if prev is not None:
                     stats.epochs.append(self._commit_epoch(prev))
-                    release(prev["changes"])
+                    release(prev)
                     prev = None
                 if prep.get("skip"):
                     stats.epochs.append(
@@ -544,11 +539,11 @@ class CdcEngine:
                     prev = prep
             if prev is not None:
                 stats.epochs.append(self._commit_epoch(prev))
-                release(prev["changes"])
+                release(prev)
                 prev = None
         finally:
-            for df in list(live):  # crash path: release in-flight caches
-                df.unpersist()
+            for p in list(live):  # crash path: release in-flight epochs
+                release(p)
         self.maintain()
         return stats
 
@@ -571,6 +566,8 @@ class CdcEngine:
           expire_snapshots/remove_orphan_files analog).
         """
         self.maybe_rebucket(target_bucket_bytes)
+        # crashed epochs can leave combined-write scratch dirs behind
+        shutil.rmtree(os.path.join(self.warehouse, "_stage"), ignore_errors=True)
         for tbl, dedup in ((self.commit_log, False), (self.metrics, True)):
             if len(tbl.snapshot()["files"]) > max_log_files:
                 df = self.read_metrics() if dedup else tbl.read()
@@ -770,67 +767,133 @@ class CdcEngine:
             )
             hot_changes = self._salted_fold(hotr, extras, out_schema)
             folded = cold_changes.unionByName(hot_changes)
-        # Eager localCheckpoint (not .cache()+count): materializes the fold
-        # ONCE before the merge writes fan out AND truncates the logical
-        # plan to a LogicalRDD.  The pipelined patch embeds this epoch's
-        # changes into the NEXT epoch's fold plan; without truncation the
-        # plan nests one epoch deeper every epoch and Catalyst analysis
-        # time blows up (measured: minutes of driver time by epoch ~10).
-        # Block cleanup is the ContextCleaner's job once the epoch's
-        # references drop (standard Spark lifecycle).
-        changes = folded.localCheckpoint(eager=True)
-        mark("fold")
-        seg_cols = [c for c, _ in SEGMENT_BASE_COLUMNS] + [c for c, _ in extras]
-        seg_changes = changes.filter(F.col("kind") == "segment").select(*seg_cols)
-        rel_changes = changes.filter(F.col("kind") == "relation").select(
-            *[c for c, _ in RELATION_COLUMNS]
-        )
-        # per-partition lineage metrics (north_rule: lineage + metrics table)
-        # read straight off the fold's per-task 'timing' rows — no groupBy
-        # shuffle over the epoch's full change set just for accounting.
-        # ``attempt`` = the metrics snapshot version this append will commit
-        # as — monotonic across replays, so read_metrics can keep only the
-        # latest attempt.
+        seg_cols_x = [c for c, _ in SEGMENT_BASE_COLUMNS] + [c for c, _ in extras]
+        # ``attempt`` = a metrics snapshot version ≥ the one this append will
+        # commit as — monotonic across replays, so read_metrics can keep only
+        # the latest attempt.
         attempt = self.metrics.version() + 1
-        mrows = (
-            changes.filter(F.col("kind") == "timing")
-            # several salted-coordinator key groups can share a task pid —
-            # collapse to one accounting row per pid (a shuffle over ~one
-            # row per task, not the epoch's change set)
-            .groupBy("_pid")
-            .agg(
-                F.sum("_n_keys").alias("n_keys"),
-                F.sum("_n_segments").alias("n_segments"),
-                F.sum("_n_relations").alias("n_relations"),
-                F.max("_wall_ms").alias("wall_ms"),
-            )
-            .select(
-                F.lit(epoch).alias("epoch"),
-                F.col("_pid").alias("partition_id"),
-                "n_keys",
-                "n_segments",
-                "n_relations",
-                F.lit(None).cast("long").alias("n_events"),
-                "wall_ms",
-                F.lit(attempt).alias("attempt"),
-            )
-        )
-
-        batch.unpersist()
-        return {
+        prep = {
             "epoch": epoch, "start_commit": start_commit, "end_commit": end_commit,
             "n_events": n_events, "n_keys": n_keys, "t0": t0,
-            "changes": changes, "seg_changes": seg_changes,
-            "rel_changes": rel_changes, "mrows": mrows,
             "buckets": buckets, "rel_buckets": rel_buckets,
             "trace": trace, "marks": marks,
         }
+        seg_snap = self.segments.snapshot()
+        rel_snap = self.relations.snapshot()
+        fast = (
+            seg_snap["n_buckets"] == rel_snap["n_buckets"]
+            and seg_snap.get("bucket_cols") == rel_snap.get("bucket_cols")
+        )
+        if fast:
+            # COMBINED SINGLE-PASS WRITE: the fold output is written ONCE,
+            # dynamic-partitioned by (kind, bucket), straight off the fold's
+            # bucket-refining partitioning — this job IS the fold
+            # materialization (replacing the checkpoint scan) AND the data
+            # write of every table (replacing three per-table write jobs).
+            # The commit phase adopts the files into each table's manifest
+            # by hard link (lakehouse.adopt_merge) — zero extra data
+            # movement.  Requires both tables to share a bucket layout
+            # (true from create_tables until rebucket diverges them; the
+            # checkpoint + per-table-merge path below remains the fallback).
+            bcols = seg_snap.get("bucket_cols") or ["repo", "path"]
+            bucket_col = (
+                F.when(F.col("kind") == "timing", F.lit(0))
+                .otherwise(
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in bcols]),
+                        F.lit(seg_snap["n_buckets"]),
+                    )
+                )
+                .cast("int")
+            )
+            combined = folded.select(
+                "kind",
+                *seg_cols_x,
+                "parent_gid", "child_gid",
+                F.lit(epoch).alias("epoch"),
+                F.col("_pid").alias("partition_id"),
+                F.col("_n_keys").alias("n_keys"),
+                F.col("_n_segments").alias("n_segments"),
+                F.col("_n_relations").alias("n_relations"),
+                F.lit(None).cast("long").alias("n_events"),
+                F.col("_wall_ms").alias("wall_ms"),
+                F.lit(attempt).alias("attempt"),
+                bucket_col.alias("_bucket"),
+            )
+            scratch = os.path.join(self.warehouse, "_stage", f"e{epoch}")
+            if os.path.exists(scratch):  # crashed attempt: deterministic redo
+                shutil.rmtree(scratch)
+            combined.write.partitionBy("kind", "_bucket").parquet(scratch)
+            mark("fold")
+            seg_dir = os.path.join(scratch, "kind=segment")
+            prep.update(
+                fast=True,
+                scratch=scratch,
+                patch_df=(
+                    self.spark.read.parquet(seg_dir).select(*seg_cols_x)
+                    if os.path.isdir(seg_dir) else None
+                ),
+                seg_schema=self.spark.createDataFrame([], ", ".join(
+                    f"`{c}` {t}" for c, t in SEGMENT_BASE_COLUMNS + extras
+                )).schema,
+                release=lambda: None,
+            )
+        else:
+            # Eager localCheckpoint (not .cache()+count): materializes the
+            # fold ONCE before the merge writes fan out AND truncates the
+            # logical plan to a LogicalRDD.  The pipelined patch embeds this
+            # epoch's changes into the NEXT epoch's fold plan; without
+            # truncation the plan nests one epoch deeper every epoch and
+            # Catalyst analysis time blows up (measured: minutes of driver
+            # time by epoch ~10).  Block cleanup is the ContextCleaner's job
+            # once the epoch's references drop.
+            changes = folded.localCheckpoint(eager=True)
+            mark("fold")
+            seg_changes = changes.filter(F.col("kind") == "segment").select(*seg_cols_x)
+            rel_changes = changes.filter(F.col("kind") == "relation").select(
+                *[c for c, _ in RELATION_COLUMNS]
+            )
+            # per-partition metrics off the fold's own 'timing' rows — no
+            # groupBy shuffle over the epoch's full change set; several
+            # salted-coordinator key groups can share a task pid, so
+            # collapse to one accounting row per pid (≈one row per task)
+            mrows = (
+                changes.filter(F.col("kind") == "timing")
+                .groupBy("_pid")
+                .agg(
+                    F.sum("_n_keys").alias("n_keys"),
+                    F.sum("_n_segments").alias("n_segments"),
+                    F.sum("_n_relations").alias("n_relations"),
+                    F.max("_wall_ms").alias("wall_ms"),
+                )
+                .select(
+                    F.lit(epoch).alias("epoch"),
+                    F.col("_pid").alias("partition_id"),
+                    "n_keys",
+                    "n_segments",
+                    "n_relations",
+                    F.lit(None).cast("long").alias("n_events"),
+                    "wall_ms",
+                    F.lit(attempt).alias("attempt"),
+                )
+            )
+            prep.update(
+                fast=False,
+                changes=changes,
+                seg_changes=seg_changes,
+                rel_changes=rel_changes,
+                mrows=mrows,
+                patch_df=changes.filter(F.col("kind") == "segment").select(*seg_cols_x),
+                release=lambda: changes.unpersist(),
+            )
+        batch.unpersist()
+        return prep
 
     def _start_writes(self, prep: dict) -> None:
-        """Submit the epoch's three merge WRITES (the expensive data jobs)
-        concurrently; commits stay deferred.  Must run after the previous
-        epoch's commits (each merge reads the then-current table for its
-        kept rows)."""
+        """Submit the epoch's remaining WRITES (kept-row rewrites + metrics
+        append on the fast path; the three full merge writes on the
+        fallback) concurrently; commits stay deferred.  Must run after the
+        previous epoch's commits (kept rows read the then-current table)."""
         from concurrent.futures import ThreadPoolExecutor
 
         durs: dict[str, float] = {}
@@ -848,6 +911,9 @@ class CdcEngine:
         pool = ThreadPoolExecutor(max_workers=3)
         prep["durs"] = durs
         prep["pool"] = pool
+        if prep["fast"]:
+            self._start_writes_fast(prep, pool, timed)
+            return
         prep["f_rel"] = pool.submit(timed(
             "rel", self.relations.merge_upsert,
             prep["rel_changes"],
@@ -873,6 +939,71 @@ class CdcEngine:
             write_shuffle=False,
         ))
 
+    def _start_writes_fast(self, prep: dict, pool, timed) -> None:
+        """Fast-path writes: the change files already exist (combined
+        scratch write in prepare).  Remaining data jobs: per-table KEPT
+        rewrites (rows of touched buckets not updated by the epoch — only
+        when those buckets hold files) and the metrics append built from
+        the scratch timing files."""
+        scratch, epoch = prep["scratch"], prep["epoch"]
+
+        def kept_write(table, src_dir, buckets, out_dir, key_cols, src_schema):
+            keep = set(buckets)
+            if not any(f["bucket"] in keep for f in table.snapshot()["files"]):
+                return None  # nothing to keep: buckets had no files
+            # align kept rows to table-schema ∪ source-schema (the same
+            # evolution the adopting commit records)
+            merged, _ = table._merged_schema(
+                self.spark.createDataFrame([], src_schema)
+            )
+            cur = table._align_to(table.read(buckets=buckets), merged)
+            if os.path.isdir(src_dir):
+                src_keys = (
+                    self.spark.read.parquet(src_dir).select(*key_cols).distinct()
+                )
+                cur = cur.join(src_keys, on=key_cols, how="left_anti")
+            (
+                cur.withColumn("_bucket", table.bucket_expr(cur))
+                .write.partitionBy("_bucket").parquet(out_dir)
+            )
+            return out_dir
+
+        rel_schema = self.spark.createDataFrame(
+            [], ", ".join(f"{c} {t}" for c, t in RELATION_COLUMNS)
+        ).schema
+        prep["rel_schema"] = rel_schema
+        seg_dir = os.path.join(scratch, "kind=segment")
+        rel_dir = os.path.join(scratch, "kind=relation")
+        tim_dir = os.path.join(scratch, "kind=timing")
+        prep["f_seg"] = pool.submit(timed(
+            "seg_kept", kept_write, self.segments, seg_dir, prep["buckets"],
+            os.path.join(scratch, "kept_segments"), ["gid"], prep["seg_schema"],
+        ))
+        prep["f_rel"] = pool.submit(timed(
+            "rel_kept", kept_write, self.relations, rel_dir, prep["rel_buckets"],
+            os.path.join(scratch, "kept_relations"),
+            ["parent_gid", "child_gid"], rel_schema,
+        ))
+        if os.path.isdir(tim_dir):
+            mrows = (
+                self.spark.read.parquet(tim_dir)
+                .groupBy("epoch", "partition_id")
+                .agg(
+                    F.sum("n_keys").alias("n_keys"),
+                    F.sum("n_segments").alias("n_segments"),
+                    F.sum("n_relations").alias("n_relations"),
+                    F.max("n_events").alias("n_events"),
+                    F.max("wall_ms").alias("wall_ms"),
+                    F.max("attempt").alias("attempt"),
+                )
+            )
+            prep["f_met"] = pool.submit(timed(
+                "met", self.metrics.append, mrows,
+                summary={"epoch": epoch}, defer_commit=True,
+            ))
+        else:
+            prep["f_met"] = pool.submit(lambda: (lambda: None))
+
     def _commit_epoch(self, prep: dict) -> EpochStats:
         """COMMIT order is the exactly-once contract (see module docstring):
         relations + metrics first (both replay-safe — relations upserts the
@@ -892,10 +1023,48 @@ class CdcEngine:
             if trace:
                 marks.append((label, time.monotonic()))
 
-        commit_rel, commit_met, commit_seg = (
-            prep["f_rel"].result(), prep["f_met"].result(), prep["f_seg"].result()
-        )
-        prep["pool"].shutdown(wait=False)
+        if prep["fast"]:
+            # wait for kept writes + metrics append, then ADOPT the combined
+            # scratch files + kept files into each table's manifest by hard
+            # link (no further data jobs)
+            prep["f_seg"].result()
+            prep["f_rel"].result()
+            commit_met = prep["f_met"].result()
+            prep["pool"].shutdown(wait=False)
+            scratch = prep["scratch"]
+
+            def scan(*dirs) -> list[tuple[str, int]]:
+                out = []
+                for d in dirs:
+                    if not os.path.isdir(d):
+                        continue
+                    for bdir in sorted(os.listdir(d)):
+                        if not bdir.startswith("_bucket="):
+                            continue
+                        b = int(bdir.split("=", 1)[1])
+                        for p in sorted(os.listdir(os.path.join(d, bdir))):
+                            if p.endswith(".parquet"):
+                                out.append((os.path.join(d, bdir, p), b))
+                return out
+
+            summary = {"epoch": prep["epoch"], "end_commit": prep["end_commit"]}
+            commit_rel = self.relations.adopt_merge(
+                scan(os.path.join(scratch, "kind=relation"),
+                     os.path.join(scratch, "kept_relations")),
+                prep["rel_schema"],
+                prep["rel_buckets"], summary,
+            )
+            commit_seg = self.segments.adopt_merge(
+                scan(os.path.join(scratch, "kind=segment"),
+                     os.path.join(scratch, "kept_segments")),
+                prep["seg_schema"],
+                prep["buckets"], summary,
+            )
+        else:
+            commit_rel, commit_met, commit_seg = (
+                prep["f_rel"].result(), prep["f_met"].result(), prep["f_seg"].result()
+            )
+            prep["pool"].shutdown(wait=False)
         commit_rel()
         commit_met()
         mark("relations+metrics")
@@ -909,6 +1078,11 @@ class CdcEngine:
             prep["epoch"], prep["start_commit"], prep["end_commit"],
             prep["n_events"], prep["n_keys"], prep["t0"],
         )
+        if prep["fast"]:
+            # adopted files are hard links; the scratch names are no longer
+            # needed (the pipelined next epoch consumed its patch during
+            # ITS prepare, which completed before this commit ran)
+            shutil.rmtree(prep["scratch"], ignore_errors=True)
         if trace:
             mark("log")
             prev = prep["t0"]

@@ -367,6 +367,60 @@ class LakeTable:
 
         return commit if defer_commit else commit()
 
+    def adopt_merge(
+        self,
+        new_files: list[tuple[str, int]],
+        schema: StructType,
+        touched_buckets: list[int],
+        summary: dict[str, Any] | None = None,
+    ):
+        """MERGE commit from EXTERNALLY-written data files.
+
+        The caller guarantees ``new_files`` — ``(abs_path, bucket)`` pairs on
+        the same filesystem — hold exactly the post-merge content of the
+        touched buckets (upserted source ∪ kept rows).  Files are adopted by
+        hard link (no data copy, no Spark job); old files of touched buckets
+        drop from the manifest; the commit callable returned is sequenced by
+        the caller exactly like :meth:`merge_upsert`'s.
+
+        This is how the ingest epoch writes ONE combined
+        ``partitionBy(kind, bucket)`` job for all its tables instead of one
+        write job per table — same snapshot/manifest semantics, one pass
+        over the change set.
+
+        ``schema`` is union-merged with the CURRENT table schema at call
+        time, so a column introduced by a concurrent earlier epoch is never
+        dropped from the table schema."""
+        merged = StructType(list(self.schema().fields))
+        names = {f.name for f in merged.fields}
+        for f in schema.fields:
+            if f.name not in names:
+                merged = merged.add(f)
+        version = self.version() + 1
+        dest = os.path.join(self.path, "data", f"v{version}")
+        if os.path.exists(dest):  # crashed previous attempt for this version
+            shutil.rmtree(dest)
+        manifest = []
+        for i, (src, b) in enumerate(new_files):
+            d = os.path.join(dest, f"_bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{i:05d}.parquet"
+            os.link(src, os.path.join(d, name))
+            manifest.append(
+                {"path": os.path.join("data", f"v{version}", f"_bucket={b}", name),
+                 "bucket": b}
+            )
+        touched = set(touched_buckets)
+        files = [
+            f for f in self.snapshot()["files"] if f["bucket"] not in touched
+        ] + manifest
+
+        def commit() -> int:
+            self._commit_snapshot(version, merged, files, "merge", summary)
+            return version
+
+        return commit
+
     # ---------------------------------------------------------- maintenance
 
     def rebucket(self, n_buckets: int, summary: dict[str, Any] | None = None) -> int:

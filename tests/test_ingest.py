@@ -159,6 +159,22 @@ def test_epoch_size_and_dup_reorder_invariance(spark, tmp_path, wal_pdf, full):
     assert table_digest(other.relations.read()) == table_digest(eng.relations.read())
 
 
+def test_diverged_bucket_layout_falls_back(spark, tmp_path, wal_pdf, full):
+    """The combined single-pass epoch write requires segments/relations to
+    share a bucket layout; after a rebucket diverges them the per-table
+    merge fallback must take over and still converge to the identical
+    digests."""
+    eng, _ = full
+    part = _engine(spark, tmp_path, "diverge")
+    sdf = to_spark(spark, wal_pdf)
+    part.ingest(sdf, commits_per_epoch=2, max_epochs=1)       # fast path
+    part.segments.rebucket(8)  # diverge: segments 8 buckets, relations 4
+    part.ingest(sdf, commits_per_epoch=2)                     # fallback path
+    assert part.segments.snapshot()["n_buckets"] != part.relations.snapshot()["n_buckets"]
+    assert _seg_digest(part) == _seg_digest(eng)
+    assert table_digest(part.relations.read()) == table_digest(eng.relations.read())
+
+
 def test_metrics_append_io_flat_in_epoch_count(spark, tmp_path, monkeypatch):
     """The metrics table is append-only: epoch K's write I/O must not grow
     with K (the round-2 COW merge re-read and rewrote the whole history every
