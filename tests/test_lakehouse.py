@@ -141,6 +141,57 @@ def test_rebucket_preserves_content_and_prunes(spark, tbl):
     assert got["k1"] == 100 and len(got) == 40
 
 
+def test_adopt_merge_links_external_files(spark, tbl, tmp_path):
+    """adopt_merge: a MERGE commit whose data files were written by an
+    external job (the ingest's combined epoch write) — files hard-link into
+    the manifest, touched buckets' old files drop, untouched carry over,
+    and the commit sequences like merge_upsert's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tbl.append(_df(spark, [(f"k{i}", i) for i in range(20)]))
+    before = {f["path"] for f in tbl.snapshot()["files"]}
+    # externally write the post-merge content of k0's bucket: every row of
+    # that bucket with k0's value updated
+    src = _df(spark, [("k0", 100)])
+    b0 = tbl.buckets_for(src)
+    assert len(b0) == 1
+    merged_rows = (
+        tbl.read(buckets=b0).join(src.select("k"), "k", "left_anti").unionByName(src)
+    )
+    ext = str(tmp_path / "t" / "ext")  # same fs as the table (hard links)
+    merged_rows.withColumn("_bucket", tbl.bucket_expr(merged_rows)).write.partitionBy(
+        "_bucket"
+    ).parquet(ext)
+    files = []
+    for bdir in os.listdir(ext):
+        if bdir.startswith("_bucket="):
+            b = int(bdir.split("=", 1)[1])
+            files += [
+                (os.path.join(ext, bdir, p), b)
+                for p in os.listdir(os.path.join(ext, bdir))
+                if p.endswith(".parquet")
+            ]
+    commit = tbl.adopt_merge(files, tbl.schema(), b0, summary={"epoch": 9})
+    assert tbl.version() == 1  # nothing committed yet (deferred)
+    v = commit()
+    assert v == 2 and tbl.latest_summary_value("epoch") == 9
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got["k0"] == 100 and len(got) == 20
+    snap = tbl.snapshot()
+    # untouched buckets' files carried over; touched bucket fully replaced
+    assert {f["bucket"] for f in snap["files"] if f["path"] in before} == (
+        {f["bucket"] for f in snap["files"]} - set(b0)
+    )
+    # adopted files are links, not copies: same inode as the external file
+    adopted = [f for f in snap["files"] if f["path"] not in before]
+    assert adopted
+    ino_t = {os.stat(os.path.join(tbl.path, f["path"])).st_ino for f in adopted}
+    ino_e = {os.stat(p).st_ino for p, _ in files}
+    assert ino_t <= ino_e
+
+
 def test_rebucket_is_atomic_single_commit(spark, tbl):
     """A crash mid-rebucket must never leave a committed snapshot whose
     n_buckets disagrees with its files' bucket tags — a bucket-pruned read
