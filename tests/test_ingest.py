@@ -159,6 +159,27 @@ def test_epoch_size_and_dup_reorder_invariance(spark, tmp_path, wal_pdf, full):
     assert table_digest(other.relations.read()) == table_digest(eng.relations.read())
 
 
+def test_stale_scratch_dir_overwritten_and_cleaned(spark, tmp_path, wal_pdf, full):
+    """A crash mid-combined-write leaves a partial scratch dir; the replayed
+    epoch must overwrite it deterministically, and maintenance must leave
+    no _stage leftovers behind."""
+    import os
+
+    eng, _ = full
+    part = _engine(spark, tmp_path, "stale")
+    sdf = to_spark(spark, wal_pdf)
+    part.ingest(sdf, commits_per_epoch=2, max_epochs=1)
+    # simulate a crashed epoch-1 attempt: garbage where its scratch will go
+    stale = os.path.join(part.warehouse, "_stage", "e1", "kind=segment", "_bucket=0")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    part.ingest(sdf, commits_per_epoch=2)
+    assert _seg_digest(part) == _seg_digest(eng)
+    assert table_digest(part.relations.read()) == table_digest(eng.relations.read())
+    assert not os.path.exists(os.path.join(part.warehouse, "_stage"))
+
+
 def test_diverged_bucket_layout_falls_back(spark, tmp_path, wal_pdf, full):
     """The combined single-pass epoch write requires segments/relations to
     share a bucket layout; after a rebucket diverges them the per-table
