@@ -425,13 +425,30 @@ def to_wkt_batch(ids_list: list[np.ndarray], geom_type: str = LINE) -> list[str]
 
 
 def intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """G1: buffered intersection (reference: postgis_sqls.py:47-56)."""
-    return np.intersect1d(a, b, assume_unique=True)
+    """G1: buffered intersection (reference: postgis_sqls.py:47-56).
+
+    Inputs are ALWAYS sorted unique int64 (the module invariant), so
+    membership is a searchsorted probe — ~3-5× faster than
+    ``np.intersect1d(assume_unique=True)``'s concatenate+argsort at the
+    few-hundred-element sizes the fold works with (profiled: the set
+    algebra was 28% of fold CPU).  An ``idx == b.size`` probe means
+    ``a_i > b[-1]``; clamping it to 0 can't collide because then
+    ``b[0] < a_i``."""
+    if a.size == 0 or b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = 0
+    return a[b[idx] == a]
 
 
 def difference(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """G2: buffered difference (reference: postgis_sqls.py:8,37-39)."""
-    return np.setdiff1d(a, b, assume_unique=True)
+    """G2: buffered difference (reference: postgis_sqls.py:8,37-39).
+    Same sorted-unique searchsorted kernel as :func:`intersect`."""
+    if a.size == 0 or b.size == 0:
+        return a.copy()
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = 0
+    return a[b[idx] != a]
 
 
 def union_all(parts: list[np.ndarray]) -> np.ndarray:
