@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["similarity_ann_lsh"] = _doc("embeddings")(
         lambda e: similarity.ann_lsh_topk(e, n_queries=5, k=5)
     )
+    q["similarity_ann_ivf"] = _doc("embeddings")(
+        lambda e: similarity.ann_ivf_topk(e, n_queries=5, k=5)
+    )
     q["dedup_embedding_cosine"] = _doc("embeddings")(
         # the synthetic embeddings have no planted dups (max cosine ~0.5);
         # 0.4 exercises the candidate+verify path on real pair mass
@@ -89,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_simhash"] = dedup.simhash_sql()
     o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
+    o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
     o["dedup_embedding_cosine"] = similarity.dedup_embedding_cosine_sql(threshold=0.4)
     o["text_token_stats"] = textops.token_stats_sql()
     o["text_lang_id"] = textops.lang_id_sql()

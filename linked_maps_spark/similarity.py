@@ -165,6 +165,163 @@ def ann_lsh_topk(
     )
 
 
+def _exact_rerank(cand: DataFrame, embeddings: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """Shared tail: exact cosine over (query_id, vec_id) candidate pairs,
+    windowed top-k with the (sim desc, vec_id asc) tie-break."""
+    vecs = with_norm(embeddings).select("vec_id", "_v", "_norm")
+    qv = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-flat approximate top-k — the inverted-file ANN scale path.
+
+    Classic IVF partitions vectors into coarse cells and searches only the
+    query's ``n_probe`` nearest cells.  A trained quantizer isn't
+    reproducible cross-engine, so the coarse centroids are md5-derived
+    fixed vectors (component (c, d) = ``h32(f"c{c}:{d}")/2^31 - 1``, the
+    hyperplane trick of :func:`ann_lsh_topk`) — random directions that
+    partition the sphere into deterministic Voronoi cells, making the whole
+    pipeline DuckDB-expressible (:func:`ann_ivf_topk_sql`).
+
+    Scale plan: each base vector computes its cell ONCE (JVM expressions,
+    one pass — at 100 TB this is the index build, persisted alongside the
+    table); candidates come from an equi-join on ``cell`` against the
+    query's probe set (broadcast — n_queries × n_probe rows), then exact
+    cosine re-ranks.  Never a cross join; cost ≈ |probed cells| / |cells|
+    of brute force."""
+    cents = [
+        F.array(
+            *[(h32(F.lit(f"c{c}:{d}")) / F.lit(float(1 << 31)) - 1.0) for d in range(dim)]
+        ).alias(f"cent_{c}")
+        for c in range(n_cells)
+    ]
+    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *cents)
+    sims = F.array(
+        *[
+            _dot(F.col("_v"), F.col(f"cent_{c}"))
+            / (F.col("_norm") * F.sqrt(_dot(F.col(f"cent_{c}"), F.col(f"cent_{c}"))))
+            for c in range(n_cells)
+        ]
+    )
+    with_sims = base.select("vec_id", sims.alias("_sims"))
+    # cell assignment: argmax centroid similarity, first-match tie-break —
+    # array_position is 1-based first occurrence on both engines
+    cells = with_sims.select(
+        "vec_id",
+        F.expr("array_position(_sims, array_max(_sims))").alias("cell"),
+    )
+    # query probes: top-n_probe cells by (sim desc, cell asc)
+    qs = with_sims.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.col("_sims")).alias("c0", "sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("c0"))
+    probes = (
+        qs.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", (F.col("c0") + 1).alias("cell"))  # 1-based like cells
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    return _exact_rerank(cand, embeddings, n_queries, k)
+
+
+def ann_ivf_topk_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivf_topk` (same md5-derived centroids)."""
+
+    def cent(c: int) -> str:
+        return (
+            f"list_transform(range(0, {dim}), d -> "
+            f"CAST(('0x' || substr(md5('c{c}:' || d), 1, 8)) AS UBIGINT)::BIGINT"
+            f" / 2147483648.0 - 1.0)"
+        )
+
+    sims = ", ".join(
+        f"list_dot_product(v, {cent(c)})"
+        f" / (nrm * sqrt(list_dot_product({cent(c)}, {cent(c)})))"
+        for c in range(n_cells)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    simmed AS (SELECT vec_id, v, nrm, [{sims}] AS sims FROM base),
+    cells AS (
+        SELECT vec_id, list_position(sims, list_max(sims)) AS cell FROM simmed
+    ),
+    qexp AS (
+        SELECT s.vec_id AS query_id, t.c + 1 AS cell, s.sims[t.c + 1] AS sim
+        FROM simmed s, range(0, {n_cells}) AS t(c)
+        WHERE s.vec_id < {n_queries}
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cell ASC) AS prank
+            FROM qexp
+        ) WHERE prank <= {n_probe}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, cl.vec_id
+        FROM cells cl JOIN probes p ON cl.cell = p.cell
+        WHERE cl.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(b.v, q.v) / (b.nrm * q.nrm), 6) AS cosine
+        FROM cand c JOIN base b ON b.vec_id = c.vec_id
+                    JOIN base q ON q.vec_id = c.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
 def dedup_embedding_cosine(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -97,6 +97,32 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_ann_ivf_recall_and_structure(spark):
+    """IVF-flat with md5-derived fixed centroids: candidates only from the
+    query's probed cells, exact re-rank — results are a subset of brute
+    force per query, with usable recall at 4-of-16 probes on the real
+    embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, n_queries=5, k=5).collect()
+    }
+    got = similarity.ann_ivf_topk(emb, n_queries=5, k=5).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    # re-rank is exact, so every reported cosine matches brute force's value
+    assert len(approx & exact) / len(exact) >= 0.5  # 4/16 cells probed
+    # probing MORE cells must only improve (monotone in n_probe), and
+    # probing all cells IS brute force
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(emb, n_queries=5, k=5, n_probe=16).collect()
+    }
+    assert full == exact
+    # determinism: second run identical
+    again = similarity.ann_ivf_topk(emb, n_queries=5, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
 def test_dedup_embedding_cosine(spark):
     """Near-dup pairs by embedding cosine: candidates via the LSH self-join,
     exact verification.  The synthetic embeddings carry no planted dups (max
