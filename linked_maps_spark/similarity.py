@@ -142,27 +142,7 @@ def ann_lsh_topk(
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    vecs = with_norm(embeddings).select("vec_id", "_v", "_norm")
-    qv = vecs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_norm").alias("_qn"),
-    )
-    scored = (
-        cand.join(vecs, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
-        .orderBy("query_id", "rank")
-    )
+    return _exact_rerank(cand, embeddings, n_queries, k)
 
 
 def _exact_rerank(cand: DataFrame, embeddings: DataFrame, n_queries: int, k: int) -> DataFrame:
