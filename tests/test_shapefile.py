@@ -191,6 +191,36 @@ def test_region_tile_origin_sharding_two_states(spark, tmp_path):
 
 
 @needs_refdata
+def test_region_tile_sharding_polygon_wetlands(spark, tmp_path):
+    """Polygon-mode tile sharding: the reference's ca + tx wetlands
+    (~24° of longitude apart) in one WAL at pitch 0.001° (16.4° window) —
+    per-region origins ingest both through one POLYGON engine."""
+    from linked_maps_spark.ingest import CdcEngine
+    from linked_maps_spark.snap import derive_origins, snap_change_log
+
+    tx = CA_WET.replace("/ca", "/tx")
+    wal = shp_dir_change_log(spark, CA_WET).unionByName(shp_dir_change_log(spark, tx))
+    pitch = 0.001
+    origins = derive_origins(wal, pitch=pitch, origin_key="path")
+    assert set(origins) == {"ca", "tx"}
+    assert abs(origins["ca"][0] - origins["tx"][0]) > 16  # beyond one window
+    eng = CdcEngine(spark, str(tmp_path / "wet2"), geom_type=G.POLYGON, n_buckets=2)
+    eng.create_tables(overwrite=True)
+    eng.ingest(
+        snap_change_log(wal, geom_type=G.POLYGON, pitch=pitch,
+                        origins=origins, origin_key="path"),
+        commits_per_epoch=4,
+    )
+    seg = eng.current_segments()
+    per_key = {r["path"]: r["n"] for r in seg.groupBy("path").count()
+               .withColumnRenamed("count", "n").collect()}
+    # both regions fold into polygon lattices beyond their raw editions
+    assert per_key["ca"] > 4 and per_key["tx"] > 3
+    assert all(r["wkt"].startswith("MULTIPOLYGON")
+               for r in seg.select("wkt").limit(20).collect())
+
+
+@needs_refdata
 def test_golden_ttl_parity_ca_railroads(spark, tmp_path):
     """Parity against the reference's SHIPPED golden output
     (data/railroads/ca/linked_maps.railroads.ca.ttl, README.md:168-183) —
