@@ -390,7 +390,13 @@ class LakeTable:
 
         ``schema`` is union-merged with the CURRENT table schema at call
         time, so a column introduced by a concurrent earlier epoch is never
-        dropped from the table schema."""
+        dropped from the table schema.
+
+        Scale note: hard links are the POSIX analog of what object-store
+        lakehouses do natively — an Iceberg/Delta manifest references data
+        files wherever they were written, no rename/copy required.  On a
+        100 TB S3/HDFS deployment this method would simply record the
+        staged files' absolute paths in the manifest instead of linking."""
         merged = StructType(list(self.schema().fields))
         names = {f.name for f in merged.fields}
         for f in schema.fields:
