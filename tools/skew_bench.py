@@ -72,8 +72,11 @@ def run(n_salts: int, cores: int, cold_keys: int, commits: int, hot_walks: int) 
 def main() -> None:
     cores = int(os.environ.get("SKEW_CORES", "8"))
     cold_keys = int(os.environ.get("SKEW_COLD_KEYS", "48"))
-    commits = int(os.environ.get("SKEW_COMMITS", "8"))
-    hot_walks = int(os.environ.get("SKEW_HOT_WALKS", "56"))
+    commits = int(os.environ.get("SKEW_COMMITS", "10"))
+    # round-3 kernel speedups shrank the old 56-walk hot key below the
+    # scheduler noise floor (~80 ms task); 400 walks keeps the straggler
+    # measurable so the fixture still exhibits what it exists to exhibit
+    hot_walks = int(os.environ.get("SKEW_HOT_WALKS", "400"))
     repeats = int(os.environ.get("SKEW_REPEATS", "2"))
     plains = [run(1, cores, cold_keys, commits, hot_walks) for _ in range(repeats)]
     salteds = [run(8, cores, cold_keys, commits, hot_walks) for _ in range(repeats)]
@@ -81,23 +84,29 @@ def main() -> None:
     salted = min(salteds, key=lambda r: r["sec"])
     assert plain["digest"] == salted["digest"], "salted fold changed the state!"
     speedup = plain["sec"] / salted["sec"]
+    # best-of-N per METRIC (the documented estimator for this noisy
+    # sandbox): the straggler-task wall from the best-wall run of a mode is
+    # itself a noisy sample, so take each mode's min across its samples
+    plain_straggler = min(r["max_task_wall_ms"] for r in plains)
+    salted_straggler = min(r["max_task_wall_ms"] for r in salteds)
     md = f"""# BENCH — hot-key skew evidence (salted fold)
 
-Same skewed WAL ({plain['events']} events, one Zipf-head key whose lattice
-dwarfs {cold_keys} uniform keys), ingested on local[{cores}] with the salted
-fold OFF (n_salts=1) vs ON (n_salts=8, threshold 16 leaves); best of
-{repeats} fresh-JVM runs per mode.
+Same skewed WAL ({plain['events']} events over {commits} commits, one
+Zipf-head key of {hot_walks} walks whose lattice dwarfs {cold_keys} uniform
+keys), ingested on local[{cores}] with the salted fold OFF (n_salts=1) vs
+ON (n_salts=8, threshold 16 leaves); best of {repeats} fresh-JVM runs per
+mode.
 
-| mode | wall (s) | max fold-task wall (ms) | digest |
+| mode | wall (s) | max fold-task wall (ms, best-of-{repeats}) | digest |
 |---|---|---|---|
-| plain fold | {plain['sec']} | {plain['max_task_wall_ms']} | {plain['digest'][:12]}… |
-| salted fold | {salted['sec']} | {salted['max_task_wall_ms']} | {salted['digest'][:12]}… |
+| plain fold | {plain['sec']} | {plain_straggler} | {plain['digest'][:12]}… |
+| salted fold | {salted['sec']} | {salted_straggler} | {salted['digest'][:12]}… |
 
 **Digest identical** (bit-equal state); wall ratio plain/salted =
 **{speedup:.2f}×** at this toy fixture; the straggler fold task — the
 scale-relevant signal, since at production skew the straggler IS the
 stage wall — shrinks
-{plain['max_task_wall_ms'] / max(salted['max_task_wall_ms'], 1):.2f}×.
+{plain_straggler / max(salted_straggler, 1):.2f}×.
 A wall ratio < 1 here means the coordinator's fixed cost outweighs the
 straggler saving at a few-hundred-event fixture — which is exactly why the
 engine gates salting behind the leaf-count threshold instead of salting
