@@ -184,6 +184,20 @@ def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataF
 _live_sig: DataFrame | None = None  # see dedup_minhash_lsh cache lifecycle
 
 
+def clear_cache() -> None:
+    """Release the cached MinHash signature (the ``_live_sig`` slot that
+    :func:`dedup_minhash_lsh` keeps warm across calls).  Library users call
+    this to free executor storage deterministically instead of waiting for
+    the next differing-input call to evict it."""
+    global _live_sig
+    sig, _live_sig = _live_sig, None
+    if sig is not None:
+        try:
+            sig.unpersist(blocking=False)
+        except Exception:
+            pass  # owning SparkSession already stopped: nothing to release
+
+
 def dedup_minhash_lsh(
     documents: DataFrame,
     perms: int = MINHASH_PERMS,
@@ -218,11 +232,19 @@ def dedup_minhash_lsh(
     global _live_sig
     rows = perms // bands
     sig_plan = minhash_signature(documents, perms)
-    if _live_sig is not None and _live_sig.sameSemantics(sig_plan):
-        sig = _live_sig
-    else:
-        if _live_sig is not None:
-            _live_sig.unpersist(blocking=False)
+    sig = None
+    if _live_sig is not None:
+        # a cached DF whose SparkSession was stopped raises on any use;
+        # never let that permanently poison the slot — drop and rebuild
+        try:
+            if _live_sig.sameSemantics(sig_plan):
+                sig = _live_sig
+            else:
+                _live_sig.unpersist(blocking=False)
+                _live_sig = None
+        except Exception:
+            _live_sig = None
+    if sig is None:
         sig = sig_plan.persist()
         _live_sig = sig
     band_vals = F.array(

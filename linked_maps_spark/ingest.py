@@ -46,6 +46,23 @@ from .lakehouse import LakeTable
 
 EVENT_CORE_COLS = ("repo", "path", "commit", "content")
 
+# Names a WAL extra column can NEVER take: they collide with the fold's
+# event/state frame or its output schema on EVERY path — fail fast with a
+# contract error instead of a duplicate-column plan corruption.
+_EXTRAS_FORBIDDEN = frozenset(
+    {"commit", "content", "_is_event", "kind", "_pid", "parent_gid",
+     "child_gid", "_wall_ms", "_n_keys", "_n_segments", "_n_relations",
+     "gid", "name", "seq", "commit_created", "wkt", "content_sha256",
+     "editions", "is_leaf", "retired"}
+)
+# Names reserved only by the FAST combined write's metrics/partition
+# columns: a collision just disables the fast path for the epoch (the
+# per-table merge fallback has no such columns).
+_FAST_RESERVED = frozenset(
+    {"epoch", "partition_id", "n_keys", "n_segments", "n_relations",
+     "n_events", "wall_ms", "attempt", "_bucket"}
+)
+
 COMMIT_LOG_SCHEMA = (
     "epoch long, start_commit string, end_commit string, n_events long, "
     "n_keys long, wall_ms double, throughput_eps double"
@@ -402,7 +419,11 @@ class CdcEngine:
         fully replaced)."""
         from pyspark.sql import Window
 
-        m = self.metrics.read()
+        # rows written before the attempt column existed read as NULL; they
+        # must dedup as attempt 0, not vanish from a NULL comparison
+        m = self.metrics.read().withColumn(
+            "attempt", F.coalesce(F.col("attempt"), F.lit(0).cast("long"))
+        )
         w = Window.partitionBy("epoch")
         return (
             m.withColumn("_ma", F.max("attempt").over(w))
@@ -508,6 +529,15 @@ class CdcEngine:
         live: list[dict] = []  # in-flight epochs to release on any exit
 
         def release(p: dict) -> None:
+            # join the write pool FIRST: on the crash path a caller that
+            # catches and immediately retries ingest must never race a
+            # zombie merge/kept-write job against the retry's scratch rmtree
+            pool = p.get("pool")
+            if pool is not None:
+                try:
+                    pool.shutdown(wait=True, cancel_futures=True)
+                except Exception:
+                    pass
             try:
                 p["release"]()
             except Exception:
@@ -685,6 +715,12 @@ class CdcEngine:
             if f.name not in seg_base_names:
                 extras_map[f.name] = f.dataType.simpleString()
         extras = sorted(extras_map.items())
+        bad = sorted(set(extras_map) & _EXTRAS_FORBIDDEN)
+        if bad:
+            raise ValueError(
+                f"WAL extra column(s) {bad} collide with reserved fold/state "
+                "column names — rename them upstream of ingest"
+            )
 
         def _null(t):
             return F.lit(None).cast(t)
@@ -783,6 +819,10 @@ class CdcEngine:
         fast = (
             seg_snap["n_buckets"] == rel_snap["n_buckets"]
             and seg_snap.get("bucket_cols") == rel_snap.get("bucket_cols")
+            # a WAL extra shadowing a metrics/partition column name would
+            # produce duplicate output columns in the combined write; the
+            # per-table fallback has no such columns, so just take it
+            and not (set(extras_map) & _FAST_RESERVED)
         )
         if fast:
             # COMBINED SINGLE-PASS WRITE: the fold output is written ONCE,
@@ -806,18 +846,25 @@ class CdcEngine:
                 )
                 .cast("int")
             )
+            def m(col):
+                # metrics columns ride ONLY on timing rows; segment/relation
+                # rows keep them NULL so the adopted data files stay clean
+                # (null columns RLE-compress to ~nothing instead of stamping
+                # epoch/attempt into every table row forever)
+                return F.when(F.col("kind") == "timing", col)
+
             combined = folded.select(
                 "kind",
                 *seg_cols_x,
                 "parent_gid", "child_gid",
-                F.lit(epoch).alias("epoch"),
-                F.col("_pid").alias("partition_id"),
-                F.col("_n_keys").alias("n_keys"),
-                F.col("_n_segments").alias("n_segments"),
-                F.col("_n_relations").alias("n_relations"),
+                m(F.lit(epoch).cast("long")).alias("epoch"),
+                m(F.col("_pid")).alias("partition_id"),
+                m(F.col("_n_keys")).alias("n_keys"),
+                m(F.col("_n_segments")).alias("n_segments"),
+                m(F.col("_n_relations")).alias("n_relations"),
                 F.lit(None).cast("long").alias("n_events"),
-                F.col("_wall_ms").alias("wall_ms"),
-                F.lit(attempt).alias("attempt"),
+                m(F.col("_wall_ms")).alias("wall_ms"),
+                m(F.lit(attempt).cast("long")).alias("attempt"),
                 bucket_col.alias("_bucket"),
             )
             scratch = os.path.join(self.warehouse, "_stage", f"e{epoch}")

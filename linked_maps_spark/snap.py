@@ -216,6 +216,16 @@ def snap_change_log(
     def snap_tiled(key: pd.Series, s: pd.Series) -> pd.Series:
         out = []
         for k, w in zip(key, s):
+            w = (w or "").strip()
+            if not w:
+                # tombstone pass-through BEFORE the tile lookup: a key whose
+                # onboarding rows were all tombstones has no derived origin,
+                # and the contract says tombstones always pass
+                out.append("")
+                continue
+            if w.upper().endswith("EMPTY"):
+                out.append(f"{geom_type} EMPTY")
+                continue
             if k not in omap:
                 raise G.GeometryError(f"no tile origin for {origin_key}={k!r}")
             out.append(snap_wkt(w, geom_type, pitch, tuple(omap[k])))

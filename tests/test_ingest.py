@@ -277,6 +277,72 @@ def test_schema_evolution(spark, tmp_path):
     assert table_digest(eng2.current_segments(), SEG_COLS + ["attrs"]) == d1
 
 
+def test_read_metrics_keeps_legacy_null_attempt_rows(spark, tmp_path):
+    """A pre-attempt-column warehouse read by current code: metrics rows with
+    attempt NULL must dedup as attempt 0, not vanish from a NULL comparison."""
+    eng = _engine(spark, tmp_path, "legacy")
+    eng.ingest(to_spark(spark, synth_change_log(n_keys=2, n_commits=2, seed=3)),
+               commits_per_epoch=2)
+    # legacy row: epoch 99 written WITHOUT the attempt column (NULL-filled)
+    legacy = spark.range(1).select(
+        F.lit(99).cast("long").alias("epoch"),
+        F.lit(0).cast("int").alias("partition_id"),
+        F.lit(1).cast("long").alias("n_keys"),
+        F.lit(1).cast("long").alias("n_segments"),
+        F.lit(0).cast("long").alias("n_relations"),
+        F.lit(1).cast("long").alias("n_events"),
+        F.lit(1.0).alias("wall_ms"),
+    )
+    eng.metrics.append(legacy)
+    m = eng.read_metrics()
+    assert m.filter(F.col("epoch") == 99).count() == 1
+
+
+def test_wal_extra_column_collisions(spark, tmp_path):
+    """(a) an extra shadowing a fold/state column fails fast with a contract
+    error; (b) an extra shadowing only a fast-path metrics column falls back
+    to the per-table merge path and ingests correctly."""
+    wal = synth_change_log(n_keys=3, n_commits=2, seed=7)
+
+    eng = _engine(spark, tmp_path, "badcol")
+    with pytest.raises(Exception, match="reserved fold/state"):
+        eng.ingest(to_spark(spark, wal).withColumnRenamed("lang", "gid"),
+                   commits_per_epoch=2)
+
+    eng2 = _engine(spark, tmp_path, "shadowcol")
+    eng2.ingest(to_spark(spark, wal).withColumnRenamed("lang", "attempt"),
+                commits_per_epoch=2)
+    ref = _engine(spark, tmp_path, "shadowref")
+    ref.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    assert table_digest(eng2.current_segments(), SEG_COLS) == \
+        table_digest(ref.current_segments(), SEG_COLS)
+    # the WAL's own values survived on the edition nodes (not the engine's)
+    vals = {r["attempt"] for r in eng2.current_segments()
+            .filter(F.col("attempt").isNotNull()).collect()}
+    assert vals and vals <= set(wal["lang"])
+
+
+def test_adopted_data_files_carry_no_metrics_values(spark, full):
+    """Fast-path adopted segment files physically contain the combined
+    write's metrics columns, but they must be all-NULL on data rows — the
+    table stays clean (columns are invisible to schema-projected reads and
+    RLE-compress to ~nothing)."""
+    import os
+
+    eng, _ = full
+    snap = eng.segments.snapshot()
+    paths = [os.path.join(eng.segments.path, f["path"]) for f in snap["files"]]
+    assert paths, "fixture wrote no segment files"
+    # no schema projection: see the files' real columns (kept-row files lack
+    # the metrics columns entirely, so union the schemas)
+    raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for c in ("epoch", "partition_id", "wall_ms", "attempt"):
+        if c in raw.columns:
+            assert raw.filter(F.col(c).isNotNull()).count() == 0, c
+    # and the projected read never exposes them
+    assert "epoch" not in eng.current_segments().columns
+
+
 def test_tombstone_retire_via_engine(spark, tmp_path):
     wal = synth_change_log(n_keys=4, n_commits=5, seed=8, tombstone_every=2)
     eng = _engine(spark, tmp_path, "tomb")

@@ -56,6 +56,30 @@ def test_dedup_minhash_lsh(docs):
     assert all(v < 1.0 for k, v in pairs.items() if k != (1, 2))
 
 
+def test_minhash_cache_recovers_and_releases(docs):
+    """A dead cached signature (owning SparkSession stopped) must not
+    permanently poison dedup_minhash_lsh; clear_cache() releases the slot."""
+
+    class _Dead:
+        def sameSemantics(self, other):
+            raise RuntimeError("session stopped")
+
+        def unpersist(self, blocking=False):
+            raise RuntimeError("session stopped")
+
+    old = dedup._live_sig
+    try:
+        dedup._live_sig = _Dead()
+        assert dedup.dedup_minhash_lsh(docs).count() > 0
+        assert dedup._live_sig is not None
+        assert not isinstance(dedup._live_sig, _Dead)
+        dedup.clear_cache()
+        assert dedup._live_sig is None
+    finally:
+        dedup.clear_cache()
+        dedup._live_sig = old
+
+
 def test_simhash_similarity_order(docs):
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     def ham(a, b):

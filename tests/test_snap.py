@@ -76,6 +76,29 @@ def test_snap_tombstone_and_empty():
     assert S.snap_wkt("LINESTRING (-122.0001 37.0001, -122.0002 37.0002)").endswith("EMPTY")
 
 
+def test_snap_tiled_tombstone_passthrough(spark):
+    """Tiled mode: tombstones ('') and EMPTY pass through BEFORE the tile
+    lookup — a key whose onboarding rows were all tombstones has no derived
+    origin and must not raise 'no tile origin'."""
+    from linked_maps_spark.snap import snap_change_log
+
+    df = spark.createDataFrame(
+        [("known", "p", "c0", "LINESTRING (-122.40 37.70, -122.38 37.71)"),
+         ("known", "p", "c1", ""),
+         ("ghost", "p", "c0", ""),
+         ("ghost", "p", "c1", "MULTILINESTRING EMPTY")],
+        "repo string, path string, commit string, content string",
+    )
+    out = {
+        (r["repo"], r["commit"]): r["content"]
+        for r in snap_change_log(df, origins={"known": (-123.0, 37.0)}).collect()
+    }
+    assert out[("ghost", "c0")] == ""
+    assert out[("ghost", "c1")] == "MULTILINESTRING EMPTY"
+    assert out[("known", "c1")] == ""
+    assert out[("known", "c0")].startswith("MULTILINESTRING")
+
+
 def _offgrid_wal(n_keys=4, n_commits=3, seed=11) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     rows = []
