@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import h32
+from .dedup import MAX_KEY_DF, h32
 
 
 def _dot(a, b):
@@ -305,9 +305,10 @@ def ann_ivf_topk_sql(
 def dedup_embedding_cosine(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int = 32,
     n_bands: int = 4,
     dim: int = 64,
+    max_bucket: int = MAX_KEY_DF,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family variant of
     ANN): candidates from the band-OR hyperplane LSH self-join — never a
@@ -316,7 +317,20 @@ def dedup_embedding_cosine(
     Approximate-candidate + exact-verify semantics: a qualifying pair is
     reported iff it shares ≥1 LSH band (standard near-dup practice; raise
     ``n_bands`` for recall).  The SQL oracle mirrors the same candidate rule,
-    so results are value-exact."""
+    so results are value-exact.
+
+    Scale guards (both mirrored in the oracle so values stay exact):
+
+    * **wide bands** — 32 planes / 4 bands = 8 bits per band: a random pair
+      shares a band with probability ≈ 1−(1−0.5⁸)⁴ ≈ 1.6% (vs ~68% at the
+      old 2-bit bands), so the self-join fan-out is sparse by construction,
+      while a true near-dup at cosine ≥ 0.9 (sign-agree ≈ 0.86) is caught
+      with probability ≈ 1−(1−0.86⁸)⁴ ≈ 0.76;
+    * **hot-bucket ceiling** — band buckets larger than ``max_bucket`` are
+      dropped on both sides before the self-join (the ``dedup.py`` MinHash
+      pattern): one degenerate bucket of B rows would otherwise emit O(B²)
+      pairs, so total candidates stay ≤ N·bands·max_bucket — linear in N,
+      never quadratic."""
     rows = n_planes // n_bands
     planes = [
         F.array(
@@ -336,6 +350,13 @@ def dedup_embedding_cosine(
         ]
     )
     banded = base.select("vec_id", F.explode(band_vals).alias("band_val"))
+    small = (
+        banded.groupBy("band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band_val")
+    )
+    banded = banded.join(small, "band_val", "left_semi")
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(c, (F.col("a.band_val") == F.col("c.band_val"))
@@ -362,8 +383,15 @@ def dedup_embedding_cosine(
 
 
 def dedup_embedding_cosine_sql(
-    threshold: float = 0.9, n_planes: int = 8, n_bands: int = 4, dim: int = 64
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    dim: int = 64,
+    max_bucket: int = MAX_KEY_DF,
 ) -> str:
+    """DuckDB oracle for :func:`dedup_embedding_cosine` — same wide bands,
+    same hot-bucket ceiling (band buckets > ``max_bucket`` dropped before
+    the self-join), so results stay value-exact."""
     rows = n_planes // n_bands
 
     def plane(p: int) -> str:
@@ -378,10 +406,6 @@ def dedup_embedding_cosine_sql(
         for p in range(n_planes)
     )
     sig = " || ".join(f"bit_{p}" for p in range(n_planes))
-    band_or = " OR ".join(
-        f"substr(a.sig, {b * rows + 1}, {rows}) = substr(c.sig, {b * rows + 1}, {rows})"
-        for b in range(n_bands)
-    )
     return f"""
     WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -390,9 +414,23 @@ def dedup_embedding_cosine_sql(
     ),
     bitted AS (SELECT vec_id, v, nrm, {bits} FROM base),
     sig AS (SELECT vec_id, v, nrm, {sig} AS sig FROM bitted),
+    banded_all AS (
+        SELECT vec_id, t.b AS band_no,
+               substr(sig, t.b * {rows} + 1, {rows}) AS band_bits
+        FROM sig, range(0, {n_bands}) AS t(b)
+    ),
+    small AS (
+        SELECT band_no, band_bits FROM banded_all
+        GROUP BY band_no, band_bits HAVING COUNT(*) <= {max_bucket}
+    ),
+    banded AS (
+        SELECT b.* FROM banded_all b JOIN small USING (band_no, band_bits)
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-        FROM sig a JOIN sig c ON a.vec_id < c.vec_id AND ({band_or})
+        FROM banded a JOIN banded c
+          ON a.band_no = c.band_no AND a.band_bits = c.band_bits
+         AND a.vec_id < c.vec_id
     ),
     scored AS (
         SELECT cand.vec_a, cand.vec_b,

@@ -151,8 +151,9 @@ def test_dedup_embedding_cosine(spark):
     """Near-dup pairs by embedding cosine: candidates via the LSH self-join,
     exact verification.  The synthetic embeddings carry no planted dups (max
     pairwise cosine ~0.5), so the operating threshold is 0.4 where the
-    fixture has real pair mass; at cosine 0.4 the 4-band OR catches ~87% of
-    true pairs (sign-agree rate 0.63 → band rate 0.4)."""
+    fixture has real pair mass; with 8-bit bands the 4-band OR catches ~10%
+    of those weak pairs (sign-agree 0.63 → band rate 0.63⁸ ≈ 0.025) —
+    design-regime near-dups at cosine ≥ 0.9 are caught at ~76%."""
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     got = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
@@ -161,6 +162,37 @@ def test_dedup_embedding_cosine(spark):
     assert got, "threshold 0.4 must surface candidate pairs on this fixture"
     assert all(c >= 0.4 for c in got.values())
     assert all(a < b for a, b in got)
+
+
+def test_dedup_embedding_cosine_hot_bucket_ceiling(spark):
+    """The last provable quadratic: a planted dense band bucket (many
+    identical vectors — they share EVERY band) must be dropped by the
+    max_bucket ceiling, not emit O(B²) pairs; small duplicate groups under
+    the ceiling still come through at full cosine."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    dense = rng.normal(size=8).tolist()
+    for i in range(120):  # dense cluster: identical vector 120× (> ceiling)
+        rows.append((i, [float(x) for x in dense]))
+    pair = rng.normal(size=8).tolist()
+    rows.append((500, [float(x) for x in pair]))   # planted dup pair
+    rows.append((501, [float(x) for x in pair]))   # (bucket size 2 ≤ ceiling)
+    for i in range(600, 620):  # background spread
+        rows.append((i, [float(x) for x in rng.normal(size=8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = similarity.dedup_embedding_cosine(
+        emb, threshold=0.99, dim=8, max_bucket=50
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    # without the ceiling the dense cluster alone emits 120·119/2 = 7140
+    # pairs; with it the cluster's buckets (size 120 > 50) are dropped
+    assert (500, 501) in pairs
+    assert all(not (a < 120 and b < 120) for a, b in pairs)
+    # linear bound: candidates ≤ N · bands · max_bucket, nowhere near N²
+    assert len(out) < len(rows) * 4
 
 
 def test_token_stats_and_langid(docs):
