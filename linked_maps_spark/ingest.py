@@ -357,6 +357,10 @@ class CdcEngine:
         # test hook: raise after the named step to exercise crash-replay
         # windows ("relations_merge", "segments_merge")
         self._crash_after: str | None = None
+        # observability: per-engine count of epochs that took the combined
+        # single-pass fast path vs the per-table merge fallback (tests
+        # assert the fast path survives rebucketing)
+        self.path_counts = {"fast": 0, "fallback": 0}
 
     # ---------------------------------------------------------------- tables
 
@@ -434,10 +438,16 @@ class CdcEngine:
     # ----------------------------------------------------------------- state
 
     def watermark(self) -> str | None:
-        """Last fully committed commit label (from the commit_log table)."""
-        df = self.commit_log.read()
-        row = df.agg(F.max("end_commit").alias("wm")).collect()[0]
-        return row["wm"]
+        """Last fully committed commit label.
+
+        O(1) driver-side manifest read — NOT a Spark job: every commit-log
+        append (and the log-compaction overwrite) records its ``end_commit``
+        in the snapshot summary, and epochs commit in ascending commit
+        order, so the newest summary value IS the max.  At any scale this
+        makes the per-ingest-call watermark lookup a single small JSON read
+        instead of a full commit-log scan + agg job."""
+        wm = self.commit_log.latest_summary_value("end_commit")
+        return None if wm is None else str(wm)
 
     def current_segments(self) -> DataFrame:
         return self.segments.read()
@@ -601,32 +611,54 @@ class CdcEngine:
         for tbl, dedup in ((self.commit_log, False), (self.metrics, True)):
             if len(tbl.snapshot()["files"]) > max_log_files:
                 df = self.read_metrics() if dedup else tbl.read()
+                summary = {"reason": "log-compaction"}
                 if dedup:
                     # compaction re-bases attempts: deduped rows all become
                     # attempt 0 of the compacted generation (later appends
                     # commit at higher versions, so monotonicity holds)
                     df = df.withColumn("attempt", F.lit(0).cast("long"))
-                tbl.overwrite(df, summary={"reason": "log-compaction"})
+                else:
+                    # the O(1) watermark reads the newest snapshot summary's
+                    # end_commit; the compaction overwrite must carry it
+                    # forward or expiry could strand the metadata path
+                    wm = self.watermark()
+                    if wm is not None:
+                        summary["end_commit"] = wm
+                tbl.overwrite(df, summary=summary)
         for tbl in (self.segments, self.relations, self.commit_log, self.metrics):
             tbl.expire_snapshots(keep_last=keep_snapshots)
 
     def maybe_rebucket(self, target_bucket_bytes: int | None = None) -> None:
-        """Post-ingest maintenance: double a table's bucket count while its
-        mean bucket size exceeds the target.  Layout-only (digests
-        unchanged); amortized once per ingest call, not per epoch."""
+        """Post-ingest maintenance: double the bucket count while mean
+        bucket size exceeds the target.  Layout-only (digests unchanged);
+        amortized once per ingest call, not per epoch.
+
+        **Shared layout policy**: segments and relations move TOGETHER to
+        the max of their individually-desired counts.  The combined
+        single-pass epoch write (the fast path) requires both tables to
+        share one bucket layout; letting each table double by its own mean
+        size diverged them exactly when the table grew — disabling the
+        flagship optimization at the scale that needs it most.  The cost of
+        over-bucketing the smaller table (relations) is only file count;
+        the cost of divergence is three write jobs instead of one on every
+        later epoch.  This also re-converges layouts diverged by an
+        external rewrite, restoring the fast path on the next call."""
         target = target_bucket_bytes or self.target_bucket_bytes
-        for tbl in (self.segments, self.relations):
+        tables = (self.segments, self.relations)
+        shared = 0
+        for tbl in tables:
             stats = tbl.bucket_stats()
-            if not stats:
-                continue
             n = tbl.snapshot()["n_buckets"]
-            mean = sum(stats.values()) / n
             new_n = n
-            while mean > target and new_n < (1 << 20):
-                new_n *= 2
-                mean /= 2
-            if new_n != n:
-                tbl.rebucket(new_n, summary={"reason": "mean bucket over target"})
+            if stats:
+                mean = sum(stats.values()) / n
+                while mean > target and new_n < (1 << 20):
+                    new_n *= 2
+                    mean /= 2
+            shared = max(shared, new_n)
+        for tbl in tables:
+            if tbl.snapshot()["n_buckets"] != shared:
+                tbl.rebucket(shared, summary={"reason": "shared layout policy"})
 
     def _prepare_epoch(
         self,
@@ -824,6 +856,7 @@ class CdcEngine:
             # per-table fallback has no such columns, so just take it
             and not (set(extras_map) & _FAST_RESERVED)
         )
+        self.path_counts["fast" if fast else "fallback"] += 1
         if fast:
             # COMBINED SINGLE-PASS WRITE: the fold output is written ONCE,
             # dynamic-partitioned by (kind, bucket), straight off the fold's

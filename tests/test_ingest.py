@@ -182,18 +182,58 @@ def test_stale_scratch_dir_overwritten_and_cleaned(spark, tmp_path, wal_pdf, ful
 
 def test_diverged_bucket_layout_falls_back(spark, tmp_path, wal_pdf, full):
     """The combined single-pass epoch write requires segments/relations to
-    share a bucket layout; after a rebucket diverges them the per-table
-    merge fallback must take over and still converge to the identical
-    digests."""
+    share a bucket layout; after an EXTERNAL rebucket diverges them the
+    per-table merge fallback must take over mid-call and still converge to
+    identical digests — and post-ingest maintenance re-aligns the layouts
+    so the next call is back on the fast path."""
     eng, _ = full
     part = _engine(spark, tmp_path, "diverge")
     sdf = to_spark(spark, wal_pdf)
     part.ingest(sdf, commits_per_epoch=2, max_epochs=1)       # fast path
     part.segments.rebucket(8)  # diverge: segments 8 buckets, relations 4
+    before = dict(part.path_counts)
     part.ingest(sdf, commits_per_epoch=2)                     # fallback path
-    assert part.segments.snapshot()["n_buckets"] != part.relations.snapshot()["n_buckets"]
+    assert part.path_counts["fallback"] > before["fallback"]
     assert _seg_digest(part) == _seg_digest(eng)
     assert table_digest(part.relations.read()) == table_digest(eng.relations.read())
+    # maintenance re-converged the layouts: the fast path is restored
+    assert (part.segments.snapshot()["n_buckets"]
+            == part.relations.snapshot()["n_buckets"])
+
+
+def test_fast_path_survives_size_triggered_rebucket(spark, tmp_path):
+    """Shared layout policy: a segments-only size trigger doubles BOTH
+    tables into one layout, so the next ingest still takes the combined
+    single-pass fast path — the flagship write optimization must not
+    self-disable exactly when the table grows (the steady state at scale)."""
+    wal = synth_change_log(n_keys=6, n_commits=4, seed=23)
+    commits = sorted(set(wal["commit"]))
+    first = wal[wal.commit <= commits[1]]
+
+    eng = _engine(spark, tmp_path, "corebucket")
+    eng.ingest(to_spark(spark, first), commits_per_epoch=2)
+    n0 = eng.segments.snapshot()["n_buckets"]
+    seg_mean = sum(eng.segments.bucket_stats().values()) / n0
+    rel_mean = sum(eng.relations.bucket_stats().values()) / n0
+    assert rel_mean < seg_mean, "fixture: segments must be the bigger table"
+    # target between the two means: ONLY segments trips the doubling
+    eng.target_bucket_bytes = int((rel_mean + seg_mean) / 2)
+    eng.maintain()
+    n1 = eng.segments.snapshot()["n_buckets"]
+    assert n1 > n0
+    assert eng.relations.snapshot()["n_buckets"] == n1  # co-rebucketed
+
+    before = dict(eng.path_counts)
+    eng.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    assert eng.path_counts["fallback"] == before["fallback"], \
+        "rebucketing must not knock the epoch write off the fast path"
+    assert eng.path_counts["fast"] > before["fast"]
+
+    # digests identical to a never-rebucketed straight run
+    ref = _engine(spark, tmp_path, "corebucket_ref")
+    ref.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    assert _seg_digest(eng) == _seg_digest(ref)
+    assert table_digest(eng.relations.read()) == table_digest(ref.relations.read())
 
 
 def test_metrics_append_io_flat_in_epoch_count(spark, tmp_path, monkeypatch):
@@ -275,6 +315,25 @@ def test_schema_evolution(spark, tmp_path):
     eng2 = CdcEngine(spark, eng.warehouse, geom_type=G.LINE, n_buckets=4)
     eng2.ingest(to_spark(spark, evolved), commits_per_epoch=3)
     assert table_digest(eng2.current_segments(), SEG_COLS + ["attrs"]) == d1
+
+
+def test_watermark_is_metadata_only(spark, tmp_path, monkeypatch):
+    """watermark() must be an O(1) driver-side manifest read — never a Spark
+    job — and must survive log compaction + snapshot expiry (the compaction
+    overwrite carries end_commit forward in its summary)."""
+    from linked_maps_spark.lakehouse import LakeTable
+
+    wal = synth_change_log(n_keys=3, n_commits=12, seed=19)
+    eng = _engine(spark, tmp_path, "wm")
+    eng.ingest(to_spark(spark, wal), commits_per_epoch=1)  # forces compaction
+    assert any(
+        s.get("summary", {}).get("reason") == "log-compaction"
+        for s in eng.commit_log.history()
+    ), "fixture did not trigger log compaction"
+    def boom(self, *a, **k):
+        raise AssertionError("watermark() launched a table read")
+    monkeypatch.setattr(LakeTable, "read", boom)
+    assert eng.watermark() == max(wal["commit"])
 
 
 def test_read_metrics_keeps_legacy_null_attempt_rows(spark, tmp_path):
