@@ -84,6 +84,133 @@ def cosine_topk_sql(n_queries: int = 5, k: int = 5) -> str:
     """
 
 
+def lsh_band_array(
+    embeddings: DataFrame, n_planes: int = 8, n_bands: int = 4, dim: int = 64
+) -> DataFrame:
+    """(vec_id, bands array<string>) — each vector's LSH band values, the
+    per-vector index state shared by the on-the-fly ANN paths and the
+    persisted ``vec_index`` table (vec_index.py): one definition, so the
+    indexed and recompute paths are provably identical."""
+    rows = n_planes // n_bands
+    planes = [
+        F.array(
+            *[
+                (h32(F.lit(f"{p}:{d}")) / F.lit(float(1 << 31)) - 1.0)
+                for d in range(dim)
+            ]
+        ).alias(f"plane_{p}")
+        for p in range(n_planes)
+    ]
+    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
+    bits = [
+        F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    band_vals = F.array(
+        *[
+            F.concat_ws("", F.lit(f"{b}_"), *bits[b * rows : (b + 1) * rows])
+            for b in range(n_bands)
+        ]
+    )
+    return base.select("vec_id", band_vals.alias("bands"))
+
+
+def lsh_bands(
+    embeddings: DataFrame, n_planes: int = 8, n_bands: int = 4, dim: int = 64
+) -> DataFrame:
+    """(vec_id, band_val) exploded rows of :func:`lsh_band_array`."""
+    return lsh_band_array(embeddings, n_planes, n_bands, dim).select(
+        "vec_id", F.explode(F.col("bands")).alias("band_val")
+    )
+
+
+def md5_centroid(c: int, dim: int) -> list[float]:
+    """Driver-side value of the md5-derived IVF centroid ``c`` (the same
+    ``h32(f"c{c}:{d}")/2^31 - 1`` components the SQL oracle computes)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"c{c}:{d}".encode()).hexdigest()[:8], 16)
+        / float(1 << 31)
+        - 1.0
+        for d in range(dim)
+    ]
+
+
+def _ivf_sims(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(vec_id, _sims array<double>): cosine similarity of each vector to
+    every coarse centroid.  ``centroids`` defaults to the md5-derived fixed
+    directions (oracle-checkable); pass trained centroids (vec_index.py)
+    for the data-dependent variant."""
+    if centroids is None:
+        cents = [
+            F.array(
+                *[(h32(F.lit(f"c{c}:{d}")) / F.lit(float(1 << 31)) - 1.0) for d in range(dim)]
+            ).alias(f"cent_{c}")
+            for c in range(n_cells)
+        ]
+    else:
+        n_cells = len(centroids)
+        cents = [
+            F.array(*[F.lit(float(x)) for x in centroids[c]]).alias(f"cent_{c}")
+            for c in range(n_cells)
+        ]
+    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *cents)
+    sims = F.array(
+        *[
+            _dot(F.col("_v"), F.col(f"cent_{c}"))
+            / (F.col("_norm") * F.sqrt(_dot(F.col(f"cent_{c}"), F.col(f"cent_{c}"))))
+            for c in range(n_cells)
+        ]
+    )
+    return base.select("vec_id", sims.alias("_sims"))
+
+
+def ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(vec_id, cell): IVF coarse-cell assignment — argmax centroid
+    similarity, first-match tie-break (array_position is 1-based first
+    occurrence on both engines).  The per-vector index state of the IVF
+    paths; persisted by vec_index.py."""
+    return _ivf_sims(embeddings, n_cells, dim, centroids).select(
+        "vec_id",
+        F.expr("array_position(_sims, array_max(_sims))").cast("int").alias("cell"),
+    )
+
+
+def ivf_probes(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(query_id, cell): each query vector's top-``n_probe`` cells by
+    (sim desc, cell asc) — computed over ONLY the query rows."""
+    qs = _ivf_sims(
+        embeddings.filter(F.col("vec_id") < n_queries), n_cells, dim, centroids
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.col("_sims")).alias("c0", "sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("c0"))
+    return (
+        qs.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", (F.col("c0") + 1).cast("int").alias("cell"))
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -109,28 +236,7 @@ def ann_lsh_topk(
 
     Scale plan: base side explodes to N×bands rows joined on the band value
     (equi-join, AQE-splittable); the query side is broadcast."""
-    rows = n_planes // n_bands
-    planes = [
-        F.array(
-            *[
-                (h32(F.lit(f"{p}:{d}")) / F.lit(float(1 << 31)) - 1.0)
-                for d in range(dim)
-            ]
-        ).alias(f"plane_{p}")
-        for p in range(n_planes)
-    ]
-    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
-    bits = [
-        F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(n_planes)
-    ]
-    band_vals = F.array(
-        *[
-            F.concat_ws("", F.lit(f"{b}_"), *bits[b * rows : (b + 1) * rows])
-            for b in range(n_bands)
-        ]
-    )
-    banded = base.select("vec_id", F.explode(band_vals).alias("band_val"))
+    banded = lsh_bands(embeddings, n_planes, n_bands, dim)
     qb = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band_val"
     )
@@ -178,6 +284,7 @@ def ann_ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k — the inverted-file ANN scale path.
 
@@ -195,38 +302,8 @@ def ann_ivf_topk(
     query's probe set (broadcast — n_queries × n_probe rows), then exact
     cosine re-ranks.  Never a cross join; cost ≈ |probed cells| / |cells|
     of brute force."""
-    cents = [
-        F.array(
-            *[(h32(F.lit(f"c{c}:{d}")) / F.lit(float(1 << 31)) - 1.0) for d in range(dim)]
-        ).alias(f"cent_{c}")
-        for c in range(n_cells)
-    ]
-    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *cents)
-    sims = F.array(
-        *[
-            _dot(F.col("_v"), F.col(f"cent_{c}"))
-            / (F.col("_norm") * F.sqrt(_dot(F.col(f"cent_{c}"), F.col(f"cent_{c}"))))
-            for c in range(n_cells)
-        ]
-    )
-    with_sims = base.select("vec_id", sims.alias("_sims"))
-    # cell assignment: argmax centroid similarity, first-match tie-break —
-    # array_position is 1-based first occurrence on both engines
-    cells = with_sims.select(
-        "vec_id",
-        F.expr("array_position(_sims, array_max(_sims))").alias("cell"),
-    )
-    # query probes: top-n_probe cells by (sim desc, cell asc)
-    qs = with_sims.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode(F.col("_sims")).alias("c0", "sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("c0"))
-    probes = (
-        qs.withColumn("prank", F.row_number().over(wq))
-        .filter(F.col("prank") <= n_probe)
-        .select("query_id", (F.col("c0") + 1).alias("cell"))  # 1-based like cells
-    )
+    cells = ivf_cells(embeddings, n_cells, dim, centroids)
+    probes = ivf_probes(embeddings, n_queries, n_cells, n_probe, dim, centroids)
     cand = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -331,25 +408,7 @@ def dedup_embedding_cosine(
       pattern): one degenerate bucket of B rows would otherwise emit O(B²)
       pairs, so total candidates stay ≤ N·bands·max_bucket — linear in N,
       never quadratic."""
-    rows = n_planes // n_bands
-    planes = [
-        F.array(
-            *[(h32(F.lit(f"{p}:{d}")) / F.lit(float(1 << 31)) - 1.0) for d in range(dim)]
-        ).alias(f"plane_{p}")
-        for p in range(n_planes)
-    ]
-    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
-    bits = [
-        F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(n_planes)
-    ]
-    band_vals = F.array(
-        *[
-            F.concat_ws("", F.lit(f"{b}_"), *bits[b * rows : (b + 1) * rows])
-            for b in range(n_bands)
-        ]
-    )
-    banded = base.select("vec_id", F.explode(band_vals).alias("band_val"))
+    banded = lsh_bands(embeddings, n_planes, n_bands, dim)
     small = (
         banded.groupBy("band_val")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,144 @@
+"""Persisted ANN index (vec_index.py): indexed queries ≡ the recompute
+paths, heavy math runs over only the query rows, the index maintains
+incrementally via MERGE, and the trained quantizer beats fixed centroids on
+clustered data while staying deterministic."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from linked_maps_spark import similarity, vec_index
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_indexed_ivf_equals_recompute_and_skips_corpus_math(
+    spark, emb, tmp_path_factory, monkeypatch
+):
+    t = vec_index.build_vec_index(
+        spark, emb, str(tmp_path_factory.mktemp("vi") / "idx"), n_buckets=4
+    )
+    want = [tuple(r) for r in similarity.ann_ivf_topk(emb, n_queries=5, k=5).collect()]
+
+    calls = []
+    orig = similarity._ivf_sims
+
+    def spy(e, n_cells=16, dim=64, centroids=None):
+        calls.append(e)
+        return orig(e, n_cells, dim, centroids)
+
+    monkeypatch.setattr(similarity, "_ivf_sims", spy)
+    got_df = vec_index.ann_ivf_topk_indexed(emb, t, n_queries=5, k=5)
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want
+    # the centroid expressions were built exactly once — for the query side
+    # only (vec_id < n_queries), never over the corpus
+    assert len(calls) == 1
+    assert calls[0].count() == 5
+    # the corpus side of the plan scans the index table's files
+    plan = got_df._jdf.queryExecution().toString()
+    assert "idx" in plan and "cell" in plan
+
+
+def test_indexed_lsh_equals_recompute(spark, emb, tmp_path_factory):
+    t = vec_index.build_vec_index(
+        spark, emb, str(tmp_path_factory.mktemp("vl") / "idx"), n_buckets=4
+    )
+    got = [
+        tuple(r)
+        for r in vec_index.ann_lsh_topk_indexed(emb, t, n_queries=5, k=5).collect()
+    ]
+    want = [tuple(r) for r in similarity.ann_lsh_topk(emb, n_queries=5, k=5).collect()]
+    assert got == want
+
+
+def test_index_incremental_merge_equals_full_build(spark, emb, tmp_path_factory):
+    """The 100 TB maintenance path: first build over the initial corpus,
+    then MERGE only the delta — index content identical to a full rebuild."""
+    root = tmp_path_factory.mktemp("vinc")
+    inc = vec_index.build_vec_index(
+        spark, emb.filter(F.col("vec_id") < 400), str(root / "inc"), n_buckets=4
+    )
+    inc = vec_index.build_vec_index(
+        spark, emb.filter(F.col("vec_id") >= 400), str(root / "inc")
+    )
+    full = vec_index.build_vec_index(spark, emb, str(root / "full"), n_buckets=4)
+
+    def content(t):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["bands"])) for r in t.read().collect()
+        )
+
+    assert content(inc) == content(full)
+    # two merges → two data snapshots on the incremental table
+    assert inc.version() > full.version()
+
+
+def _clustered(spark, n_per=40, n_clusters=4, dim=16, seed=3):
+    """Well-separated Gaussian clusters — the corpus shape where a trained
+    quantizer should beat data-independent random directions."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 3.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(n_per):
+            v = centers[c] + rng.normal(scale=0.3, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_trained_ivf_recall_and_determinism(spark):
+    emb = _clustered(spark)
+    nq, k, n_cells, n_probe, dim = 5, 5, 8, 2, 16
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, nq, k).collect()
+    }
+    cents = vec_index.train_centroids(emb, n_cells=n_cells, dim=dim, iters=4)
+    # determinism across runs (rounded Lloyd means)
+    assert cents == vec_index.train_centroids(emb, n_cells=n_cells, dim=dim, iters=4)
+
+    def recall(centroids):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ann_ivf_topk(
+                emb, nq, k, n_cells=n_cells, n_probe=n_probe, dim=dim,
+                centroids=centroids,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_trained, r_fixed = recall(cents), recall(None)
+    assert r_trained >= r_fixed
+    assert r_trained >= 0.8  # clustered fixture: trained cells ≈ clusters
+
+
+def test_trained_index_persists_centroids(spark, tmp_path_factory):
+    """build_vec_index(trained=True) persists the centroids in the snapshot
+    summary; the indexed query reuses them and matches the recompute path
+    run with the same centroids."""
+    emb = _clustered(spark)
+    t = vec_index.build_vec_index(
+        spark, emb, str(tmp_path_factory.mktemp("vt") / "idx"),
+        n_cells=8, dim=16, trained=True, train_iters=4, n_buckets=4,
+    )
+    cents = t.latest_summary_value("centroids")
+    assert cents and len(cents) == 8 and len(cents[0]) == 16
+    got = [
+        tuple(r)
+        for r in vec_index.ann_ivf_topk_indexed(
+            emb, t, n_queries=5, k=5, n_probe=2
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in similarity.ann_ivf_topk(
+            emb, 5, 5, n_cells=8, n_probe=2, dim=16, centroids=cents
+        ).collect()
+    ]
+    assert got == want
