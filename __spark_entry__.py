@@ -93,6 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_editions_fixpoint"] = entry_cdc.cdc_editions_fixpoint
     q["cdc_metrics"] = entry_cdc.cdc_metrics
     q["cdc_snap_offgrid"] = entry_cdc.cdc_snap_offgrid
+    # the one geometry-core entry WITH a full value oracle: the grid fold
+    # over horizontal runs is exact integer set algebra, so a two-edition
+    # micro fold is DuckDB-expressible (md5 name chain, sha256 gid/content,
+    # edge lists via list functions)
+    q["cdc_fold_micro"] = entry_cdc.cdc_fold_micro
     return q
 
 
@@ -112,5 +117,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["multimodal_metadata"] = multimodal.MEDIA_METADATA_SQL
     o["multimodal_features"] = multimodal.feature_values_sql()
-    # cdc_* are rows-only (geometry fold is not SQL-expressible)
+    # other cdc_* stay rows-only (arbitrary lattices are not
+    # SQL-expressible), but the micro fold IS: full value oracle
+    o["cdc_fold_micro"] = entry_cdc.cdc_fold_micro_sql()
     return o

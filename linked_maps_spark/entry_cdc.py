@@ -16,6 +16,7 @@ import os
 import shutil
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import geometry as G
@@ -167,6 +168,135 @@ def cdc_snap_offgrid(spark, sf_dir) -> DataFrame:
     eng = _ENGINES[key]
     y1, y2 = commit_label(0)[:4], commit_label(2)[:4]
     return classify_changes(eng.current_segments(), eng.relations.read(), y1, y2)
+
+
+# ---------------------------------------------------------- cdc_fold_micro
+#
+# The one geometry-core query with a FULL DuckDB value oracle.  The grid
+# fold is integer set algebra, so a single-epoch, two-edition fold over
+# horizontal grid lines is exactly expressible with DuckDB list functions:
+# edge ids of the run [x0, x1) on row y are
+#     (x*2^14 + y)*2^28 + ((x+1)*2^14 + y),
+# the md5 naming chain (fold.py:70-77, reference main.py:96-113) is
+# DuckDB's md5(), gid/content_sha256 are sha256().  The Spark side runs the
+# REAL engine (WAL -> ingest -> lake tables); the oracle re-derives every
+# row — name chain, seq order, editions, leaf/retired flags, canonical WKT,
+# content sha256, and an edge-set digest — from first principles.
+
+_MICRO_KEYS = 8
+_MICRO_Y0, _MICRO_AX0, _MICRO_AX1, _MICRO_DK0 = 100, 10, 30, 3
+
+
+def _micro_fmt(i: int) -> str:
+    """geometry._fmt analog: grid index → canonical coordinate string."""
+    return f"{i // 100}.{i % 100:02d}"
+
+
+def cdc_fold_micro(spark, sf_dir) -> DataFrame:
+    """Two-edition fold over 8 keys, value-oracled end to end.
+
+    Key k: edition '1900' covers x ∈ [10, 30), edition '1910' covers
+    [13+k, 33+k) on row y=100+k — partial overlap, so the fold creates all
+    four derived-node kinds (edition, i_, m_, mu_) per key."""
+    from pyspark.sql.functions import pandas_udf
+
+    key = "foldmicro"
+    if key not in _ENGINES:
+        rows = []
+        for k in range(_MICRO_KEYS):
+            y = _MICRO_Y0 + k
+            dk = _MICRO_DK0 + k
+            path = f"fold/{k:02d}"
+            a = (f"LINESTRING ({_micro_fmt(_MICRO_AX0)} {_micro_fmt(y)}, "
+                 f"{_micro_fmt(_MICRO_AX1)} {_micro_fmt(y)})")
+            b = (f"LINESTRING ({_micro_fmt(_MICRO_AX0 + dk)} {_micro_fmt(y)}, "
+                 f"{_micro_fmt(_MICRO_AX1 + dk)} {_micro_fmt(y)})")
+            rows.append(("micro", path, "1900", a))
+            rows.append(("micro", path, "1910", b))
+        wal = spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string"
+        )
+        wh = os.path.join(tempfile.gettempdir(), f"lms_warehouse_{key}_{SEED}")
+        if os.path.exists(wh):
+            shutil.rmtree(wh)
+        eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=4)
+        eng.create_tables(overwrite=True)
+        eng.ingest(wal, commits_per_epoch=2)  # ONE epoch: both editions
+        _ENGINES[key] = eng
+    eng = _ENGINES[key]
+
+    @pandas_udf("n_edges long, edge_sum long, edge_min long, edge_max long")
+    def edge_digest(wkts: pd.Series) -> pd.DataFrame:
+        out = []
+        for w in wkts:
+            ids = G.parse_wkt(w, G.LINE)
+            out.append((int(ids.size), int(ids.sum()), int(ids.min()), int(ids.max())))
+        return pd.DataFrame(out, columns=["n_edges", "edge_sum", "edge_min", "edge_max"])
+
+    seg = eng.current_segments()
+    return (
+        seg.withColumn("_d", edge_digest(F.col("wkt")))
+        .select(
+            "path", "gid", "name", "seq", "commit_created",
+            F.concat_ws(",", F.col("editions")).alias("editions_csv"),
+            "is_leaf", "retired", "wkt", "content_sha256",
+            F.col("_d.n_edges").alias("n_edges"),
+            F.col("_d.edge_sum").alias("edge_sum"),
+            F.col("_d.edge_min").alias("edge_min"),
+            F.col("_d.edge_max").alias("edge_max"),
+        )
+        .orderBy("path", "seq")
+    )
+
+
+def cdc_fold_micro_sql() -> str:
+    """Independent DuckDB derivation of :func:`cdc_fold_micro`'s result."""
+    nk, y0, ax0, ax1, dk0 = (
+        _MICRO_KEYS, _MICRO_Y0, _MICRO_AX0, _MICRO_AX1, _MICRO_DK0
+    )
+
+    def fmt(e: str) -> str:
+        return f"(({e}) // 100)::VARCHAR || '.' || lpad((({e}) % 100)::VARCHAR, 2, '0')"
+
+    return f"""
+    WITH keys AS (
+        SELECT k, 'micro' AS repo, 'fold/' || lpad(k::VARCHAR, 2, '0') AS path,
+               {y0} + k AS y,
+               {ax0} AS ax0, {ax1} AS ax1,
+               {ax0 + dk0} + k AS bx0, {ax1 + dk0} + k AS bx1
+        FROM range(0, {nk}) AS t(k)
+    ),
+    nodes AS (
+        SELECT *, '1900' AS name, 0 AS seq, '1900' AS commit_created,
+               '1900' AS editions_csv, FALSE AS is_leaf, ax0 AS x0, ax1 AS x1
+        FROM keys
+        UNION ALL SELECT *, '1910', 1, '1910', '1910', FALSE, bx0, bx1 FROM keys
+        UNION ALL SELECT *, 'i_' || md5('i_1900_1910'), 2, '1910',
+               '1900,1910', TRUE, bx0, ax1 FROM keys
+        UNION ALL SELECT *, 'm_' || md5('m_1900_i_' || md5('i_1900_1910')),
+               3, '1910', '1900', TRUE, ax0, bx0 FROM keys
+        UNION ALL SELECT *, 'mu_' || md5('mu_1910_UL'), 4, '1910',
+               '1910', TRUE, ax1, bx1 FROM keys
+    ),
+    edged AS (
+        SELECT *,
+               list_transform(range(x0, x1),
+                   x -> (x * 16384 + y) * 268435456 + ((x + 1) * 16384 + y)
+               ) AS edges,
+               'MULTILINESTRING ((' || {fmt('x0')} || ' ' || {fmt('y')} || ', '
+                   || {fmt('x1')} || ' ' || {fmt('y')} || '))' AS wkt
+        FROM nodes
+    )
+    SELECT path,
+           substr(sha256(repo || '|' || path || '|' || name), 1, 32) AS gid,
+           name, CAST(seq AS BIGINT) AS seq, commit_created, editions_csv,
+           is_leaf, FALSE AS retired, wkt, sha256(wkt) AS content_sha256,
+           CAST(len(edges) AS BIGINT) AS n_edges,
+           CAST(list_sum(edges) AS BIGINT) AS edge_sum,
+           list_min(edges) AS edge_min, list_max(edges) AS edge_max
+    FROM edged
+    ORDER BY path, seq
+    """
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
