@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 100 TB path: index built once, queries read it) — value-identical to
     # the recompute path, so it shares the IVF oracle
     q["similarity_ann_ivf_indexed"] = vec_index.driver_ann_ivf_indexed
+    q["similarity_ann_lsh_indexed"] = vec_index.driver_ann_lsh_indexed
     q["dedup_embedding_cosine"] = _doc("embeddings")(
         # the synthetic embeddings have no planted dups (max cosine ~0.5);
         # 0.4 exercises the candidate+verify path on real pair mass
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
     o["similarity_ann_lsh"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf_indexed"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
+    o["similarity_ann_lsh_indexed"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["dedup_embedding_cosine"] = similarity.dedup_embedding_cosine_sql(threshold=0.4)
     o["text_token_stats"] = textops.token_stats_sql()
     o["text_lang_id"] = textops.lang_id_sql()

@@ -225,6 +225,18 @@ def driver_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical ANN query FROM it.  Oracle: ``similarity.ann_ivf_topk_sql`` —
     the indexed path is value-identical to the recompute path because both
     read the same ``ivf_cells`` definition."""
+    emb, idx = _driver_index(spark, sf_dir)
+    return ann_ivf_topk_indexed(emb, idx, n_queries=5, k=5)
+
+
+def driver_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the LSH band-OR ANN query answered from the
+    same persisted index (oracle: ``similarity.ann_lsh_topk_sql``)."""
+    emb, idx = _driver_index(spark, sf_dir)
+    return ann_lsh_topk_indexed(emb, idx, n_queries=5, k=5)
+
+
+def _driver_index(spark: SparkSession, sf_dir: str):
     import os
     import tempfile
 
@@ -233,4 +245,4 @@ def driver_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _DRIVER_IDX:
         p = os.path.join(tempfile.gettempdir(), f"lms_vec_index_{key}")
         _DRIVER_IDX[key] = build_vec_index(spark, emb, p, overwrite=True)
-    return ann_ivf_topk_indexed(emb, _DRIVER_IDX[key], n_queries=5, k=5)
+    return emb, _DRIVER_IDX[key]

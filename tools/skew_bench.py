@@ -28,10 +28,10 @@ from linked_maps_spark.changelog import synth_change_log, to_spark
 from linked_maps_spark.ingest import CdcEngine
 from linked_maps_spark.util import table_digest
 
-cores, cold_keys, commits, hot_walks, n_salts = {cores}, {cold_keys}, {commits}, {hot_walks}, {n_salts}
+cores, cold_keys, commits, hot_walks, n_salts, grid, cpe = {cores}, {cold_keys}, {commits}, {hot_walks}, {n_salts}, {grid}, {cpe}
 cold = synth_change_log(n_keys=cold_keys, n_commits=commits, seed=41)
 hot = synth_change_log(n_keys=1, n_commits=commits, seed=42,
-                       n_walks=hot_walks, walk_len=10, grid=120)
+                       n_walks=hot_walks, walk_len=10, grid=grid)
 hot["path"] = "railroads/hot"; hot["repo"] = "region_hot"
 wal = pd.concat([cold, hot], ignore_index=True)
 
@@ -45,7 +45,7 @@ try:
                     n_salts=n_salts, salt_leaf_threshold=16)
     eng.create_tables(overwrite=True)
     t0 = time.monotonic()
-    eng.ingest(wal_df, commits_per_epoch=2)
+    eng.ingest(wal_df, commits_per_epoch=cpe)
     sec = time.monotonic() - t0
     cols = ["repo", "path", "gid", "name", "seq", "wkt", "content_sha256",
             "editions", "is_leaf", "retired"]
@@ -60,9 +60,11 @@ print(json.dumps({{"n_salts": n_salts, "sec": round(sec, 2),
 """
 
 
-def run(n_salts: int, cores: int, cold_keys: int, commits: int, hot_walks: int) -> dict:
+def run(n_salts: int, cores: int, cold_keys: int, commits: int,
+        hot_walks: int, grid: int, cpe: int) -> dict:
     code = _JOB.format(repo=REPO, cores=cores, cold_keys=cold_keys,
-                       commits=commits, hot_walks=hot_walks, n_salts=n_salts)
+                       commits=commits, hot_walks=hot_walks, n_salts=n_salts,
+                       grid=grid, cpe=cpe)
     out = subprocess.run([sys.executable, "-c", code],
                          capture_output=True, text=True, check=True, cwd=REPO)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -70,16 +72,27 @@ def run(n_salts: int, cores: int, cold_keys: int, commits: int, hot_walks: int) 
 
 
 def main() -> None:
-    cores = int(os.environ.get("SKEW_CORES", "8"))
-    cold_keys = int(os.environ.get("SKEW_COLD_KEYS", "48"))
-    commits = int(os.environ.get("SKEW_COMMITS", "10"))
-    # round-3 kernel speedups shrank the old 56-walk hot key below the
-    # scheduler noise floor (~80 ms task); 400 walks keeps the straggler
-    # measurable so the fixture still exhibits what it exists to exhibit
-    hot_walks = int(os.environ.get("SKEW_HOT_WALKS", "400"))
+    cores = int(os.environ.get("SKEW_CORES", "16"))
+    cold_keys = int(os.environ.get("SKEW_COLD_KEYS", "96"))
+    commits = int(os.environ.get("SKEW_COMMITS", "24"))
+    # Fixture shape notes (hard-won):
+    # * the straggler must be the PLAIN FOLD STAGE wall, so the hot key's
+    #   per-epoch sequential fold has to reach seconds — that takes a deep
+    #   lattice (many commits per epoch against accumulated leaves), not
+    #   just a big edition;
+    # * grid must scale with walks: saturating the grid makes editions
+    #   near-identical and the lattice (hence the straggler) degenerates;
+    # * FEW epochs (cpe=8 → 2 epochs): the salted path pays event
+    #   replication + payload shuffle PER EPOCH, so many shallow epochs
+    #   hand the win back to plain (measured 0.31× at cpe=2/8 epochs).
+    hot_walks = int(os.environ.get("SKEW_HOT_WALKS", "4000"))
+    grid = int(os.environ.get("SKEW_GRID", "900"))
+    cpe = int(os.environ.get("SKEW_CPE", "12"))
     repeats = int(os.environ.get("SKEW_REPEATS", "2"))
-    plains = [run(1, cores, cold_keys, commits, hot_walks) for _ in range(repeats)]
-    salteds = [run(8, cores, cold_keys, commits, hot_walks) for _ in range(repeats)]
+    plains = [run(1, cores, cold_keys, commits, hot_walks, grid, cpe)
+              for _ in range(repeats)]
+    salteds = [run(8, cores, cold_keys, commits, hot_walks, grid, cpe)
+               for _ in range(repeats)]
     plain = min(plains, key=lambda r: r["sec"])
     salted = min(salteds, key=lambda r: r["sec"])
     assert plain["digest"] == salted["digest"], "salted fold changed the state!"
@@ -91,11 +104,11 @@ def main() -> None:
     salted_straggler = min(r["max_task_wall_ms"] for r in salteds)
     md = f"""# BENCH — hot-key skew evidence (salted fold)
 
-Same skewed WAL ({plain['events']} events over {commits} commits, one
-Zipf-head key of {hot_walks} walks whose lattice dwarfs {cold_keys} uniform
-keys), ingested on local[{cores}] with the salted fold OFF (n_salts=1) vs
-ON (n_salts=8, threshold 16 leaves); best of {repeats} fresh-JVM runs per
-mode.
+Same skewed WAL ({plain['events']} events over {commits} commits, ingested
+{cpe} commits/epoch; one Zipf-head key of {hot_walks} walks on a {grid}-cell
+grid whose leaf lattice dwarfs {cold_keys} uniform keys), run on
+local[{cores}] with the salted fold OFF (n_salts=1) vs ON (n_salts=8,
+threshold 16 leaves); best of {repeats} fresh-JVM runs per mode.
 
 | mode | wall (s) | max fold-task wall (ms, best-of-{repeats}) | digest |
 |---|---|---|---|
@@ -103,16 +116,19 @@ mode.
 | salted fold | {salted['sec']} | {salted_straggler} | {salted['digest'][:12]}… |
 
 **Digest identical** (bit-equal state); wall ratio plain/salted =
-**{speedup:.2f}×** at this toy fixture; the straggler fold task — the
-scale-relevant signal, since at production skew the straggler IS the
-stage wall — shrinks
-{plain_straggler / max(salted_straggler, 1):.2f}×.
-A wall ratio < 1 here means the coordinator's fixed cost outweighs the
-straggler saving at a few-hundred-event fixture — which is exactly why the
-engine gates salting behind the leaf-count threshold instead of salting
-every key.
-Deterministic slice balance (created nodes per slice ≤ 2× median) is pinned
-by tests/test_saltfold.py.
+**{speedup:.2f}×**; the plain straggler fold task is
+{plain_straggler / max(salted_straggler, 1):.2f}× the salted one.
+
+Where the win comes from (and when it flips): the hot key's deep lattice
+makes the PLAIN epoch-2 fold a single multi-second task that walls its
+stage while every cold key finishes; the salted fold splits that key's
+leaf slices across tasks.  The salted machinery (event replication to
+every salt + pickled slice-payload shuffle + per-key coordinator) is paid
+PER EPOCH, so the same WAL chopped into many shallow epochs hands the win
+back to plain (measured 0.31× at 2 commits/epoch over 8 epochs) — which is
+exactly why the engine gates salting behind the leaf-count threshold
+instead of salting every key.  Deterministic slice balance (created nodes
+per slice ≤ 2× median) is pinned by tests/test_saltfold.py.
 
 Reproduce: `python tools/skew_bench.py`.
 """
