@@ -83,6 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = _doc()(
         lambda d: multimodal.feature_values(multimodal.synth_media(d))
     )
+    # REAL-codec round-trips (pure-numpy BMP/WAV encode→decode; DuckDB
+    # recomputes the decoded-media stats straight from the generator formula)
+    q["multimodal_wav_roundtrip"] = _doc()(multimodal.wav_roundtrip_stats)
+    q["multimodal_bmp_roundtrip"] = _doc()(multimodal.bmp_roundtrip_stats)
+    q["multimodal_png_roundtrip"] = _doc()(multimodal.png_roundtrip_stats)
+    q["multimodal_resize_nearest"] = _doc()(multimodal.resize_roundtrip_stats)
     # CDC / geometry queries over the engine warehouse (rows-only checks)
     q["cdc_q1_edition"] = entry_cdc.cdc_q1_edition
     q["cdc_q2_edition_unique"] = entry_cdc.cdc_q2_edition_unique
@@ -119,6 +125,10 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["multimodal_metadata"] = multimodal.MEDIA_METADATA_SQL
     o["multimodal_features"] = multimodal.feature_values_sql()
+    o["multimodal_wav_roundtrip"] = multimodal.WAV_ROUNDTRIP_SQL
+    o["multimodal_bmp_roundtrip"] = multimodal.BMP_ROUNDTRIP_SQL
+    o["multimodal_png_roundtrip"] = multimodal.PNG_ROUNDTRIP_SQL
+    o["multimodal_resize_nearest"] = multimodal.RESIZE_ROUNDTRIP_SQL
     # other cdc_* stay rows-only (arbitrary lattices are not
     # SQL-expressible), but the micro fold IS: full value oracle
     o["cdc_fold_micro"] = entry_cdc.cdc_fold_micro_sql()
