@@ -224,8 +224,10 @@ def test_multimodal_plumbing(docs):
 
 
 def test_multimodal_resize_and_frames(docs):
-    """Resize / frame-sample plumbing: schema, batch shape, determinism; the
-    real codecs stay documented NotImplementedError stubs."""
+    """Resize / frame-sample plumbing: schema, batch shape, determinism.
+    (synth_media payloads are raw utf-8 with no container magic, so the
+    fake=False real-decode path refuses them — the real codecs are covered
+    by test_codecs.py / test_multimodal_real.py on genuine payloads.)"""
     media = multimodal.synth_media(docs)
     thumbs = {r["media_id"]: r for r in multimodal.resize_images(media, 16, 16).collect()}
     assert len(thumbs) == 5
