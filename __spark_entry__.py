@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # micro fold is DuckDB-expressible (md5 name chain, sha256 gid/content,
     # edge lists via list functions)
     q["cdc_fold_micro"] = entry_cdc.cdc_fold_micro
+    # snap-rounding front-end value oracle: quantize + DDA rasterization +
+    # WKT round-trip vs DuckDB re-deriving every edge id (tie-free fixture)
+    q["cdc_snap_micro"] = entry_cdc.cdc_snap_micro
     return q
 
 
@@ -132,4 +135,5 @@ def oracle_sql() -> dict[str, str]:
     # other cdc_* stay rows-only (arbitrary lattices are not
     # SQL-expressible), but the micro fold IS: full value oracle
     o["cdc_fold_micro"] = entry_cdc.cdc_fold_micro_sql()
+    o["cdc_snap_micro"] = entry_cdc.cdc_snap_micro_sql()
     return o

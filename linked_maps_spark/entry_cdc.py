@@ -299,6 +299,96 @@ def cdc_fold_micro_sql() -> str:
     """
 
 
+# ---------------------------------------------------------- cdc_snap_micro
+#
+# The snap-rounding front-end with a FULL DuckDB value oracle.  The snap
+# pipeline (snap.py) is: quantize vertices (rint((v - origin)/pitch)) →
+# 8-connected DDA rasterization (dominant axis steps 1 cell, minor axis
+# rint(t·d/n)) → unit-edge ids → canonical engine WKT.  All of it is
+# integer / IEEE-double arithmetic that DuckDB reproduces EXACTLY, provided
+# the fixture never lands on a rounding tie:
+#   * vertex jitter is ±0.3 cell (never ±0.5), so quantization recovers the
+#     integer anchors regardless of float noise;
+#   * segment dominant-axis lengths are ODD (9 and 7), so the minor-axis
+#     ratio t·d/n has an odd denominator and can never be an exact half —
+#     np.rint (half-to-even) and SQL round() (half-away) agree everywhere.
+# The Spark side runs the REAL front-end (float WKT → snap_wkt → engine WKT
+# → parse_wkt back to edge ids); the oracle re-derives every edge id from
+# the integer formulas.  Reference analog: segment.py:131-142's shapefile
+# ingest + the 0.0015°-buffered PostGIS overlap algebra.
+
+
+def cdc_snap_micro(spark, sf_dir) -> DataFrame:
+    """Per-feature snapped edge ids for formula-generated off-grid
+    polylines; full value parity with :func:`cdc_snap_micro_sql`."""
+    from .snap import DEFAULT_ORIGIN, DEFAULT_PITCH, snap_wkt
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out_l: list[int] = []
+            out_e: list[int] = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ax0, ay0 = 100 + d % 37, 200 + (d * 7) % 41
+                dy1, dx2 = d % 10 - 5, d % 7 - 3
+                anchors = [
+                    (ax0, ay0),
+                    (ax0 + 9, ay0 + dy1),
+                    (ax0 + 9 + dx2, ay0 + dy1 + 7),
+                ]
+                coords = []
+                for k, (gx, gy) in enumerate(anchors):
+                    jx = ((d * 13 + (2 * k) * 29) % 7 - 3) / 10.0
+                    jy = ((d * 13 + (2 * k + 1) * 29) % 7 - 3) / 10.0
+                    x = DEFAULT_ORIGIN[0] + (gx + jx) * DEFAULT_PITCH
+                    y = DEFAULT_ORIGIN[1] + (gy + jy) * DEFAULT_PITCH
+                    coords.append(f"{x!r} {y!r}")
+                wkt = "LINESTRING (" + ", ".join(coords) + ")"
+                ids = G.parse_wkt(snap_wkt(wkt), G.LINE)
+                out_l.extend([d] * ids.size)
+                out_e.extend(int(i) for i in ids)
+            yield pd.DataFrame({"line_id": out_l, "edge_id": out_e})
+
+    return (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .mapInPandas(kernel, "line_id long, edge_id long")
+        .orderBy("line_id", "edge_id")
+    )
+
+
+def cdc_snap_micro_sql() -> str:
+    """Independent DuckDB derivation of :func:`cdc_snap_micro`: every DDA
+    step's endpoints from the integer formulas, edge = min·2^28 + max."""
+    return """
+    WITH a AS (SELECT doc_id AS d,
+                      100 + doc_id % 37 AS ax0, 200 + (doc_id*7) % 41 AS ay0,
+                      (doc_id % 10) - 5 AS dy1, (doc_id % 7) - 3 AS dx2
+               FROM documents WHERE doc_id % 5 = 0),
+    t9 AS (SELECT unnest(range(9)) AS t),
+    t7 AS (SELECT unnest(range(7)) AS t),
+    e1 AS (SELECT d,
+                  (ax0 + t) * 16384
+                      + ay0 + CAST(round(t * dy1 / 9.0) AS BIGINT) AS p,
+                  (ax0 + t + 1) * 16384
+                      + ay0 + CAST(round((t + 1) * dy1 / 9.0) AS BIGINT) AS q
+           FROM a CROSS JOIN t9),
+    e2 AS (SELECT d,
+                  (ax0 + 9 + CAST(round(t * dx2 / 7.0) AS BIGINT)) * 16384
+                      + ay0 + dy1 + t AS p,
+                  (ax0 + 9 + CAST(round((t + 1) * dx2 / 7.0) AS BIGINT)) * 16384
+                      + ay0 + dy1 + t + 1 AS q
+           FROM a CROSS JOIN t7),
+    edges AS (SELECT DISTINCT d,
+                     least(p, q) * 268435456 + greatest(p, q) AS edge_id
+              FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2))
+    SELECT CAST(d AS BIGINT) AS line_id, CAST(edge_id AS BIGINT) AS edge_id
+    FROM edges ORDER BY line_id, edge_id
+    """
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """entry() smoke: full pipeline (WAL → ingest → classify) at tiny scale.
 

@@ -150,3 +150,25 @@ def test_offgrid_wal_folds_end_to_end(spark, tmp_path):
             assert got[gid][c] == erow[c], f"{c} mismatch for {erow['name']}"
     # the fold actually produced derived lattice nodes (editions overlapped)
     assert any(r["name"].startswith("i_") for r in exp.values())
+
+
+def test_cdc_snap_micro_matches_duckdb(spark, tmp_path):
+    """The snap front-end's driver value oracle, in-process: the REAL
+    quantize→DDA→WKT→parse pipeline vs DuckDB re-deriving every edge id
+    from the integer formulas (tie-free fixture — see entry_cdc)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from linked_maps_spark import entry_cdc
+
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(63, dtype=np.int64), "text": ["t"] * 63}
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = entry_cdc.cdc_snap_micro(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = con.execute(entry_cdc.cdc_snap_micro_sql()).fetchall()
+    assert len(got) == len(exp) > 100
+    assert [(r["line_id"], r["edge_id"]) for r in got] == list(map(tuple, exp))
