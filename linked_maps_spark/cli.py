@@ -1,0 +1,215 @@
+"""Reference-parity command line: the three entry points a linked-maps user
+runs today, re-expressed over the Spark engine.
+
+    reference                                   engine analog
+    --------------------------------------      ------------------------------
+    python main.py -d DIR -c config.json        python -m linked_maps_spark
+        -r -o line_seg.jl                           segment -d DIR -c config.json
+                                                    -r -o line_seg
+    python linked_maps_to_osm.py                python -m linked_maps_spark
+        -g line_seg.geom.jl -f railway              osm-link -g line_seg -f railway
+    python generate_graph.py -g -s -r -l        python -m linked_maps_spark
+        -o linked_maps.maps.ttl                     graph -g line_seg -l
+                                                    -o linked_maps.maps.ttl
+
+Differences, all deliberate:
+
+* ``-g`` (and the implied ``-s``/``-r``/``-l``) take the shared JL *prefix*
+  rather than four file paths — the exporter (jsonlines.export_jl) writes
+  ``<prefix>.{geom,seg,rel,osm}.jl`` exactly like main.py:158-160 and
+  linked_maps_to_osm.py:248, so one prefix names the whole set.
+* The reference's config.json PostGIS fields map onto the lake warehouse:
+  ``dbname`` → warehouse directory (unless ``--warehouse`` overrides),
+  ``geometry_type`` MULTILINESTRING/MULTIPOLYGON → the engine geom type;
+  connection fields (user/host/SRID) have no Spark analog and are ignored.
+* ``graph`` re-derives each node's edition set by the same parent→child
+  date propagation the reference runs (generate_graph.py:73-75, here the
+  relational fixpoint triples.propagate_editions_fixpoint), and uses the
+  max inherited edition year as the deterministic ``dcterms:created``
+  stand-in — the reference writes wall-clock ``datetime.today()``
+  (generate_graph.py:48), which no two runs reproduce; determinism is the
+  better contract.
+* Snap origins are derived once per warehouse (snap.derive_origins, keyed
+  by WAL path = one region tile per shapefile directory) and persisted to
+  ``<warehouse>/origins.json`` — re-running an ingest reuses them so grid
+  ids never fork (the state contract in snap.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _spark(cores: str | int | None = None):
+    from .session import get_spark
+
+    return get_spark("linked-maps-cli", cores=cores)
+
+
+def cmd_segment(args: argparse.Namespace) -> int:
+    from . import geometry as G
+    from .ingest import CdcEngine
+    from .jsonlines import export_jl
+    from .shapefile import shp_dir_change_log
+    from .snap import derive_origins, load_origins, save_origins, snap_change_log
+
+    cfg = {}
+    if args.config_file:
+        with open(args.config_file) as fh:
+            cfg = json.load(fh)
+    gtype_s = str(cfg.get("geometry_type", "MULTILINESTRING")).upper()
+    geom_type = G.POLYGON if "POLYGON" in gtype_s else G.LINE
+    warehouse = os.path.abspath(
+        args.warehouse or cfg.get("dbname", "linkedmaps") + "_warehouse"
+    )
+
+    spark = _spark(args.cores)
+    wal = shp_dir_change_log(spark, args.dir_name)
+
+    eng = CdcEngine(spark, warehouse, geom_type=geom_type, n_buckets=args.n_buckets)
+    fresh = args.reset_db or not os.path.exists(os.path.join(warehouse, "segments"))
+    if fresh:
+        eng.create_tables(overwrite=True)
+
+    origins_path = os.path.join(warehouse, "origins.json")
+    if os.path.exists(origins_path) and not fresh:
+        origins = load_origins(origins_path)
+    else:
+        origins = derive_origins(wal, pitch=args.pitch, origin_key="path")
+        save_origins(origins, origins_path)
+
+    eng.ingest(
+        snap_change_log(
+            wal, geom_type=geom_type, pitch=args.pitch,
+            origins=origins, origin_key="path",
+        ),
+        commits_per_epoch=args.commits_per_epoch,
+    )
+    seg = eng.current_segments()
+    rel = eng.relations.read()
+    export_jl(seg, rel, args.output_file)
+    if args.debug_prints:
+        print(f"warehouse: {warehouse} (geom_type={geom_type})")
+        print(f"origins: {len(origins)} region tile(s) -> {origins_path}")
+    print(
+        f"segment: {seg.count()} segments, {rel.count()} relations "
+        f"-> {args.output_file}.{{geom,seg,rel}}.jl"
+    )
+    return 0
+
+
+def cmd_osm_link(args: argparse.Namespace) -> int:
+    from .jsonlines import osm_jl, read_jl
+    from .osm_link import link_osm
+    from .osm_source import HttpOverpass, SyntheticOverpass
+
+    spark = _spark(args.cores)
+    geom, _seg, _rel = read_jl(spark, args.geometry_file)
+    source = (
+        HttpOverpass(endpoint=args.endpoint)
+        if args.endpoint
+        else SyntheticOverpass(seed=args.seed)
+    )
+    catalog = source.catalog(spark, geom)
+    links = link_osm(geom, catalog, filter_tag=args.filtering_key)
+    out = (args.output_file or args.geometry_file) + ".osm.jl"
+    osm_jl(links).write.mode("overwrite").json(out)
+    n = links.count()
+    print(f"osm-link: {n} segments linked (tag={args.filtering_key!r}) -> {out}")
+    return 0
+
+
+def cmd_graph(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from .jsonlines import read_jl
+    from .triples import build_triples, propagate_editions_fixpoint, write_turtle
+
+    spark = _spark(args.cores)
+    if args.osm_uris:
+        geom, segm, rel, osm = read_jl(spark, args.geometry_file, with_osm=True)
+    else:
+        geom, segm, rel = read_jl(spark, args.geometry_file)
+        osm = None
+    segments = geom.join(segm, "gid")
+    eds = (
+        propagate_editions_fixpoint(segments, rel)
+        .groupBy("gid")
+        .agg(F.array_sort(F.collect_set("edition")).alias("editions"))
+    )
+    seg_full = (
+        segments.join(eds, "gid", "left")
+        .withColumn(
+            "editions",
+            F.coalesce("editions", F.array().cast("array<string>")),
+        )
+        # deterministic created: latest inherited edition year (see module
+        # docstring; the reference writes wall-clock datetime.today())
+        .withColumn(
+            "commit_created",
+            F.coalesce(F.array_max("editions"), F.substring("name", 1, 4)),
+        )
+    )
+    triples = build_triples(seg_full, rel, osm)
+    write_turtle(triples, args.output_file)
+    print(f"graph: {triples.count()} triples -> {args.output_file}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m linked_maps_spark",
+        description=__doc__.split("\n\n")[0],
+    )
+    ap.add_argument("--cores", default=None, help="local[N] override")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("segment", help="main.py analog: shapefiles -> fold -> JL")
+    sp.add_argument("-d", "--dir_name", required=True,
+                    help="Directory path with edition shapefiles.")
+    sp.add_argument("-c", "--config_file", default=None,
+                    help="Reference-format config.json (dbname, geometry_type).")
+    sp.add_argument("-o", "--output_file", default="line_seg",
+                    help="Output JL prefix (writes <prefix>.{geom,seg,rel}.jl).")
+    sp.add_argument("-v", "--debug_prints", action="store_true")
+    sp.add_argument("-r", "--reset_db", action="store_true",
+                    help="Reset the warehouse prior to processing.")
+    sp.add_argument("--warehouse", default=None,
+                    help="Lake warehouse dir (default <dbname>_warehouse).")
+    sp.add_argument("--pitch", type=float, default=0.002,
+                    help="Snap grid pitch in degrees.")
+    sp.add_argument("--n-buckets", type=int, default=8)
+    sp.add_argument("--commits-per-epoch", type=int, default=4)
+    sp.set_defaults(fn=cmd_segment)
+
+    op = sub.add_parser("osm-link", help="linked_maps_to_osm.py analog")
+    op.add_argument("-g", "--geometry_file", required=True,
+                    help="JL prefix from `segment` (reads <prefix>.geom.jl).")
+    op.add_argument("-f", "--filtering_key", default="railway",
+                    help="OSM tag to filter by.")
+    op.add_argument("-o", "--output_file", default=None,
+                    help="Output JL prefix (default: same as -g).")
+    op.add_argument("--endpoint", default=None,
+                    help="Overpass API URL; omitted -> deterministic synthetic catalog.")
+    op.add_argument("--seed", type=int, default=4)
+    op.set_defaults(fn=cmd_osm_link)
+
+    gp = sub.add_parser("graph", help="generate_graph.py analog: JL -> Turtle")
+    gp.add_argument("-g", "--geometry_file", required=True,
+                    help="JL prefix (reads <prefix>.{geom,seg,rel}.jl).")
+    gp.add_argument("-l", "--osm_uris", action="store_true",
+                    help="Also read <prefix>.osm.jl and emit sfOverlaps links.")
+    gp.add_argument("-o", "--output_file", default="linked_maps.maps.ttl")
+    gp.set_defaults(fn=cmd_graph)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -78,9 +78,17 @@ class HttpOverpass(OverpassSource):
     Offline sandboxes have no network; the fetch raises ``RuntimeError``
     there, while URL construction and element parsing remain testable."""
 
-    def __init__(self, timeout_s: float = 30.0, throttle_s: float = 0.5):
+    DEFAULT_ENDPOINT = "http://overpass-api.de/api/interpreter"
+
+    def __init__(
+        self,
+        timeout_s: float = 30.0,
+        throttle_s: float = 0.5,
+        endpoint: str | None = None,
+    ):
         self.timeout_s = timeout_s
         self.throttle_s = throttle_s  # the reference's politeness sleep
+        self.endpoint = endpoint or self.DEFAULT_ENDPOINT
 
     def fetch_tile(self, s: float, w: float, n: float, e: float) -> list[dict]:
         import json
@@ -92,7 +100,7 @@ class HttpOverpass(OverpassSource):
         # so the query payload is percent-encoded; semantics identical to
         # overpass_query_url's documented reference shape
         payload = urllib.parse.quote(f"[out:json];node({s},{w},{n},{e});<;out meta;")
-        url = "http://overpass-api.de/api/interpreter?data=" + payload
+        url = self.endpoint + "?data=" + payload
         time.sleep(self.throttle_s)
         try:
             with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:

@@ -1,0 +1,94 @@
+"""End-to-end test of the reference-parity CLI: segment → osm-link → graph
+over a synthetic two-edition shapefile directory (the reference's own
+pipeline shape: main.py → linked_maps_to_osm.py → generate_graph.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from linked_maps_spark import cli
+from tests.test_shapefile import _write_shp
+
+
+def _polyline_shp(path: str, xs, y0: float):
+    """One horizontal PolyLine record along given x anchors at latitude y0
+    (constant y ⇒ the two editions' snapped chains share a grid row, so
+    the fold is guaranteed to produce derived lattice nodes)."""
+    pts = [np.array([[x, y0] for x in xs])]
+    _write_shp(path, [pts], shape_type=3)
+
+
+@pytest.fixture(scope="module")
+def shp_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("editions")
+    # two editions of one sheet: 1900 covers x∈[0.00,0.03], 1910 shifts
+    _polyline_shp(str(d / "1900c.shp"), [0.000, 0.010, 0.020, 0.030], 0.010)
+    _polyline_shp(str(d / "1910c.shp"), [0.008, 0.018, 0.028, 0.038], 0.010)
+    return str(d)
+
+
+def test_cli_segment_osm_graph_pipeline(spark, shp_dir, tmp_path):
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps({"dbname": "clidb", "geometry_type": "MULTILINESTRING"}))
+    prefix = str(tmp_path / "line_seg")
+    wh = str(tmp_path / "clidb_warehouse")
+
+    rc = cli.main([
+        "segment", "-d", shp_dir, "-c", str(cfg), "-r", "-o", prefix,
+        "--warehouse", wh, "--pitch", "0.002", "--n-buckets", "2", "-v",
+    ])
+    assert rc == 0
+    for suffix in (".geom.jl", ".seg.jl", ".rel.jl"):
+        assert os.path.isdir(prefix + suffix)
+    assert os.path.exists(os.path.join(wh, "origins.json"))
+
+    from linked_maps_spark.jsonlines import read_jl
+
+    geom, seg, rel = read_jl(spark, prefix)
+    n_seg = geom.count()
+    assert n_seg >= 3  # two editions + at least one derived lattice node
+    assert seg.count() == n_seg
+    assert rel.count() >= 2
+    names = {r["name"] for r in seg.collect()}
+    assert {"1900c", "1910c"} <= names
+    assert any(n.startswith(("i_", "m_", "mu_")) for n in names)
+
+    rc = cli.main(["osm-link", "-g", prefix, "-f", "railway"])
+    assert rc == 0
+    assert os.path.isdir(prefix + ".osm.jl")
+
+    ttl = str(tmp_path / "out.ttl")
+    rc = cli.main(["graph", "-g", prefix, "-l", "-o", ttl])
+    assert rc == 0
+    lines = []
+    for part in os.listdir(ttl):
+        if part.startswith("part-"):
+            with open(os.path.join(ttl, part)) as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+    assert lines[0].startswith("@prefix")
+    body = [ln for ln in lines if not ln.startswith("@prefix")]
+    # every segment yields ≥6 triples (type×2, hasGeometry, created, date, wkt)
+    assert len(body) >= 6 * n_seg
+    assert any("sfContains" in ln for ln in body)
+    assert any("dcterms:date" in ln or "date" in ln for ln in body)
+
+
+def test_cli_segment_is_incremental_without_reset(spark, shp_dir, tmp_path):
+    """Second run without -r reuses the warehouse and persisted origins
+    (the snap-state contract): same WAL replayed → identical segment set."""
+    prefix = str(tmp_path / "ls")
+    wh = str(tmp_path / "wh")
+    assert cli.main(["segment", "-d", shp_dir, "-o", prefix, "--warehouse", wh,
+                     "--n-buckets", "2"]) == 0
+    from linked_maps_spark.jsonlines import read_jl
+
+    first = {r["gid"] for r in read_jl(spark, prefix)[0].collect()}
+    # replay: commit-log watermark makes re-ingest a no-op, origins reloaded
+    assert cli.main(["segment", "-d", shp_dir, "-o", prefix, "--warehouse", wh,
+                     "--n-buckets", "2"]) == 0
+    second = {r["gid"] for r in read_jl(spark, prefix)[0].collect()}
+    assert first == second
