@@ -158,6 +158,44 @@ def cmd_graph(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from . import geometry as G
+    from .ingest import CdcEngine
+    from .report import write_report
+
+    cfg = {}
+    if args.config_file:
+        with open(args.config_file) as fh:
+            cfg = json.load(fh)
+    gtype_s = str(cfg.get("geometry_type", "MULTILINESTRING")).upper()
+    geom_type = G.POLYGON if "POLYGON" in gtype_s else G.LINE
+
+    spark = _spark(args.cores)
+    eng = CdcEngine(
+        spark, os.path.abspath(args.warehouse),
+        geom_type=geom_type, n_buckets=args.n_buckets,
+    )
+    seg = eng.current_segments()
+    rel = eng.relations.read()
+    years = sorted(
+        r["y"]
+        for r in seg.filter(~F.col("name").contains("_"))
+        .select(F.substring("name", 1, 4).alias("y"))
+        .distinct()
+        .collect()
+    )
+    if not years:
+        print("report: warehouse holds no edition segments")
+        return 1
+    y1 = args.year1 or years[0]
+    y2 = args.year2 or years[-1]
+    write_report(args.output_file, seg, rel, y1, y2, geom_type=geom_type)
+    print(f"report: editions {y1} → {y2} -> {args.output_file}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m linked_maps_spark",
@@ -203,6 +241,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Also read <prefix>.osm.jl and emit sfOverlaps links.")
     gp.add_argument("-o", "--output_file", default="linked_maps.maps.ttl")
     gp.set_defaults(fn=cmd_graph)
+
+    rp = sub.add_parser(
+        "report", help="UI analog: warehouse -> HTML/SVG query report"
+    )
+    rp.add_argument("--warehouse", required=True,
+                    help="Lake warehouse dir written by `segment`.")
+    rp.add_argument("-c", "--config_file", default=None,
+                    help="Reference-format config.json (geometry_type).")
+    rp.add_argument("--year1", default=None,
+                    help="First edition year (default: earliest in warehouse).")
+    rp.add_argument("--year2", default=None,
+                    help="Second edition year (default: latest in warehouse).")
+    rp.add_argument("-o", "--output_file", default="report.html")
+    rp.add_argument("--n-buckets", type=int, default=8)
+    rp.set_defaults(fn=cmd_report)
     return ap
 
 

@@ -77,6 +77,46 @@ def test_cli_segment_osm_graph_pipeline(spark, shp_dir, tmp_path):
     assert any("dcterms:date" in ln or "date" in ln for ln in body)
 
 
+def test_cli_report_from_warehouse(spark, shp_dir, tmp_path):
+    prefix = str(tmp_path / "ls")
+    wh = str(tmp_path / "wh")
+    assert cli.main(["segment", "-d", shp_dir, "-o", prefix, "--warehouse", wh,
+                     "-r", "--n-buckets", "2"]) == 0
+    out = str(tmp_path / "report.html")
+    assert cli.main(["report", "--warehouse", wh, "--n-buckets", "2",
+                     "-o", out]) == 0
+    html = open(out).read()
+    assert "<svg" in html and "1 edition (1900)" in html
+    assert "Change classification (1900 → 1910)" in html
+
+
+def test_cli_segment_polygon_mode(spark, tmp_path):
+    """MULTIPOLYGON config routes the shapefile reader + snap + fold through
+    the polygon algebra (P7 dispatch) end-to-end from the CLI."""
+    import json as _json
+
+    from tests.test_shapefile import _sq
+
+    d = tmp_path / "polys"
+    d.mkdir()
+    _write_shp(str(d / "1900c.shp"), [[_sq(0.000, 0.000, 0.020)]])
+    _write_shp(str(d / "1910c.shp"), [[_sq(0.008, 0.000, 0.020)]])
+    cfg = tmp_path / "config.json"
+    cfg.write_text(_json.dumps({"dbname": "pg", "geometry_type": "MULTIPOLYGON"}))
+    prefix = str(tmp_path / "poly_seg")
+    assert cli.main(["segment", "-d", str(d), "-c", str(cfg), "-r",
+                     "-o", prefix, "--warehouse", str(tmp_path / "pwh"),
+                     "--n-buckets", "2"]) == 0
+    from linked_maps_spark.jsonlines import read_jl
+
+    geom, seg, _rel = read_jl(spark, prefix)
+    wkts = {r["name"]: r for r in seg.join(geom, "gid").collect()}
+    assert {"1900c", "1910c"} <= set(wkts)
+    assert all(r["wkt"].startswith("MULTIPOLYGON") for r in wkts.values())
+    # overlapping squares → an intersection node exists
+    assert any(n.startswith("i_") for n in wkts)
+
+
 def test_cli_segment_is_incremental_without_reset(spark, shp_dir, tmp_path):
     """Second run without -r reuses the warehouse and persisted origins
     (the snap-state contract): same WAL replayed → identical segment set."""
