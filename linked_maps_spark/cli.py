@@ -196,6 +196,67 @@ def cmd_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def _open_engine(args: argparse.Namespace):
+    from . import geometry as G
+    from .ingest import CdcEngine
+
+    cfg = {}
+    if getattr(args, "config_file", None):
+        with open(args.config_file) as fh:
+            cfg = json.load(fh)
+    gtype_s = str(cfg.get("geometry_type", "MULTILINESTRING")).upper()
+    geom_type = G.POLYGON if "POLYGON" in gtype_s else G.LINE
+    spark = _spark(args.cores)
+    return CdcEngine(
+        spark, os.path.abspath(args.warehouse),
+        geom_type=geom_type, n_buckets=args.n_buckets,
+    )
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """The reference UI's query dropdown (ui/main.py:23-78) from the shell:
+    q1..q5 over a segment-built warehouse, JSON-lines to stdout."""
+    from .osm_link import link_osm, synth_osm_catalog
+    from .queries import (
+        classify_changes, q1_edition, q2_edition_unique, q3_persisted,
+        q4_retired, q5_persisted_with_osm,
+    )
+
+    eng = _open_engine(args)
+    seg = eng.current_segments()
+    rel = eng.relations.read()
+    y1, y2 = args.year1, args.year2
+    if args.query not in ("q1", "q2") and not y2:
+        raise SystemExit(f"query {args.query} needs --year2")
+    if args.query == "q1":
+        df = q1_edition(seg, rel, y1)
+    elif args.query == "q2":
+        df = q2_edition_unique(seg, rel, y2 or y1)
+    elif args.query == "q3":
+        df = q3_persisted(seg, rel, y1, y2)
+    elif args.query == "q4":
+        df = q4_retired(seg, rel, y1, y2)
+    elif args.query == "q5":
+        links = link_osm(seg, synth_osm_catalog(eng.spark, seg))
+        df = q5_persisted_with_osm(seg, rel, links, y1, y2)
+    else:
+        df = classify_changes(seg, rel, y1, y2)
+    for row in df.limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
+def cmd_maintain(args: argparse.Namespace) -> int:
+    """Post-ingest table maintenance: commit-log/metrics compaction and
+    snapshot expiry (the lake analog of VACUUM)."""
+    eng = _open_engine(args)
+    eng.maintain(keep_snapshots=args.keep_snapshots,
+                 max_log_files=args.max_log_files)
+    print(f"maintain: compacted logs, kept ≤{args.keep_snapshots} snapshots "
+          f"per table under {os.path.abspath(args.warehouse)}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m linked_maps_spark",
@@ -256,6 +317,24 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("-o", "--output_file", default="report.html")
     rp.add_argument("--n-buckets", type=int, default=8)
     rp.set_defaults(fn=cmd_report)
+
+    qp = sub.add_parser("query", help="UI query dropdown: q1..q5/classify -> JSON lines")
+    qp.add_argument("query", choices=["q1", "q2", "q3", "q4", "q5", "classify"])
+    qp.add_argument("--warehouse", required=True)
+    qp.add_argument("-c", "--config_file", default=None)
+    qp.add_argument("--year1", required=True)
+    qp.add_argument("--year2", default=None)
+    qp.add_argument("--limit", type=int, default=10000)
+    qp.add_argument("--n-buckets", type=int, default=8)
+    qp.set_defaults(fn=cmd_query)
+
+    mp = sub.add_parser("maintain", help="compact logs / expire snapshots (VACUUM analog)")
+    mp.add_argument("--warehouse", required=True)
+    mp.add_argument("-c", "--config_file", default=None)
+    mp.add_argument("--keep-snapshots", type=int, default=4)
+    mp.add_argument("--max-log-files", type=int, default=8)
+    mp.add_argument("--n-buckets", type=int, default=8)
+    mp.set_defaults(fn=cmd_maintain)
     return ap
 
 

@@ -117,6 +117,26 @@ def test_cli_segment_polygon_mode(spark, tmp_path):
     assert any(n.startswith("i_") for n in wkts)
 
 
+def test_cli_query_and_maintain(spark, shp_dir, tmp_path, capsys):
+    prefix = str(tmp_path / "ls")
+    wh = str(tmp_path / "wh")
+    assert cli.main(["segment", "-d", shp_dir, "-o", prefix, "--warehouse", wh,
+                     "-r", "--n-buckets", "2"]) == 0
+    capsys.readouterr()
+    assert cli.main(["query", "q3", "--warehouse", wh, "--n-buckets", "2",
+                     "--year1", "1900", "--year2", "1910"]) == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln]
+    assert out and all("gid" in r and "wkt" in r for r in out)
+    assert cli.main(["query", "classify", "--warehouse", wh, "--n-buckets", "2",
+                     "--year1", "1900", "--year2", "1910"]) == 0
+    kinds = {json.loads(ln)["change_kind"]
+             for ln in capsys.readouterr().out.splitlines() if ln}
+    assert kinds <= {"persisted", "added", "retired", "modified", "unchanged"} and kinds
+    with pytest.raises(SystemExit):
+        cli.main(["query", "q3", "--warehouse", wh, "--year1", "1900"])
+    assert cli.main(["maintain", "--warehouse", wh, "--n-buckets", "2"]) == 0
+
+
 def test_cli_segment_is_incremental_without_reset(spark, shp_dir, tmp_path):
     """Second run without -r reuses the warehouse and persisted origins
     (the snap-state contract): same WAL replayed → identical segment set."""
