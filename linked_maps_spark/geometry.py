@@ -434,7 +434,11 @@ def intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     algebra was 28% of fold CPU).  An ``idx == b.size`` probe means
     ``a_i > b[-1]``; clamping it to 0 can't collide because then
     ``b[0] < a_i``."""
-    if a.size == 0 or b.size == 0:
+    if a.size == 0 or b.size == 0 or a[-1] < b[0] or b[-1] < a[0]:
+        # sorted-unique invariant ⇒ disjoint id RANGES are disjoint SETS —
+        # an O(1) pretest that skips the probe for the (common) far-apart
+        # leaf×edition pairs in deep lattices (profiled: intersect was 31%
+        # of deep-fold CPU, most calls returning empty)
         return np.empty(0, dtype=np.int64)
     idx = np.searchsorted(b, a)
     idx[idx == b.size] = 0
@@ -444,8 +448,8 @@ def intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def difference(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """G2: buffered difference (reference: postgis_sqls.py:8,37-39).
     Same sorted-unique searchsorted kernel as :func:`intersect`."""
-    if a.size == 0 or b.size == 0:
-        return a.copy()
+    if a.size == 0 or b.size == 0 or a[-1] < b[0] or b[-1] < a[0]:
+        return a.copy()  # disjoint ranges ⇒ nothing to subtract
     idx = np.searchsorted(b, a)
     idx[idx == b.size] = 0
     return a[b[idx] != a]
