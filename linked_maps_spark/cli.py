@@ -246,6 +246,37 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """Generic WAL ingest (the engine's native input_hint shape): a parquet
+    directory of change events → the lake warehouse, batch
+    (``CdcEngine.ingest``) or incremental Structured Streaming
+    (``--stream``: readStream + foreachBatch with source checkpointing —
+    redelivered micro-batches are deduplicated by the commit-log watermark,
+    so the pair is exactly-once at the table level)."""
+    from .snap import snap_change_log
+
+    eng = _open_engine(args)
+    warehouse = os.path.abspath(args.warehouse)
+    fresh = args.reset_db or not os.path.exists(os.path.join(warehouse, "segments"))
+    if fresh:
+        eng.create_tables(overwrite=True)
+    if args.stream:
+        from .streaming import stream_ingest
+
+        ckpt = args.checkpoint or os.path.join(warehouse, "_stream_checkpoint")
+        stream_ingest(eng, args.wal, ckpt, commits_per_epoch=args.commits_per_epoch)
+    else:
+        wal = eng.spark.read.parquet(args.wal)
+        if args.snap:
+            wal = snap_change_log(wal, geom_type=eng.geom_type, pitch=args.pitch)
+        eng.ingest(wal, commits_per_epoch=args.commits_per_epoch)
+    if args.vacuum:
+        eng.maintain()
+    n = eng.current_segments().count()
+    print(f"ingest: watermark={eng.watermark()}, {n} current segments in {warehouse}")
+    return 0
+
+
 def cmd_maintain(args: argparse.Namespace) -> int:
     """Post-ingest table maintenance: commit-log/metrics compaction and
     snapshot expiry (the lake analog of VACUUM)."""
@@ -327,6 +358,25 @@ def build_parser() -> argparse.ArgumentParser:
     qp.add_argument("--limit", type=int, default=10000)
     qp.add_argument("--n-buckets", type=int, default=8)
     qp.set_defaults(fn=cmd_query)
+
+    ip = sub.add_parser("ingest", help="generic parquet WAL -> warehouse (batch or --stream)")
+    ip.add_argument("--wal", required=True,
+                    help="Parquet directory of change events (repo, path, commit, content, ...).")
+    ip.add_argument("--warehouse", required=True)
+    ip.add_argument("-c", "--config_file", default=None)
+    ip.add_argument("-r", "--reset_db", action="store_true")
+    ip.add_argument("--stream", action="store_true",
+                    help="Structured Streaming incremental drain (availableNow).")
+    ip.add_argument("--checkpoint", default=None,
+                    help="Stream checkpoint dir (default <warehouse>/_stream_checkpoint).")
+    ip.add_argument("--snap", action="store_true",
+                    help="Snap-round arbitrary-coordinate WKT content first.")
+    ip.add_argument("--pitch", type=float, default=0.002)
+    ip.add_argument("--vacuum", action="store_true",
+                    help="Run maintain() after the ingest.")
+    ip.add_argument("--commits-per-epoch", type=int, default=8)
+    ip.add_argument("--n-buckets", type=int, default=8)
+    ip.set_defaults(fn=cmd_ingest)
 
     mp = sub.add_parser("maintain", help="compact logs / expire snapshots (VACUUM analog)")
     mp.add_argument("--warehouse", required=True)

@@ -137,6 +137,37 @@ def test_cli_query_and_maintain(spark, shp_dir, tmp_path, capsys):
     assert cli.main(["maintain", "--warehouse", wh, "--n-buckets", "2"]) == 0
 
 
+def test_cli_ingest_batch_equals_stream(spark, tmp_path):
+    """The generic WAL subcommand: batch and --stream drains of the same
+    parquet WAL produce identical warehouse state (exactly-once contract),
+    from the CLI surface."""
+    from linked_maps_spark.changelog import synth_change_log, to_spark
+    from linked_maps_spark.ingest import CdcEngine
+
+    wal_dir = str(tmp_path / "wal")
+    to_spark(spark, synth_change_log(n_keys=4, n_commits=4, seed=11)).write.parquet(wal_dir)
+
+    wb, ws = str(tmp_path / "wh_batch"), str(tmp_path / "wh_stream")
+    assert cli.main(["ingest", "--wal", wal_dir, "--warehouse", wb, "-r",
+                     "--n-buckets", "2", "--commits-per-epoch", "2",
+                     "--vacuum"]) == 0
+    assert cli.main(["ingest", "--wal", wal_dir, "--warehouse", ws, "-r",
+                     "--n-buckets", "2", "--commits-per-epoch", "2",
+                     "--stream"]) == 0
+
+    def state(wh):
+        eng = CdcEngine(spark, wh, n_buckets=2)
+        return {(r["gid"], r["content_sha256"])
+                for r in eng.current_segments().collect()}
+
+    sb, ss = state(wb), state(ws)
+    assert sb and sb == ss
+    # replaying the same WAL in batch mode is a watermark no-op
+    assert cli.main(["ingest", "--wal", wal_dir, "--warehouse", wb,
+                     "--n-buckets", "2", "--commits-per-epoch", "2"]) == 0
+    assert state(wb) == sb
+
+
 def test_cli_segment_is_incremental_without_reset(spark, shp_dir, tmp_path):
     """Second run without -r reuses the warehouse and persisted origins
     (the snap-state contract): same WAL replayed → identical segment set."""
