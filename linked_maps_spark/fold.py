@@ -262,9 +262,27 @@ def fold_key(
         e_ids = G.parse_wkt(content, geom_type)
         e_node = _new(commit, e_ids, tuple(edition_years(commit)), commit, extras)
 
-        round_intersections: list[_Node] = []
-        for leaf in leaves:
-            i_ids = G.intersect(leaf.ids, e_ids)
+        # Live leaves are pairwise DISJOINT (each round replaces an
+        # intersected leaf with its {i, m} partition; mu ⊆ e avoids the
+        # untouched leaves by construction), so the per-leaf
+        # intersect/difference probes collapse into ONE vectorized
+        # membership test of the concatenated leaf mass against e_ids:
+        # i_k = leaf_k[mask_k] and m_k = leaf_k[~mask_k] are exactly
+        # G.intersect/G.difference's answers (same per-leaf sorted order),
+        # and ∪i = sort(cat[mask]) because the leaves are disjoint.
+        round_hit = False
+        if leaves and e_ids.size:
+            lens = [leaf.ids.size for leaf in leaves]
+            cat = np.concatenate([leaf.ids for leaf in leaves])
+            pos = np.searchsorted(e_ids, cat)
+            pos[pos == e_ids.size] = 0
+            mask = e_ids[pos] == cat
+            leaf_masks = np.split(mask, np.cumsum(lens)[:-1])
+        else:
+            mask = None
+            leaf_masks = [None] * len(leaves)
+        for leaf, mk in zip(leaves, leaf_masks):
+            i_ids = leaf.ids[mk] if mk is not None else np.empty(0, np.int64)
             if G.is_multi(i_ids):  # G4 guard
                 i_name = "i_" + md5_hex(f"i_{leaf.name}_{e_node.name}")
                 i_node = _new(
@@ -272,15 +290,15 @@ def fold_key(
                 )
                 _link(leaf, i_node)
                 _link(e_node, i_node)
-                round_intersections.append(i_node)
-                m_ids = G.difference(leaf.ids, i_ids)
+                round_hit = True
+                m_ids = leaf.ids[~mk]
                 if G.is_multi(m_ids):
                     m_name = "m_" + md5_hex(f"m_{leaf.name}_{i_node.name}")
                     m_node = _new(m_name, m_ids, leaf.editions, commit)
                     _link(leaf, m_node)
 
-        if round_intersections:
-            r_ids = G.difference(e_ids, G.union_all([n.ids for n in round_intersections]))
+        if round_hit:
+            r_ids = G.difference(e_ids, np.sort(cat[mask]))
             if G.is_multi(r_ids):
                 mu_name = "mu_" + md5_hex(f"mu_{e_node.name}_UL")
                 mu_node = _new(mu_name, r_ids, e_node.editions, commit)
