@@ -277,7 +277,10 @@ def fold_key(
             pos = np.searchsorted(e_ids, cat)
             pos[pos == e_ids.size] = 0
             mask = e_ids[pos] == cat
-            leaf_masks = np.split(mask, np.cumsum(lens)[:-1])
+            # plain slices, not np.split (array_split's per-chunk machinery
+            # was itself a profile line at deep-lattice scale)
+            offs = np.cumsum([0] + lens)
+            leaf_masks = [mask[offs[i]:offs[i + 1]] for i in range(len(lens))]
         else:
             mask = None
             leaf_masks = [None] * len(leaves)
