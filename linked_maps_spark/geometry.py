@@ -228,6 +228,21 @@ def _fmt(i: np.int64 | int) -> str:
     return f"{i * PITCH:.2f}"
 
 
+_COORD_STRS: list[str] | None = None
+
+
+def _coord_strs() -> list[str]:
+    """Lazy per-process lookup table: grid index → canonical coordinate
+    string (``i//100 . i%100``).  Serialization formats millions of
+    coordinates from a ≤16385-value domain, so a one-time table turns four
+    f-string format ops per run into list indexing (profiled hot at
+    deep-lattice scale)."""
+    global _COORD_STRS
+    if _COORD_STRS is None:
+        _COORD_STRS = [f"{i // 100}.{i % 100:02d}" for i in range(_P + 2)]
+    return _COORD_STRS
+
+
 def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
     """Sorted ids → canonical WKT (collinear unit runs merged, stable order).
 
@@ -272,9 +287,9 @@ def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
         ex = np.concatenate(ex_l)
         ey = np.concatenate(ey_l)
         o = np.lexsort((ey, ex, sy, sx))  # canonical run order
+        S = _coord_strs()
         parts = [
-            f"({a // 100}.{a % 100:02d} {b // 100}.{b % 100:02d}, "
-            f"{c // 100}.{c % 100:02d} {d // 100}.{d % 100:02d})"
+            f"({S[a]} {S[b]}, {S[c]} {S[d]})"
             for a, b, c, d in zip(
                 sx[o].tolist(), sy[o].tolist(), ex[o].tolist(), ey[o].tolist()
             )
@@ -291,8 +306,7 @@ def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
         rx1, ry1 = cx[ends] + 1, cy[ends] + 1
         o = np.lexsort((ry1, rx1, ry0, rx0))
 
-        def f(i):
-            return f"{i // 100}.{i % 100:02d}"
+        f = _coord_strs().__getitem__
 
         parts = [
             f"(({f(a)} {f(b)}, {f(c)} {f(b)}, {f(c)} {f(d)}, {f(a)} {f(d)}, {f(a)} {f(b)}))"
@@ -347,11 +361,11 @@ def _line_wkt_strings(node, px, py, qx, qy, n_nodes: int) -> list[str | None]:
     )
     out: list[str | None] = [None] * n_nodes
     sx_t, sy_t, ex_t, ey_t = sx.tolist(), sy.tolist(), ex.tolist(), ey.tolist()
+    S = _coord_strs()
     for i in range(len(bounds) - 1):
         lo, hi = bounds[i], bounds[i + 1]
         parts = [
-            f"({a // 100}.{a % 100:02d} {b // 100}.{b % 100:02d}, "
-            f"{c // 100}.{c % 100:02d} {d // 100}.{d % 100:02d})"
+            f"({S[a]} {S[b]}, {S[c]} {S[d]})"
             for a, b, c, d in zip(
                 sx_t[lo:hi], sy_t[lo:hi], ex_t[lo:hi], ey_t[lo:hi]
             )
@@ -404,8 +418,7 @@ def to_wkt_batch(ids_list: list[np.ndarray], geom_type: str = LINE) -> list[str]
             ([0], np.flatnonzero(np.diff(rn) != 0) + 1, [len(rn)])
         )
 
-        def f(i):
-            return f"{i // 100}.{i % 100:02d}"
+        f = _coord_strs().__getitem__
 
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
