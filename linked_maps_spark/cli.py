@@ -74,10 +74,18 @@ def cmd_segment(args: argparse.Namespace) -> int:
         eng.create_tables(overwrite=True)
 
     origins_path = os.path.join(warehouse, "origins.json")
-    if os.path.exists(origins_path) and not fresh:
-        origins = load_origins(origins_path)
-    else:
-        origins = derive_origins(wal, pitch=args.pitch, origin_key="path")
+    origins = load_origins(origins_path) if (
+        os.path.exists(origins_path) and not fresh
+    ) else {}
+    new_keys = (
+        set(r["path"] for r in wal.select("path").distinct().collect())
+        - origins.keys()
+    )
+    if new_keys:
+        # persisted keys keep their origin (re-deriving could shift it and
+        # fork grid ids); only keys never seen by this warehouse get one
+        derived = derive_origins(wal, pitch=args.pitch, origin_key="path")
+        origins.update({k: v for k, v in derived.items() if k in new_keys})
         save_origins(origins, origins_path)
 
     eng.ingest(
@@ -113,10 +121,11 @@ def cmd_osm_link(args: argparse.Namespace) -> int:
         else SyntheticOverpass(seed=args.seed)
     )
     catalog = source.catalog(spark, geom)
-    links = link_osm(geom, catalog, filter_tag=args.filtering_key)
+    links = link_osm(geom, catalog, filter_tag=args.filtering_key).persist()
     out = (args.output_file or args.geometry_file) + ".osm.jl"
     osm_jl(links).write.mode("overwrite").json(out)
-    n = links.count()
+    n = links.count()  # served from the persisted write, not a re-link
+    links.unpersist()
     print(f"osm-link: {n} segments linked (tag={args.filtering_key!r}) -> {out}")
     return 0
 
@@ -152,31 +161,21 @@ def cmd_graph(args: argparse.Namespace) -> int:
             F.coalesce(F.array_max("editions"), F.substring("name", 1, 4)),
         )
     )
-    triples = build_triples(seg_full, rel, osm)
+    triples = build_triples(seg_full, rel, osm).persist()
     write_turtle(triples, args.output_file)
-    print(f"graph: {triples.count()} triples -> {args.output_file}")
+    n = triples.count()  # served from the persisted write, not a re-derive
+    triples.unpersist()
+    print(f"graph: {n} triples -> {args.output_file}")
     return 0
 
 
 def cmd_report(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
-    from . import geometry as G
-    from .ingest import CdcEngine
     from .report import write_report
 
-    cfg = {}
-    if args.config_file:
-        with open(args.config_file) as fh:
-            cfg = json.load(fh)
-    gtype_s = str(cfg.get("geometry_type", "MULTILINESTRING")).upper()
-    geom_type = G.POLYGON if "POLYGON" in gtype_s else G.LINE
-
-    spark = _spark(args.cores)
-    eng = CdcEngine(
-        spark, os.path.abspath(args.warehouse),
-        geom_type=geom_type, n_buckets=args.n_buckets,
-    )
+    eng = _open_engine(args)
+    geom_type = eng.geom_type
     seg = eng.current_segments()
     rel = eng.relations.read()
     years = sorted(
@@ -253,8 +252,11 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     (``--stream``: readStream + foreachBatch with source checkpointing —
     redelivered micro-batches are deduplicated by the commit-log watermark,
     so the pair is exactly-once at the table level)."""
-    from .snap import snap_change_log
+    from .snap import derive_origins, load_origins, save_origins, snap_change_log
 
+    if args.snap and args.stream:
+        raise SystemExit("--snap with --stream is not supported; snap the WAL "
+                         "in batch mode (or pre-snap the stream source)")
     eng = _open_engine(args)
     warehouse = os.path.abspath(args.warehouse)
     fresh = args.reset_db or not os.path.exists(os.path.join(warehouse, "segments"))
@@ -268,7 +270,27 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     else:
         wal = eng.spark.read.parquet(args.wal)
         if args.snap:
-            wal = snap_change_log(wal, geom_type=eng.geom_type, pitch=args.pitch)
+            # honor the warehouse's persisted snap state — snapping with a
+            # different origin than earlier ingests would silently fork the
+            # grid ids of existing keys (same contract as cmd_segment)
+            origins_path = os.path.join(warehouse, "origins.json")
+            origins = load_origins(origins_path) if (
+                os.path.exists(origins_path) and not fresh
+            ) else {}
+            new_keys = (
+                set(r["path"] for r in wal.select("path").distinct().collect())
+                - origins.keys()
+            )
+            if new_keys:
+                derived = derive_origins(wal, pitch=args.pitch, origin_key="path")
+                origins.update(
+                    {k: v for k, v in derived.items() if k in new_keys}
+                )
+                save_origins(origins, origins_path)
+            wal = snap_change_log(
+                wal, geom_type=eng.geom_type, pitch=args.pitch,
+                origins=origins, origin_key="path",
+            )
         eng.ingest(wal, commits_per_epoch=args.commits_per_epoch)
     if args.vacuum:
         eng.maintain()

@@ -225,8 +225,7 @@ def _pnm_header(b: bytes, pos: int):
     (magic, tokens, data_offset)."""
     magic = b[pos : pos + 2]
     pos += 2
-    want = 2 if magic == b"P5" or magic == b"P6" else 0
-    if not want:
+    if magic not in (b"P5", b"P6"):
         raise ValueError(f"unsupported netpbm magic {magic!r}")
     tokens = []
     while len(tokens) < 3:  # width height maxval

@@ -170,8 +170,8 @@ def resize_images(
                 thumbs = []
                 for payload in pdf["payload"]:
                     img = _decode_image_any(bytes(payload))
-                    if img.shape[2] == 1:
-                        img = np.repeat(img, 3, axis=2)
+                    if img.shape[2] < 3:  # grey or grey+alpha → replicate luma
+                        img = np.repeat(img[:, :, :1], 3, axis=2)
                     small = codecs.resize_bilinear(img[:, :, :3], width, height)
                     thumbs.append(codecs.encode_bmp(small))
                 yield pd.DataFrame(
@@ -230,10 +230,17 @@ def sample_frames(
                             "streams; MP4/H.264 need ffmpeg (absent here)"
                         )
                     frames = codecs.decode_ppm_stream(payload)
+                    prev_idx = -1
                     for k in range(max_frames):
-                        idx = int(round(k / fps * src_fps))
+                        # half-up rounding (consistent at exact halves), and
+                        # dedupe: fps > src_fps would otherwise emit the same
+                        # source frame for consecutive ticks
+                        idx = int(k / fps * src_fps + 0.5)
                         if idx >= len(frames):
                             break
+                        if idx == prev_idx:
+                            continue
+                        prev_idx = idx
                         rows.append(
                             {
                                 "media_id": media_id,

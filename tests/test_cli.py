@@ -168,6 +168,68 @@ def test_cli_ingest_batch_equals_stream(spark, tmp_path):
     assert state(wb) == sb
 
 
+def test_cli_segment_adds_new_region_tile_without_reset(spark, shp_dir, tmp_path):
+    """A second shapefile directory ingested into an existing warehouse gets
+    its own snap origin merged into origins.json (existing keys keep their
+    persisted origin — grid ids must never shift)."""
+    import json as _json
+
+    d2 = tmp_path / "editions2"
+    d2.mkdir()
+    # a far-away region tile (different lat band)
+    _polyline_shp(str(d2 / "1900c.shp"), [3.000, 3.010, 3.020], 2.000)
+    _polyline_shp(str(d2 / "1910c.shp"), [3.004, 3.014, 3.024], 2.000)
+
+    prefix, wh = str(tmp_path / "ls"), str(tmp_path / "wh")
+    assert cli.main(["segment", "-d", shp_dir, "-o", prefix, "--warehouse", wh,
+                     "-r", "--n-buckets", "2"]) == 0
+    o1 = _json.loads(open(wh + "/origins.json").read())
+    assert cli.main(["segment", "-d", str(d2), "-o", prefix, "--warehouse", wh,
+                     "--n-buckets", "2"]) == 0
+    o2 = _json.loads(open(wh + "/origins.json").read())
+    assert set(o2) == set(o1) | {"editions2"}
+    for k, v in o1.items():
+        assert o2[k] == v  # persisted origins untouched
+
+
+def test_cli_ingest_snap_reuses_persisted_origins(spark, tmp_path):
+    """ingest --snap must honor the warehouse's origins.json: a later WAL
+    slice with a different bounding box reuses the first slice's origin, so
+    the two editions land on the same grid and the fold links them."""
+    import json as _json
+
+    def wal_df(commit, x0):
+        content = f"LINESTRING ({x0:.6f} 1.000000, {x0 + 0.040:.6f} 1.000000)"
+        return spark.createDataFrame(
+            [("r", "sheet", commit, "wkt", content)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+
+    w1, w2 = str(tmp_path / "wal1"), str(tmp_path / "wal2")
+    wal_df("1900c", 2.000).write.parquet(w1)
+    wal_df("1910c", 2.016).write.parquet(w2)  # shifted box, overlapping line
+    wh = str(tmp_path / "wh")
+    assert cli.main(["ingest", "--wal", w1, "--warehouse", wh, "-r", "--snap",
+                     "--n-buckets", "2"]) == 0
+    o1 = _json.loads(open(wh + "/origins.json").read())
+    assert cli.main(["ingest", "--wal", w2, "--warehouse", wh, "--snap",
+                     "--n-buckets", "2"]) == 0
+    o2 = _json.loads(open(wh + "/origins.json").read())
+    assert o1 == o2  # second slice reused the persisted origin
+    from linked_maps_spark.ingest import CdcEngine
+
+    eng = CdcEngine(spark, wh, n_buckets=2)
+    names = {r["name"] for r in eng.current_segments().collect()}
+    # same grid ⇒ the editions overlap and the fold produced an i_ node
+    assert any(n.startswith("i_") for n in names), names
+
+
+def test_cli_ingest_snap_stream_rejected(tmp_path):
+    with pytest.raises(SystemExit, match="snap"):
+        cli.main(["ingest", "--wal", str(tmp_path), "--warehouse",
+                  str(tmp_path / "wh"), "--snap", "--stream"])
+
+
 def test_cli_segment_is_incremental_without_reset(spark, shp_dir, tmp_path):
     """Second run without -r reuses the warehouse and persisted origins
     (the snap-state contract): same WAL replayed → identical segment set."""

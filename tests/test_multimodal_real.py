@@ -92,6 +92,34 @@ def test_real_frame_sampling_content_addressed(docs, media):
         assert r["frame_offset_s"] == idx / 4.0
 
 
+def test_real_resize_grey_alpha_png(spark):
+    """2-channel (grey+alpha) PNGs — a format decode_png supports — must
+    resize by replicating luma, not crash encode_bmp."""
+    ga = np.dstack([np.full((5, 4), 77, np.uint8), np.full((5, 4), 255, np.uint8)])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(codecs.encode_png(ga)), "image/png")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.resize_images(media, 8, 6, fake=False).collect()
+    img = codecs.decode_bmp(bytes(rows[0]["thumb"]))
+    assert img.shape == (6, 8, 3) and np.all(img == 77)
+
+
+def test_real_frame_sampling_dedupes_when_fps_exceeds_source(docs, media):
+    """fps > src_fps: consecutive ticks map to the same source frame and
+    must not emit duplicate (media_id, frame_idx) rows."""
+    frames = multimodal.sample_frames(
+        media, fps=8.0, max_frames=6, fake=False, src_fps=4.0
+    ).collect()
+    seen = [(r["media_id"], r["frame_idx"]) for r in frames]
+    assert len(seen) == len(set(seen))
+    # videos have 4 frames; ticks 0..5 at idx=round-half-up(k/2) → 0,1,1,2,2,3
+    per_media = {}
+    for mid, idx in seen:
+        per_media.setdefault(mid, []).append(idx)
+    assert all(v == [0, 1, 2, 3] for v in per_media.values())
+
+
 def test_jpeg_still_raises_documented(spark):
     jpeg = spark.createDataFrame(
         [(99, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"), "image/jpeg")],
