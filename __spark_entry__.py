@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_bmp_roundtrip"] = _doc()(multimodal.bmp_roundtrip_stats)
     q["multimodal_png_roundtrip"] = _doc()(multimodal.png_roundtrip_stats)
     q["multimodal_resize_nearest"] = _doc()(multimodal.resize_roundtrip_stats)
+    q["multimodal_jpeg_roundtrip"] = _doc()(multimodal.jpeg_roundtrip_stats)
     # CDC / geometry queries over the engine warehouse (rows-only checks)
     q["cdc_q1_edition"] = entry_cdc.cdc_q1_edition
     q["cdc_q2_edition_unique"] = entry_cdc.cdc_q2_edition_unique
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_bmp_roundtrip"] = multimodal.BMP_ROUNDTRIP_SQL
     o["multimodal_png_roundtrip"] = multimodal.PNG_ROUNDTRIP_SQL
     o["multimodal_resize_nearest"] = multimodal.RESIZE_ROUNDTRIP_SQL
+    o["multimodal_jpeg_roundtrip"] = multimodal.JPEG_ROUNDTRIP_SQL
     # other cdc_* stay rows-only (arbitrary lattices are not
     # SQL-expressible), but the micro fold IS: full value oracle
     o["cdc_fold_micro"] = entry_cdc.cdc_fold_micro_sql()

@@ -16,12 +16,15 @@ The container ships no codec libraries (PIL / ffmpeg / opencv), but several
   "video" container.
 * **WAV** — RIFF/WAVE PCM 16-bit, any channel count, chunk-walking parser
   (tolerates extra chunks like ``LIST``).
+* **JPEG** — baseline sequential (SOF0) encode/decode, greyscale + YCbCr
+  4:4:4 / 4:2:0, Annex K tables, restart markers on decode — implemented
+  in :mod:`linked_maps_spark.jpeg` and re-exported here.
 
 Plus numpy resize kernels (nearest + bilinear, half-pixel centers) and
 deterministic image/audio feature extractors.  Formats that genuinely need
-entropy-coding/DSP libraries (JPEG, MP3, H.264) remain documented
-``NotImplementedError`` in :mod:`multimodal` — the dispatch there is by
-magic-byte sniffing (:func:`sniff`).
+DSP/entropy libraries beyond that (MP3, H.264, progressive JPEG) remain
+documented ``NotImplementedError`` in :mod:`multimodal` — the dispatch
+there is by magic-byte sniffing (:func:`sniff`).
 
 Reference parity note: the reference repo (usc-isi-i2/linked-maps) has no
 media path at all; this module serves the brief's training-data-pipeline
@@ -34,6 +37,8 @@ import struct
 import zlib
 
 import numpy as np
+
+from linked_maps_spark.jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
 
 # ---------------------------------------------------------------------------
 # sniffing
@@ -51,7 +56,7 @@ def sniff(payload: bytes) -> str | None:
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio/wav"
     if b[:3] == b"\xff\xd8\xff":
-        return "image/jpeg"  # recognized, NOT decodable here
+        return "image/jpeg"  # baseline decodable via linked_maps_spark.jpeg
     return None
 
 

@@ -4,11 +4,13 @@ columns with typed metadata.
 Two decode tiers:
 
 * **Real kernels** (``fake=False``) for formats that are decodable with
-  stdlib+numpy alone — BMP, PNG, netpbm P5/P6, concatenated-P6 video
+  stdlib+numpy alone — BMP, PNG, baseline JPEG (own DCT/Huffman codec,
+  :mod:`linked_maps_spark.jpeg`), netpbm P5/P6, concatenated-P6 video
   streams, and PCM16 WAV — implemented in :mod:`linked_maps_spark.codecs`
   (spec-conformant, round-trip tested).  Formats that genuinely need
-  entropy-coding/DSP libraries absent from this container (JPEG, MP3,
-  H.264) raise a documented ``NotImplementedError`` at the dispatch point.
+  DSP/entropy libraries absent from this container (MP3, H.264,
+  progressive JPEG) raise a documented ``NotImplementedError`` at the
+  dispatch point.
 * **Deterministic fakes** (``fake=True``, the default) whose outputs are
   pure functions of the payload sha256 — these keep the driver-gate DuckDB
   oracles value-exact (a real image decode is not SQL-expressible).
@@ -94,10 +96,7 @@ def _decode_image_any(payload: bytes) -> np.ndarray:
     if mime == "image/x-portable-pixmap":
         return codecs.decode_ppm_stream(payload)[0]
     if mime == "image/jpeg":
-        raise NotImplementedError(
-            "JPEG needs an entropy decoder (PIL/libjpeg) not present in "
-            "this container; BMP/PNG/netpbm decode natively"
-        )
+        return codecs.decode_jpeg(payload)  # baseline; progressive raises
     raise NotImplementedError(f"no native image decoder for {mime or 'unknown'}")
 
 
@@ -115,9 +114,10 @@ def decode_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFr
 
     With ``fake=True`` the feature is a deterministic function of the payload
     sha256 (keeps the DuckDB oracle value-exact; ``dim`` applies); with
-    ``fake=False`` payloads are REALLY decoded (BMP/PNG/netpbm/WAV/P6-stream
-    via :mod:`codecs`) and ``feat_dim`` is the extractor's native length —
-    only formats needing absent codec libs (JPEG/MP3/H.264) raise."""
+    ``fake=False`` payloads are REALLY decoded (BMP/PNG/baseline-JPEG/netpbm/
+    WAV/P6-stream via :mod:`codecs`) and ``feat_dim`` is the extractor's
+    native length — only formats needing absent DSP libs (MP3/H.264/
+    progressive JPEG) raise."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,8 +161,8 @@ def resize_images(
     """'Resize' kernel over Arrow batches.  With ``fake=True`` the thumb is a
     deterministic function of (payload sha256, target size) — byte plumbing,
     batch shape and schema are real.  With ``fake=False`` image payloads are
-    really decoded (BMP/PNG/netpbm; P6 streams use frame 0), bilinear-resampled
-    in numpy, and re-encoded as BMP thumbs; JPEG raises (absent codec)."""
+    really decoded (BMP/PNG/baseline-JPEG/netpbm; P6 streams use frame 0),
+    bilinear-resampled in numpy, and re-encoded as BMP thumbs."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -312,14 +312,18 @@ def _sha_bytes(seed: bytes, n: int) -> np.ndarray:
 
 
 def _synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
-    """One real-format payload per doc: images alternate BMP/PNG, audio is
+    """One real-format payload per doc: images rotate BMP/PNG/JPEG, audio is
     PCM16 WAV, video is a concatenated-P6 stream (2-4 frames)."""
     seed = text.encode("utf-8") + doc_id.to_bytes(8, "big")
     kind = ("image", "audio", "video")[doc_id % 3]
     if kind == "image":
         w, h = 8 + doc_id % 5, 6 + doc_id % 4
         px = _sha_bytes(seed, w * h * 3).reshape(h, w, 3)
-        enc = codecs.encode_bmp if (doc_id // 3) % 2 == 0 else codecs.encode_png
+        enc = (
+            codecs.encode_bmp,
+            codecs.encode_png,
+            lambda p: codecs.encode_jpeg(p, quality=90),
+        )[(doc_id // 3) % 3]
         return kind, enc(px)
     if kind == "audio":
         n = 64 + doc_id % 64
@@ -336,7 +340,7 @@ def _synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
 
 def synth_real_media(documents: DataFrame) -> DataFrame:
     """Like :func:`synth_media` but payloads are spec-conformant BMP / PNG /
-    WAV / concatenated-P6 bytes, deterministically generated from
+    JPEG / WAV / concatenated-P6 bytes, deterministically generated from
     (doc_id, text) — so the ``fake=False`` real-decode paths run end-to-end
     on genuine files.  declared_mime comes from the magic-byte sniffer."""
 
@@ -611,6 +615,88 @@ PNG_ROUNDTRIP_SQL = """
            CAST(SUM(v) AS BIGINT) AS pixel_sum,
            CAST(bit_xor(v) AS BIGINT) AS pixel_xor
     FROM p GROUP BY doc_id ORDER BY media_id
+"""
+
+
+JPEG_STATS_SCHEMA = (
+    "media_id long, width long, height long, pixel_sum long, blockpos_sum long"
+)
+
+
+def jpeg_roundtrip_stats(documents: DataFrame) -> DataFrame:
+    """Value oracle for the REAL baseline-JPEG codec (DCT → quantize →
+    zigzag → DPCM/Huffman → byte stuffing → full marker parse back).
+
+    JPEG is lossy, so the trick that makes it value-oracle-able: greyscale
+    images whose 8×8 blocks are each CONSTANT have DC-only spectra, and at
+    quality 50 the luminance DC quantizer is exactly the Annex K value 16,
+    so the decoded block value has the closed integer form
+    ``clip(128 + 2·round_half_away((v-128)/2), 0, 255)`` (see
+    :mod:`linked_maps_spark.jpeg` docstring for the tie analysis).  DuckDB
+    recomputes every block from that formula; the block-position-weighted
+    sum catches any block misplacement the plain sum would miss.  The DC
+    DPCM chain, EOB/Huffman coding, bit stuffing and the whole container
+    round-trip are all on the hash path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                wb, hb = 2 + doc_id % 3, 1 + doc_id % 2
+                nb = wb * hb
+                vals = (doc_id * 13 + np.arange(nb, dtype=np.int64) * 29) % 256
+                img = np.repeat(
+                    np.repeat(vals.reshape(hb, wb), 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=50))
+                plane = dec[:, :, 0].astype(np.int64)
+                h, w = plane.shape
+                blocksums = (
+                    plane.reshape(h // 8, 8, w // 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(-1, 64)
+                    .sum(axis=1)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        int(blocksums.sum()),
+                        int((blocksums * np.arange(nb)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "pixel_sum", "blockpos_sum"],
+            )
+
+    return (
+        documents.select("doc_id")
+        .mapInPandas(kernel, JPEG_STATS_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+JPEG_ROUNDTRIP_SQL = """
+    WITH a AS (SELECT doc_id, 2 + (doc_id % 3) AS wb, 1 + (doc_id % 2) AS hb
+               FROM documents),
+    g AS (SELECT unnest(range(8)) AS b),
+    p AS (SELECT a.doc_id, a.wb, a.hb, g.b,
+                 (a.doc_id*13 + g.b*29) % 256 AS v
+          FROM a CROSS JOIN g WHERE g.b < a.wb * a.hb),
+    d AS (SELECT doc_id, wb, hb, b,
+                 CASE WHEN v >= 128
+                      THEN LEAST(128 + 2*((v - 128 + 1)//2), 255)
+                      ELSE GREATEST(128 - 2*((128 - v + 1)//2), 0) END AS dec
+          FROM p)
+    SELECT doc_id AS media_id,
+           CAST(MIN(wb)*8 AS BIGINT) AS width,
+           CAST(MIN(hb)*8 AS BIGINT) AS height,
+           CAST(SUM(dec)*64 AS BIGINT) AS pixel_sum,
+           CAST(SUM(dec*b)*64 AS BIGINT) AS blockpos_sum
+    FROM d GROUP BY doc_id ORDER BY media_id
 """
 
 

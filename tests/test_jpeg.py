@@ -1,0 +1,176 @@
+"""Tests for the pure-numpy baseline JPEG codec (linked_maps_spark.jpeg).
+
+JPEG is lossy, so the exactness tests use the DC-only closed form
+(greyscale constant 8x8 blocks at quality 50 — see the module docstring),
+and the lossy paths assert tight error bounds on smooth images plus
+byte-determinism of the encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from linked_maps_spark import jpeg
+
+
+def _closed_form(v: int) -> int:
+    """Expected decoded value of a constant-v block at quality 50."""
+    d = v - 128
+    if d >= 0:
+        return min(128 + 2 * ((d + 1) // 2), 255)
+    return max(128 - 2 * ((-d + 1) // 2), 0)
+
+
+def _blocks_img(vals: np.ndarray) -> np.ndarray:
+    """(hb, wb) block values -> (8*hb, 8*wb) uint8 image of constant blocks."""
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+
+
+def test_constant_block_closed_form_exact():
+    vals = (np.arange(12).reshape(3, 4) * 37 + 5) % 256
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(_blocks_img(vals), quality=50))[:, :, 0]
+    for by in range(3):
+        for bx in range(4):
+            blk = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == _closed_form(int(vals[by, bx]))).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_constant_block_closed_form_property(data):
+    hb = data.draw(st.integers(1, 4))
+    wb = data.draw(st.integers(1, 4))
+    vals = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=hb * wb, max_size=hb * wb
+            )
+        )
+    ).reshape(hb, wb)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(_blocks_img(vals), quality=50))[:, :, 0]
+    expect = np.vectorize(_closed_form)(vals)
+    got = dec.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(hb, wb, 64)
+    assert (got == expect[:, :, None]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 20), st.integers(1, 20))
+def test_quality100_roundtrip_tight(seed, h, w):
+    """At quality 100 every quantizer is 1: error is DCT rounding only."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100))[:, :, 0]
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_smooth_grey_q90_maxerr_small():
+    g = np.clip(
+        np.fromfunction(lambda y, x: 80 + 0.5 * x + 0.3 * y, (40, 56)), 0, 255
+    ).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))[:, :, 0]
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_smooth_color_roundtrip(sub):
+    cc = np.stack(
+        [
+            np.clip(
+                np.fromfunction(lambda y, x: a + 0.4 * x + 0.2 * y, (30, 42)),
+                0,
+                255,
+            )
+            for a in (60, 100, 140)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(cc, quality=95, subsampling=sub))
+    assert dec.shape == cc.shape
+    assert np.abs(dec.astype(int) - cc.astype(int)).max() <= 3
+
+
+def test_noise_color_444_bounded():
+    rng = np.random.default_rng(11)
+    c = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(c, quality=95, subsampling="444"))
+    err = np.abs(dec.astype(int) - c.astype(int))
+    assert err.max() <= 64 and err.mean() <= 8
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 3), (9, 17), (16, 16)])
+def test_odd_sizes_and_grey_channel(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=92))
+    assert dec.shape == (*shape, 1)
+    # (h, w, 1) input is accepted identically
+    dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(img[:, :, None], quality=92))
+    assert (dec == dec2).all()
+
+
+def test_encoder_deterministic():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert jpeg.encode_jpeg(img, 80, "420") == jpeg.encode_jpeg(img, 80, "420")
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn path: byte-aligned segments, DC predictors reset."""
+    vals = (np.arange(24).reshape(4, 6) * 53 + 9) % 256
+    img = _blocks_img(vals)
+    enc = jpeg.encode_jpeg(img, quality=50, restart_interval=2)
+    assert b"\xff\xdd" in enc  # DRI present
+    assert b"\xff\xd0" in enc  # at least one RST0
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=50))
+    assert (jpeg.decode_jpeg(enc) == plain).all()
+
+
+def test_restart_markers_color():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    enc = jpeg.encode_jpeg(img, quality=85, subsampling="420", restart_interval=1)
+    plain = jpeg.encode_jpeg(img, quality=85, subsampling="420")
+    assert (jpeg.decode_jpeg(enc) == jpeg.decode_jpeg(plain)).all()
+
+
+def test_progressive_raises():
+    # SOI + minimal SOF2 (progressive) header
+    sof2 = b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+def test_truncated_rejected():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xe0JFIF-ish")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+
+
+def test_huffman_tables_canonical_complete():
+    """Annex K table transcription sanity: value counts and canonical build."""
+    assert sum(jpeg._AC_LUMA_BITS) == len(jpeg._AC_LUMA_VALS) == 162
+    assert sum(jpeg._AC_CHROMA_BITS) == len(jpeg._AC_CHROMA_VALS) == 162
+    assert sum(jpeg._DC_LUMA_BITS) == 12 and sum(jpeg._DC_CHROMA_BITS) == 12
+    for bits, vals in [
+        (jpeg._DC_LUMA_BITS, jpeg._DC_LUMA_VALS),
+        (jpeg._AC_LUMA_BITS, jpeg._AC_LUMA_VALS),
+        (jpeg._DC_CHROMA_BITS, jpeg._DC_CHROMA_VALS),
+        (jpeg._AC_CHROMA_BITS, jpeg._AC_CHROMA_VALS),
+    ]:
+        codes = jpeg._build_codes(bits, vals)
+        # prefix-free: no code is a prefix of another
+        as_bits = sorted(
+            format(c, f"0{length}b") for c, length in codes.values()
+        )
+        for a, b in zip(as_bits, as_bits[1:]):
+            assert not b.startswith(a)
+
+
+def test_quality_scaling_matches_ijg_rule():
+    assert jpeg._scaled_quant(jpeg._QUANT_LUMA, 50)[0, 0] == 16  # Annex K verbatim
+    assert jpeg._scaled_quant(jpeg._QUANT_LUMA, 100).max() == 1
+    assert jpeg._scaled_quant(jpeg._QUANT_LUMA, 10)[7, 7] == 255  # clamped

@@ -21,6 +21,7 @@ def docs(spark):
         (4, "der hund und die katze und das haus ist hier", "de", "s1", 45),
         (5, "completely different words entirely unrelated text here now", "en", "s3", 60),
         (6, "another image document so both bmp and png branches run", "en", "s1", 56),
+        (9, "a third image document so the bmp branch keeps running too", "en", "s2", 58),
     ]
     return spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -41,22 +42,24 @@ def _local_payloads(docs):
 
 def test_synth_real_media_formats(docs, media):
     rows = {r["media_id"]: r for r in media.collect()}
-    assert rows[3]["kind"] == "image" and rows[6]["kind"] == "image"
-    # doc 3 → (3//3)%2=1 → PNG; doc 6 → (6//3)%2=0 → BMP: both branches live
+    assert all(rows[i]["kind"] == "image" for i in (3, 6, 9))
+    # images rotate by (doc_id//3)%3: 9 → BMP, 3 → PNG, 6 → JPEG — all live
+    assert rows[9]["declared_mime"] == "image/bmp"
     assert rows[3]["declared_mime"] == "image/png"
-    assert rows[6]["declared_mime"] == "image/bmp"
+    assert rows[6]["declared_mime"] == "image/jpeg"
     assert rows[1]["declared_mime"] == "audio/wav"
     assert rows[2]["declared_mime"] == "image/x-portable-pixmap"  # P6 stream
     # metadata magic agrees with the payload's real container
     meta = {r["media_id"]: r for r in multimodal.media_metadata(media).collect()}
-    assert meta[6]["magic"].startswith("424D")  # 'BM'
+    assert meta[9]["magic"].startswith("424D")  # 'BM'
     assert meta[3]["magic"] == "89504E47"  # \x89PNG
+    assert meta[6]["magic"].startswith("FFD8FF")  # JPEG SOI
     assert meta[1]["magic"] == "52494646"  # RIFF
 
 
 def test_real_decode_features_all_kinds(docs, media):
     feats = {r["media_id"]: r for r in multimodal.decode_features(media, fake=False).collect()}
-    assert set(feats) == {1, 2, 3, 4, 5, 6}
+    assert set(feats) == {1, 2, 3, 4, 5, 6, 9}
     for mid, r in feats.items():
         expect = 6 if mid % 3 == 1 else 3 + 3 + 3 + 8  # audio vs image stats
         assert r["feat_dim"] == expect and len(r["feature"]) == expect
@@ -64,6 +67,10 @@ def test_real_decode_features_all_kinds(docs, media):
     _, payload = _local_payloads(docs)[3]
     local = codecs.image_features(codecs.decode_png(payload))
     assert np.allclose(np.array(feats[3]["feature"], dtype=np.float32), local)
+    # doc 6 = JPEG: really entropy-decoded distributed, parity with local
+    _, jpg = _local_payloads(docs)[6]
+    local_j = codecs.image_features(codecs.decode_jpeg(jpg))
+    assert np.allclose(np.array(feats[6]["feature"], dtype=np.float32), local_j)
     # audio features: n and rate columns are exact
     _, wav = _local_payloads(docs)[4]
     local_a = codecs.audio_features(*codecs.decode_wav(wav))
@@ -73,7 +80,7 @@ def test_real_decode_features_all_kinds(docs, media):
 def test_real_resize_emits_valid_bmp_thumbs(media):
     visual = media.filter("kind <> 'audio'")
     thumbs = multimodal.resize_images(visual, 16, 12, fake=False).collect()
-    assert len(thumbs) == 4
+    assert len(thumbs) == 5  # 3 images (bmp/png/jpeg) + 2 P6 video streams
     for r in thumbs:
         img = codecs.decode_bmp(bytes(r["thumb"]))
         assert img.shape == (12, 16, 3)
@@ -120,13 +127,34 @@ def test_real_frame_sampling_dedupes_when_fps_exceeds_source(docs, media):
     assert all(v == [0, 1, 2, 3] for v in per_media.values())
 
 
-def test_jpeg_still_raises_documented(spark):
-    jpeg = spark.createDataFrame(
-        [(99, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"), "image/jpeg")],
+def test_progressive_jpeg_still_raises_documented(spark):
+    """Baseline JPEG now decodes for real; progressive (SOF2) remains the
+    documented NotImplementedError."""
+    sof2 = b"\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    prog = spark.createDataFrame(
+        [(99, "image", bytearray(b"\xff\xd8" + sof2 + b"\xff\xd9"), "image/jpeg")],
         multimodal.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="JPEG"):
-        multimodal.decode_features(jpeg, fake=False).collect()
+    with pytest.raises(Exception, match="progressive"):
+        multimodal.decode_features(prog, fake=False).collect()
+
+
+def test_jpeg_roundtrip_stats_values(docs):
+    rows = {r["media_id"]: r for r in multimodal.jpeg_roundtrip_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 9}
+    r = rows[5]
+    wb, hb = 2 + 5 % 3, 1 + 5 % 2  # 4 x 2 blocks
+    assert (r["width"], r["height"]) == (8 * wb, 8 * hb)
+    b = np.arange(wb * hb, dtype=np.int64)
+    v = (5 * 13 + b * 29) % 256
+    d = v - 128
+    dec = np.where(
+        d >= 0,
+        np.minimum(128 + 2 * ((d + 1) // 2), 255),
+        np.maximum(128 - 2 * ((-d + 1) // 2), 0),
+    )
+    assert r["pixel_sum"] == int(dec.sum()) * 64
+    assert r["blockpos_sum"] == int((dec * b).sum()) * 64
 
 
 def test_wav_roundtrip_stats_values(docs):
@@ -156,7 +184,7 @@ def test_png_roundtrip_stats_values(docs):
 
 def test_resize_nearest_roundtrip_values(docs):
     rows = {r["media_id"]: r for r in multimodal.resize_roundtrip_stats(docs).collect()}
-    assert set(rows) == {3, 6}
+    assert set(rows) == {3, 6, 9}
     r = rows[6]
     w, h = 8 + 6 % 5, 6 + 6 % 4  # 9 x 8
     j = np.arange(w * h * 3, dtype=np.int64)
@@ -171,7 +199,7 @@ def test_resize_nearest_roundtrip_values(docs):
 
 def test_bmp_roundtrip_stats_values(docs):
     rows = {r["media_id"]: r for r in multimodal.bmp_roundtrip_stats(docs).collect()}
-    assert set(rows) == {3, 6}  # doc_id % 3 == 0
+    assert set(rows) == {3, 6, 9}  # doc_id % 3 == 0
     r = rows[3]
     w, h = 8 + 3 % 5, 6 + 3 % 4  # 11 x 7... (3%5=3 → w=11, 3%4=3 → h=9)
     assert (r["width"], r["height"]) == (w, h)
