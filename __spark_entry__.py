@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from linked_maps_spark import (
     dedup,
@@ -76,6 +76,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_stats"] = _doc()(textops.token_stats)
     q["text_lang_id"] = _doc()(textops.lang_id)
     q["text_fingerprint"] = _doc()(textops.doc_fingerprint)
+    # Gopher/C4 repetition signals; the fixture is single-line, so both
+    # engines first line-ize it identically (literal ' a ' → newline)
+    q["text_repetition"] = _doc()(
+        lambda d: textops.repetition_signals(
+            d.withColumn("text", F.replace("text", F.lit(" a "), F.lit("\n")))
+        )
+    )
     # multimodal plumbing
     q["multimodal_metadata"] = _doc()(
         lambda d: multimodal.media_metadata(multimodal.synth_media(d))
@@ -127,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
     o["text_token_stats"] = textops.token_stats_sql()
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
+    o["text_repetition"] = textops.repetition_signals_sql(
+        "replace(text, ' a ', chr(10))"
+    )
     o["multimodal_metadata"] = multimodal.MEDIA_METADATA_SQL
     o["multimodal_features"] = multimodal.feature_values_sql()
     o["multimodal_wav_roundtrip"] = multimodal.WAV_ROUNDTRIP_SQL

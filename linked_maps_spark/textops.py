@@ -5,7 +5,7 @@ with an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import h32, h32_sql, tokens, word_shingles, word_shingles_sql
 
@@ -111,6 +111,173 @@ def lang_id_sql() -> str:
     )
     SELECT doc_id, b.lang_pred AS lang_pred, CAST(-b.neg_score AS BIGINT) AS marker_hits
     FROM best
+    ORDER BY doc_id
+    """
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition + format quality signals per document.
+
+    The classic LLM-corpus filters (Rae et al. 2021 "Gopher" §A1.1, Raffel
+    et al. 2020 "C4"): repeated-word fraction, most-frequent-word and
+    most-frequent-2-gram character fractions, duplicate-2-gram fraction,
+    duplicate-line fraction, bullet-start and ellipsis-end line fractions.
+    Everything is explode + groupBy (linear, map-side partial aggregation —
+    no per-row quadratic array probing), joined back on ``doc_id`` so all
+    three aggregations share one shuffle key.  Ties for "most frequent"
+    break lexicographically, making the result deterministic and
+    oracle-exact; every ratio is a single int/int division in double.
+    """
+    toks = tokens(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        toks.alias("ts"),
+        F.split("text", "\n", -1).alias("lines"),
+    )
+    wc = (
+        base.select("doc_id", F.explode("ts").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"), F.count("*").alias("n_distinct_words")
+    )
+    word_top = (
+        wc.withColumn("rn", F.row_number().over(win))
+        .filter("rn = 1")
+        .select("doc_id", F.col("w").alias("top_word"), F.col("cnt").alias("top_wcnt"))
+    )
+    grams = F.when(
+        F.size("ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - 2),
+            lambda i: F.concat_ws(" ", F.slice("ts", i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gc = (
+        base.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gwin = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+    gram_stats = gc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_g"),
+    )
+    gram_top = (
+        gc.withColumn("rn", F.row_number().over(gwin))
+        .filter("rn = 1")
+        .select("doc_id", F.col("g").alias("top_2gram"), F.col("cnt").alias("top_gcnt"))
+    )
+    lc = (
+        base.select("doc_id", F.explode("lines").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("cnt"))
+    )
+    line_stats = lc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_l"),
+        F.sum(
+            F.when(
+                F.col("line").startswith("- ") | F.col("line").startswith("* "),
+                F.col("cnt"),
+            ).otherwise(0)
+        ).alias("bullet_l"),
+        F.sum(
+            F.when(F.col("line").endswith("..."), F.col("cnt")).otherwise(0)
+        ).alias("ellipsis_l"),
+    )
+    return (
+        base.select("doc_id", "n_chars")
+        .join(word_stats, "doc_id")
+        .join(word_top, "doc_id")
+        .join(gram_stats, "doc_id", "left")
+        .join(gram_top, "doc_id", "left")
+        .join(line_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            F.round((F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words"), 6)
+            .alias("repeated_word_frac"),
+            "top_word",
+            F.round(F.col("top_wcnt") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+            F.round(
+                F.coalesce(F.col("top_gcnt") * F.length("top_2gram"), F.lit(0))
+                / F.col("n_chars"),
+                6,
+            ).alias("top_2gram_char_frac"),
+            F.when(
+                F.col("n_grams") > 0, F.round(F.col("dup_g") / F.col("n_grams"), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_2gram_frac"),
+            "n_lines",
+            F.round(F.col("dup_l") / F.col("n_lines"), 6).alias("dup_line_frac"),
+            F.round(F.col("bullet_l") / F.col("n_lines"), 6).alias("bullet_line_frac"),
+            F.round(F.col("ellipsis_l") / F.col("n_lines"), 6).alias(
+                "ellipsis_line_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_signals_sql(text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`repetition_signals` over ``documents`` with
+    ``text_expr`` in place of the raw column (used by the driver entry to
+    line-ize the single-line fixture identically on both engines)."""
+    return f"""
+    WITH d AS (SELECT doc_id, {text_expr} AS text FROM documents),
+    t AS (SELECT doc_id, length(text) AS n_chars, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ts FROM d),
+    w AS (SELECT doc_id, unnest(ts) AS w FROM t),
+    wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+    ws AS (SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct FROM wc GROUP BY 1),
+    wtop AS (SELECT doc_id, w AS top_word, cnt AS top_wcnt FROM (
+                 SELECT doc_id, w, cnt,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rn
+                 FROM wc) WHERE rn = 1),
+    g AS (SELECT t.doc_id, t.ts[i] || ' ' || t.ts[i+1] AS g
+          FROM t, unnest(range(1, len(t.ts))) AS r(i)),
+    gc AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+    gs AS (SELECT doc_id, sum(cnt) AS n_grams,
+                  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_g
+           FROM gc GROUP BY 1),
+    gtop AS (SELECT doc_id, g AS top_2gram, cnt AS top_gcnt FROM (
+                 SELECT doc_id, g, cnt,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+                 FROM gc) WHERE rn = 1),
+    l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t),
+    lc AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2),
+    ls AS (SELECT doc_id, sum(cnt) AS n_lines,
+                  sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_l,
+                  sum(CASE WHEN line LIKE '- %' OR line LIKE '* %'
+                           THEN cnt ELSE 0 END) AS bullet_l,
+                  sum(CASE WHEN line LIKE '%...' THEN cnt ELSE 0 END) AS ellipsis_l
+           FROM lc GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(ws.n_words AS BIGINT) AS n_words,
+           CAST(ws.n_distinct AS BIGINT) AS n_distinct_words,
+           ROUND((ws.n_words - ws.n_distinct) / ws.n_words, 6) AS repeated_word_frac,
+           wtop.top_word,
+           ROUND(wtop.top_wcnt / ws.n_words, 6) AS top_word_frac,
+           COALESCE(gtop.top_2gram, '') AS top_2gram,
+           ROUND(COALESCE(gtop.top_gcnt * length(gtop.top_2gram), 0) / t.n_chars, 6)
+               AS top_2gram_char_frac,
+           CASE WHEN gs.n_grams > 0 THEN ROUND(gs.dup_g / gs.n_grams, 6)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CAST(ls.n_lines AS BIGINT) AS n_lines,
+           ROUND(ls.dup_l / ls.n_lines, 6) AS dup_line_frac,
+           ROUND(ls.bullet_l / ls.n_lines, 6) AS bullet_line_frac,
+           ROUND(ls.ellipsis_l / ls.n_lines, 6) AS ellipsis_line_frac
+    FROM t
+    JOIN ws USING (doc_id) JOIN wtop USING (doc_id)
+    LEFT JOIN gs USING (doc_id) LEFT JOIN gtop USING (doc_id)
+    JOIN ls USING (doc_id)
     ORDER BY doc_id
     """
 

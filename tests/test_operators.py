@@ -203,6 +203,69 @@ def test_token_stats_and_langid(docs):
     assert langs[1] == "en" and langs[4] == "de"
 
 
+def test_repetition_signals_values(spark):
+    """Gopher-style signals on a hand-computed multi-line fixture: duplicate
+    lines, bullets, ellipsis endings, repeated words/2-grams, tie-breaks."""
+    rows = [
+        # 3 lines, "dup line" twice → dup_line_frac 2/3; 6 words (dup dup
+        # line dup dup line), top word 'dup' 4/6; top 2-gram "dup dup" x2
+        (1, "dup dup line\ndup dup line\nunique tail"),
+        # bullets + ellipsis: 4 lines, 2 bullets, 1 ellipsis ending
+        (2, "- item one\n- item two\nplain line\ntrails off..."),
+        # single word: no 2-grams at all (top_2gram '', fracs 0)
+        (3, "solo"),
+        # tie between words 'b' and 'a' (1 each... make both twice) →
+        # lexicographic winner 'a'; same for grams "a b" vs "b a"
+        (4, "a b a b a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.repetition_signals(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 3 and r1["dup_line_frac"] == round(2 / 3, 6)
+    assert r1["n_words"] == 8 and r1["n_distinct_words"] == 4
+    assert r1["top_word"] == "dup" and r1["top_word_frac"] == 0.5
+    assert r1["top_2gram"] == "dup dup"
+    assert r1["dup_2gram_frac"] == round(4 / 7, 6)  # 'dup dup'x2,'dup line'x2 of 7
+
+    r2 = got[2]
+    assert r2["n_lines"] == 4 and r2["dup_line_frac"] == 0.0
+    assert r2["bullet_line_frac"] == 0.5 and r2["ellipsis_line_frac"] == 0.25
+
+    r3 = got[3]
+    assert r3["n_words"] == 1 and r3["top_2gram"] == ""
+    assert r3["top_2gram_char_frac"] == 0.0 and r3["dup_2gram_frac"] == 0.0
+
+    r4 = got[4]
+    assert r4["top_word"] == "a"  # count 3 beats 'b' count 2
+    assert r4["top_2gram"] == "a b"  # 'a b'x2 vs 'b a'x2 → lexicographic
+    # 2-gram "a b" char frac: 2 occurrences x 3 chars / 9 chars
+    assert r4["top_2gram_char_frac"] == round(6 / 9, 6)
+
+
+def test_repetition_signals_matches_duckdb_multiline(spark):
+    """The SQL oracle must agree on a multi-line corpus too (the driver
+    fixture is single-line, so the line metrics are only exercised here)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "dup dup line\ndup dup line\nunique tail"),
+        (2, "- item one\n- item two\nplain line\ntrails off..."),
+        (3, "solo"),
+        (4, "a b a b a"),
+        (5, "x y x y\nx y x y\n- x y...\nx y x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_pdf = textops.repetition_signals(docs).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck_pdf = con.execute(textops.repetition_signals_sql()).fetchdf()
+    for col in spark_pdf.columns:
+        assert list(spark_pdf[col]) == list(duck_pdf[col]), col
+
+
 def test_fingerprint_stable(docs):
     f1 = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprint(docs).collect()}
     assert f1[1] == f1[2]  # identical docs → identical fingerprint
