@@ -52,6 +52,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = _doc()(lambda d: dedup.dedup_ngram_jaccard(d, threshold=0.5))
     q["dedup_minhash_lsh"] = _doc()(dedup.dedup_minhash_lsh)
     q["dedup_simhash"] = _doc()(dedup.simhash)
+    # benchmark decontamination: deterministic corpus/benchmark split of
+    # the fixture (doc_id % 17), identical predicate in the SQL oracle
+    q["dedup_decontaminate"] = _doc()(
+        lambda d: dedup.decontaminate(
+            d.filter("doc_id % 17 != 0"), d.filter("doc_id % 17 = 0")
+        )
+    )
     # similarity search
     q["similarity_cosine_topk"] = _doc("embeddings")(
         lambda e: similarity.cosine_topk(e, n_queries=5, k=5)
@@ -125,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = dedup.dedup_ngram_jaccard_sql(threshold=0.5)
     o["dedup_minhash_lsh"] = dedup.dedup_minhash_lsh_sql()
     o["dedup_simhash"] = dedup.simhash_sql()
+    o["dedup_decontaminate"] = dedup.decontaminate_sql()
     o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)

@@ -14,7 +14,7 @@ fan-out at O(docs × bands).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # MinHash parameters (shared constants between Spark impl and SQL oracle)
 MINHASH_PERMS = 8
@@ -164,6 +164,113 @@ def dedup_ngram_jaccard_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) ->
                  JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
     ORDER BY doc_a, doc_b
+    """
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    min_overlap: int = 2,
+    max_df: int = MAX_KEY_DF,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_overlap`` distinct word shingles with any benchmark document —
+    the standard eval-leakage sweep a training corpus runs before use.
+
+    Same inverted-index shape as :func:`dedup_ngram_jaccard` — candidates
+    come from a shingle equi-join, never a cross join, and each side drops
+    its own shingles with document frequency > ``max_df`` (a ubiquitous
+    shingle on both sides would otherwise make the join quadratic at
+    scale; mirrored in the SQL oracle).  Per contaminated doc: how many
+    benchmark docs it hits, the worst-hit benchmark doc (ties break to the
+    smallest id), and the fraction of that benchmark doc's shingles
+    covered (the decontamination decision variable)."""
+    corp = documents.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    ben = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(word_shingles(F.col("text"))).alias("shingle"),
+    )
+    corp_rare = (
+        corp.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    ben_rare = (
+        ben.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    corp = corp.join(corp_rare, "shingle", "left_semi")
+    ben = ben.join(ben_rare, "shingle", "left_semi")
+    bsz = ben.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_sz"))
+    ov = (
+        corp.join(ben, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_overlap"), F.asc("bench_id")
+    )
+    hits = ov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bench_hits"))
+    top = (
+        ov.withColumn("rn", F.row_number().over(win))
+        .filter("rn = 1")
+        .select("doc_id", F.col("bench_id").alias("top_bench_id"), "n_overlap")
+    )
+    return (
+        hits.join(top, "doc_id")
+        .join(bsz, top.top_bench_id == bsz.bench_id)
+        .select(
+            "doc_id",
+            "n_bench_hits",
+            "top_bench_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("bench_sz"), 6).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sql(
+    corpus_pred: str = "doc_id % 17 != 0",
+    bench_pred: str = "doc_id % 17 = 0",
+    min_overlap: int = 2,
+    max_df: int = MAX_KEY_DF,
+) -> str:
+    sh_expr = word_shingles_sql("text")
+    return f"""
+    WITH sh AS (SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents),
+    corp_all AS (SELECT * FROM sh WHERE {corpus_pred}),
+    ben_all AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE {bench_pred}),
+    corp_rare AS (SELECT shingle FROM corp_all GROUP BY shingle
+                  HAVING COUNT(*) <= {max_df}),
+    ben_rare AS (SELECT shingle FROM ben_all GROUP BY shingle
+                 HAVING COUNT(*) <= {max_df}),
+    corp AS (SELECT c.* FROM corp_all c JOIN corp_rare USING (shingle)),
+    ben AS (SELECT b.* FROM ben_all b JOIN ben_rare USING (shingle)),
+    bsz AS (SELECT bench_id, COUNT(*) AS bench_sz FROM ben GROUP BY bench_id),
+    ov AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_overlap
+           FROM corp c JOIN ben b USING (shingle)
+           GROUP BY 1, 2 HAVING COUNT(*) >= {min_overlap}),
+    hits AS (SELECT doc_id, COUNT(*) AS n_bench_hits FROM ov GROUP BY doc_id),
+    top AS (SELECT doc_id, bench_id AS top_bench_id, n_overlap FROM (
+                SELECT doc_id, bench_id, n_overlap,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n_overlap DESC, bench_id) AS rn
+                FROM ov) WHERE rn = 1)
+    SELECT h.doc_id,
+           CAST(h.n_bench_hits AS BIGINT) AS n_bench_hits,
+           t.top_bench_id,
+           CAST(t.n_overlap AS BIGINT) AS n_overlap,
+           ROUND(t.n_overlap / b.bench_sz, 6) AS overlap_frac
+    FROM hits h JOIN top t USING (doc_id)
+    JOIN bsz b ON b.bench_id = t.top_bench_id
+    ORDER BY doc_id
     """
 
 

@@ -203,6 +203,41 @@ def test_token_stats_and_langid(docs):
     assert langs[1] == "en" and langs[4] == "de"
 
 
+def test_decontaminate_values(spark, docs):
+    """Benchmark split: doc 1 is the 'benchmark'; doc 2 copies it verbatim
+    (full contamination), doc 3 is a near-dup (partial), 4/5 are clean."""
+    bench = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id != 1")
+    got = {r["doc_id"]: r for r in dedup.decontaminate(corpus, bench).collect()}
+    assert set(got) == {2, 3}
+    # doc 1 text has 11 words → 9 distinct 3-gram shingles
+    r2 = got[2]
+    assert r2["top_bench_id"] == 1 and r2["n_overlap"] == 9
+    assert r2["overlap_frac"] == 1.0 and r2["n_bench_hits"] == 1
+    # doc 3 differs in one word ('stared' vs 'looked') → loses the 3
+    # shingles containing it
+    r3 = got[3]
+    assert r3["n_overlap"] == 6 and r3["overlap_frac"] == round(6 / 9, 6)
+
+
+def test_decontaminate_ceiling_bounds_candidates(spark):
+    """A shingle present in > max_df corpus docs is dropped from the
+    inverted index on the corpus side, so it cannot fan out the join."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma unique%d" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # 'alpha beta gamma' appears in all 10 corpus docs; ceiling 5 drops it
+    got = dedup.decontaminate(corpus, bench, min_overlap=1, max_df=5).collect()
+    assert got == []
+    # without the ceiling every corpus doc is flagged through that shingle
+    got2 = dedup.decontaminate(corpus, bench, min_overlap=1, max_df=1000).collect()
+    assert len(got2) == 10
+
+
 def test_repetition_signals_values(spark):
     """Gopher-style signals on a hand-computed multi-line fixture: duplicate
     lines, bullets, ellipsis endings, repeated words/2-grams, tie-breaks."""
