@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = _doc()(textops.doc_fingerprint)
     # Gopher/C4 repetition signals; the fixture is single-line, so both
     # engines first line-ize it identically (literal ' a ' → newline)
+    q["text_packing"] = _doc()(textops.pack_sequences)
     q["text_repetition"] = _doc()(
         lambda d: textops.repetition_signals(
             d.withColumn("text", F.replace("text", F.lit(" a "), F.lit("\n")))
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_token_stats"] = textops.token_stats_sql()
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
+    o["text_packing"] = textops.pack_sequences_sql()
     o["text_repetition"] = textops.repetition_signals_sql(
         "replace(text, ' a ', chr(10))"
     )

@@ -282,6 +282,63 @@ def repetition_signals_sql(text_expr: str = "text") -> str:
     """
 
 
+def pack_sequences(documents: DataFrame, seq_len: int = 256) -> DataFrame:
+    """GPT-style sequence packing layout: per ``source`` stream, documents
+    are concatenated in ``doc_id`` order and cut into fixed ``seq_len``-token
+    training sequences; each doc reports where its tokens land.
+
+    This is the standard pretraining batch-layout computation (concatenate →
+    chunk, documents may straddle sequence boundaries).  Packing per source
+    stream keeps the running-offset window PARTITIONED — a global
+    ``Window.orderBy`` would collapse to one task at scale; per-stream
+    packing is both the realistic sharding and the scalable plan.  All
+    outputs are integer window arithmetic → oracle-exact."""
+    n_tok = F.size(tokens(F.col("text")))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = documents.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.sum(n_tok).over(win) - n_tok).alias("start_offset"),
+    )
+    first = F.expr(f"start_offset div {seq_len}")
+    last = F.expr(f"(start_offset + n_tokens - 1) div {seq_len}")
+    return with_off.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        first.alias("seq_first"),
+        last.alias("seq_last"),
+        (last - first + 1).alias("n_seqs"),
+    ).orderBy("source", "doc_id")
+
+
+def pack_sequences_sql(seq_len: int = 256) -> str:
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+    WITH t AS (
+        SELECT source, doc_id, len({toks}) AS n_tokens,
+               SUM(len({toks})) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - len({toks}) AS start_offset
+        FROM documents
+    )
+    SELECT source, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {seq_len} AS BIGINT) AS seq_first,
+           CAST((start_offset + n_tokens - 1) // {seq_len} AS BIGINT) AS seq_last,
+           CAST((start_offset + n_tokens - 1) // {seq_len}
+                - start_offset // {seq_len} + 1 AS BIGINT) AS n_seqs
+    FROM t
+    ORDER BY source, doc_id
+    """
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: min portable hash over word shingles (the
     winnowing 'rolling hash → min' scheme, oracle-exact)."""

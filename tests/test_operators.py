@@ -203,6 +203,24 @@ def test_token_stats_and_langid(docs):
     assert langs[1] == "en" and langs[4] == "de"
 
 
+def test_pack_sequences_values(spark):
+    """Concatenate-and-chunk layout, per source stream, seq_len=5."""
+    rows = [
+        (1, "a b c", "s1"),          # 3 toks: offsets 0-2, seq 0
+        (2, "d e f g", "s1"),        # 4 toks: offsets 3-6 → straddles 0→1
+        (3, "h", "s1"),              # 1 tok: offset 7, seq 1
+        (4, "one two three four five six", "s2"),  # 6 toks: seq 0→1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in textops.pack_sequences(docs, seq_len=5).collect()}
+    assert got[1]["start_offset"] == 0 and (got[1]["seq_first"], got[1]["seq_last"]) == (0, 0)
+    assert got[2]["start_offset"] == 3 and (got[2]["seq_first"], got[2]["seq_last"]) == (0, 1)
+    assert got[2]["n_seqs"] == 2  # straddles the seq 0/1 boundary
+    assert got[3]["start_offset"] == 7 and got[3]["seq_first"] == 1
+    # s2 is its own stream: offsets restart at 0
+    assert got[4]["start_offset"] == 0 and (got[4]["seq_first"], got[4]["seq_last"]) == (0, 1)
+
+
 def test_decontaminate_values(spark, docs):
     """Benchmark split: doc 1 is the 'benchmark'; doc 2 copies it verbatim
     (full contamination), doc 3 is a near-dup (partial), 4/5 are clean."""
