@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training-data ops: dedup family
     q["dedup_exact"] = _doc()(dedup.dedup_exact)
     q["dedup_ngram_jaccard"] = _doc()(lambda d: dedup.dedup_ngram_jaccard(d, threshold=0.5))
+    q["dedup_clusters"] = _doc()(lambda d: dedup.dedup_clusters(d, threshold=0.5))
     q["dedup_minhash_lsh"] = _doc()(dedup.dedup_minhash_lsh)
     q["dedup_simhash"] = _doc()(dedup.simhash)
     # benchmark decontamination: deterministic corpus/benchmark split of
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
     o = dict(relational.ORACLES)
     o["dedup_exact"] = dedup.DEDUP_EXACT_SQL
     o["dedup_ngram_jaccard"] = dedup.dedup_ngram_jaccard_sql(threshold=0.5)
+    o["dedup_clusters"] = dedup.dedup_clusters_sql(threshold=0.5)
     o["dedup_minhash_lsh"] = dedup.dedup_minhash_lsh_sql()
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_decontaminate"] = dedup.decontaminate_sql()

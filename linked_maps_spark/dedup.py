@@ -142,10 +142,11 @@ def dedup_ngram_jaccard(
     )
 
 
-def dedup_ngram_jaccard_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
+def _jaccard_pairs_ctes(threshold: float, max_df: int) -> str:
+    """Shared CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — used by
+    both :func:`dedup_ngram_jaccard_sql` and :func:`dedup_clusters_sql`."""
     sh_expr = word_shingles_sql("text")
-    return f"""
-    WITH sh_all AS (
+    return f"""sh_all AS (
         SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents
     ),
     rare AS (
@@ -157,13 +158,119 @@ def dedup_ngram_jaccard_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) ->
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                     JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
+    )"""
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
+    return f"""
+    WITH {_jaccard_pairs_ctes(threshold, max_df)}
+    SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
+    """
+
+
+# --------------------------------------------- near-dup cluster assignment
+
+def connected_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Connected components of the duplicate-pair graph: every document that
+    appears in a pair gets ``cluster_id`` = the minimum doc_id reachable
+    through pairs (the canonical "keep one doc per near-dup cluster" step a
+    dedup pipeline runs after pair generation — pairs alone under-delete:
+    A~B and B~C must collapse to ONE keeper even when A~C was never emitted).
+
+    Distributed iterative plan (no driver-side graph): min-label propagation
+    over the symmetrized edge list **plus pointer jumping** (each round also
+    adopts ``label(label(v))``), so a chain of length d converges in
+    O(log d) rounds instead of O(d).  Per round: two equi-joins + one
+    min-aggregate, all shuffles on doc_id; the label table is bounded by the
+    number of *paired* docs (≪ corpus at 100 TB).  ``localCheckpoint`` per
+    round truncates the growing lineage (a real cluster would use a
+    checkpoint dir / table); the convergence probe is a metadata-sized
+    ``limit(1).count``.
+
+    Returns (doc_id, cluster_id, cluster_size) for docs with ≥ 1 pair."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
     )
-    SELECT i.doc_a, i.doc_b,
-           ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
-    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-                 JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE ROUND(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
-    ORDER BY doc_a, doc_b
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        lft, mid = labels.alias("lft"), labels.alias("mid")
+        jump = lft.join(mid, F.col("lft.label") == F.col("mid.doc_id")).select(
+            F.col("lft.doc_id").alias("doc_id"), F.col("mid.label").alias("label")
+        )
+        new = (
+            labels.unionByName(prop)
+            .unionByName(jump)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("cluster_size"),
+    ).orderBy("doc_id")
+
+
+def dedup_clusters(
+    documents: DataFrame, threshold: float = 0.5, max_df: int = MAX_KEY_DF
+) -> DataFrame:
+    """Near-dup clusters over the word-shingle Jaccard pair graph:
+    :func:`dedup_ngram_jaccard` pairs → :func:`connected_components`."""
+    return connected_components(dedup_ngram_jaccard(documents, threshold, max_df))
+
+
+def dedup_clusters_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
+    """DuckDB oracle for :func:`dedup_clusters`: the same pair CTEs, then the
+    transitive closure as a recursive CTE (min reachable id per node)."""
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(threshold, max_df)},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src AS doc_id, src AS r FROM edges
+        UNION
+        SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    ORDER BY doc_id
     """
 
 

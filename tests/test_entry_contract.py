@@ -36,7 +36,13 @@ def test_oracle_sql_references_only_registered_views():
 
     for name, sql in entry_mod.oracle_sql().items():
         tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.I))
-        ctes = set(re.findall(r"(?:WITH|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(", sql, re.I))
+        ctes = set(
+            re.findall(
+                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s+AS\s*\(",
+                sql,
+                re.I,
+            )
+        )
         aliases = {"t", "a", "b", "c", "i", "sa", "sb", "q", "o", "l", "s", "n", "r"}
         aliases |= {"range"}  # DuckDB built-in table function, not a view
         unknown = {t.lower() for t in tables} - allowed - ctes - aliases

@@ -221,6 +221,21 @@ def test_pack_sequences_values(spark):
     assert got[4]["start_offset"] == 0 and (got[4]["seq_first"], got[4]["seq_last"]) == (0, 1)
 
 
+def test_connected_components_chain(spark):
+    """A~B, B~C must land in ONE cluster even though A~C was never emitted:
+    a 9-doc chain (multi-hop, exercises pointer jumping past one round) plus
+    a separate 2-doc component."""
+    chain = [(i, i + 1, 0.9) for i in range(1, 9)]  # 1-2-3-...-9
+    rows = chain + [(100, 101, 0.8)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long, jaccard double")
+    got = {r["doc_id"]: r for r in dedup.connected_components(pairs).collect()}
+    assert len(got) == 11
+    for d in range(1, 10):
+        assert got[d]["cluster_id"] == 1 and got[d]["cluster_size"] == 9
+    for d in (100, 101):
+        assert got[d]["cluster_id"] == 100 and got[d]["cluster_size"] == 2
+
+
 def test_decontaminate_values(spark, docs):
     """Benchmark split: doc 1 is the 'benchmark'; doc 2 copies it verbatim
     (full contamination), doc 3 is a near-dup (partial), 4/5 are clean."""
