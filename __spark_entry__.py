@@ -22,6 +22,7 @@ from linked_maps_spark import (
     entry_cdc,
     multimodal,
     relational,
+    sampling,
     similarity,
     textops,
     vec_index,
@@ -92,6 +93,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.withColumn("text", F.replace("text", F.lit(" a "), F.lit("\n")))
         )
     )
+    # deterministic corpus curation: stratified sampling + train/heldout split
+    q["corpus_sample"] = _doc()(sampling.stratified_sample)
+    q["corpus_split"] = _doc()(sampling.corpus_split)
+    # PII scrub: the corpus fixture has no PII, so both engines inject the
+    # same deterministic doc_id-derived emails / IPs / phone numbers first
+    pii_fix = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" 555-867-5309")).otherwise(F.lit("")),
+    )
+    q["text_pii"] = _doc()(
+        lambda d: textops.pii_scan(d.withColumn("text", pii_fix))
+    )
     # multimodal plumbing
     q["multimodal_metadata"] = _doc()(
         lambda d: multimodal.media_metadata(multimodal.synth_media(d))
@@ -146,6 +167,16 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["text_packing"] = textops.pack_sequences_sql()
+    o["corpus_sample"] = sampling.stratified_sample_sql()
+    o["corpus_split"] = sampling.corpus_split_sql()
+    o["text_pii"] = textops.pii_scan_sql(
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' 555-867-5309' ELSE '' END"
+    )
     o["text_repetition"] = textops.repetition_signals_sql(
         "replace(text, ' a ', chr(10))"
     )

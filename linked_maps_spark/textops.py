@@ -339,6 +339,56 @@ def pack_sequences_sql(seq_len: int = 256) -> str:
     """
 
 
+# PII patterns shared by the Spark impl and the SQL oracle.  Deliberately
+# restricted to syntax with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): char classes, \b, \d, bounded repetition — no lookarounds.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction: per doc, the count of each PII pattern
+    (emails, IPv4 addresses, dashed phone numbers) on the original text and
+    the md5 of the redacted text (patterns replaced by fixed tokens, in the
+    fixed PII_PATTERNS order so email digits can never re-match as numeric
+    PII).  The pre-training "scrub before tokenize" sweep.
+
+    Stateless JVM-side regex per row — no shuffle at all, a 100-TB scan
+    parallelizes embarrassingly and the scan's column pruning keeps it to
+    (doc_id, text)."""
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col("text")
+    for _, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    out = documents.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
+    total = sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS)
+    return out.withColumn("n_pii", total.cast("long")).orderBy("doc_id")
+
+
+def pii_scan_sql(text_expr: str = "text") -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = text_expr
+    for _, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+    WITH t AS (SELECT doc_id, {counts}, md5({red}) AS redacted_md5 FROM documents)
+    SELECT doc_id, n_email, n_ipv4, n_phone, redacted_md5,
+           CAST({total} AS BIGINT) AS n_pii
+    FROM t
+    ORDER BY doc_id
+    """
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: min portable hash over word shingles (the
     winnowing 'rolling hash → min' scheme, oracle-exact)."""

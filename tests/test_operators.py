@@ -221,6 +221,49 @@ def test_pack_sequences_values(spark):
     assert got[4]["start_offset"] == 0 and (got[4]["seq_first"], got[4]["seq_last"]) == (0, 1)
 
 
+def test_sampling_deterministic_and_stratified(spark):
+    """Membership depends only on (doc_id, lang): identical across runs,
+    strata honor their ppm rates, split is a partition of the corpus."""
+    from linked_maps_spark import sampling
+
+    rows = [(i, f"text {i}", ["en", "zh", "de"][i % 3], f"s{i % 4}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    s1 = sampling.stratified_sample(docs).collect()
+    s2 = sampling.stratified_sample(docs).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]  # deterministic
+    by_lang = {}
+    for r in s1:
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += 1
+    assert by_lang["de"] == 100  # ppm=1_000_000: keep all
+    assert 0 < by_lang["zh"] < by_lang["en"] < 100  # 10% < 50% < all
+    sp = sampling.corpus_split(docs).collect()
+    assert len(sp) == 300 and {r["split"] for r in sp} <= {"train", "heldout", "test"}
+    assert sum(r["split"] == "train" for r in sp) > 250  # 98% band dominates
+
+
+def test_pii_scan_values(spark):
+    """Counts per pattern on the original text; redaction replaces in the
+    fixed order so email digits never re-match as numeric PII."""
+    import hashlib
+
+    rows = [
+        (1, "write to bob@x.org or alice.smith@mail.co today"),
+        (2, "server 10.0.0.7 and 192.168.1.1 up; call 555-123-4567"),
+        (3, "clean text with no secrets"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.pii_scan(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (2, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 2, 1)
+    assert got[2]["n_pii"] == 3
+    assert got[3]["n_pii"] == 0
+    red2 = "server <IP> and <IP> up; call <PHONE>"
+    assert got[2]["redacted_md5"] == hashlib.md5(red2.encode()).hexdigest()
+    red1 = "write to <EMAIL> or <EMAIL> today"
+    assert got[1]["redacted_md5"] == hashlib.md5(red1.encode()).hexdigest()
+
+
 def test_connected_components_chain(spark):
     """A~B, B~C must land in ONE cluster even though A~C was never emitted:
     a 9-doc chain (multi-hop, exercises pointer jumping past one round) plus
