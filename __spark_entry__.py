@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic corpus curation: stratified sampling + train/heldout split
     q["corpus_sample"] = _doc()(sampling.stratified_sample)
     q["corpus_split"] = _doc()(sampling.corpus_split)
+    q["corpus_mixture_weights"] = _doc()(sampling.mixture_weights)
+    q["corpus_mixture"] = _doc()(sampling.apply_mixture)
     # PII scrub: the corpus fixture has no PII, so both engines inject the
     # same deterministic doc_id-derived emails / IPs / phone numbers first
     pii_fix = F.concat(
@@ -169,6 +171,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_packing"] = textops.pack_sequences_sql()
     o["corpus_sample"] = sampling.stratified_sample_sql()
     o["corpus_split"] = sampling.corpus_split_sql()
+    o["corpus_mixture_weights"] = sampling.mixture_weights_sql()
+    o["corpus_mixture"] = sampling.apply_mixture_sql()
     o["text_pii"] = textops.pii_scan_sql(
         "text"
         " || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"

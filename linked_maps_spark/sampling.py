@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import h32, h32_sql
+from .dedup import h32, h32_sql, tokens
 
 PPM = 1_000_000
 
@@ -82,6 +82,69 @@ def stratified_sample_sql(
     )
     SELECT doc_id, lang, source FROM t
     WHERE ticket < {case}
+    ORDER BY doc_id
+    """
+
+
+def mixture_weights(documents: DataFrame, target_tokens: int = 500) -> DataFrame:
+    """Data-mixing weights: per source stream, the doc/token totals and the
+    ppm keep-rate that downsamples the stream to ``target_tokens`` (capped
+    at keep-all).  One hash-shuffle with map-side partial agg; exact integer
+    arithmetic (`` * PPM div n_tokens``) so the oracle matches bit-for-bit."""
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "keep_ppm",
+            F.least(
+                F.lit(PPM).cast("long"),
+                F.expr(f"CAST({target_tokens} AS BIGINT) * {PPM} div n_tokens"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_weights_sql(target_tokens: int = 500) -> str:
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({toks})) AS BIGINT) AS n_tokens,
+           LEAST(CAST({PPM} AS BIGINT),
+                 (CAST({target_tokens} AS BIGINT) * {PPM}) // SUM(len({toks})))
+               AS keep_ppm
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def apply_mixture(documents: DataFrame, target_tokens: int = 500) -> DataFrame:
+    """Downsample each source stream to its :func:`mixture_weights` rate by
+    deterministic hash ticket.  The weights table is one row per source —
+    broadcast-joined, so the apply step adds NO shuffle on the corpus side."""
+    w = mixture_weights(documents, target_tokens).select("source", "keep_ppm")
+    return (
+        documents.join(F.broadcast(w), "source")
+        .withColumn("ticket", _ticket("mix"))
+        .filter(F.col("ticket") < F.col("keep_ppm"))
+        .select("doc_id", "source", "keep_ppm")
+        .orderBy("doc_id")
+    )
+
+
+def apply_mixture_sql(target_tokens: int = 500) -> str:
+    return f"""
+    WITH w AS ({mixture_weights_sql(target_tokens)}),
+    t AS (
+        SELECT doc_id, source, keep_ppm, {_ticket_sql('mix')} AS ticket
+        FROM documents JOIN w USING (source)
+    )
+    SELECT doc_id, source, keep_ppm FROM t
+    WHERE ticket < keep_ppm
     ORDER BY doc_id
     """
 

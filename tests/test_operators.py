@@ -242,6 +242,23 @@ def test_sampling_deterministic_and_stratified(spark):
     assert sum(r["split"] == "train" for r in sp) > 250  # 98% band dominates
 
 
+def test_mixture_weights_and_apply(spark):
+    """Per-source token budgeting: over-budget streams get partial ppm
+    rates, under-budget streams keep everything."""
+    from linked_maps_spark import sampling
+
+    rows = [(i, " ".join(["tok"] * (10 if i < 40 else 2)), "en",
+             "big" if i < 40 else "small") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    w = {r["source"]: r for r in sampling.mixture_weights(docs, target_tokens=100).collect()}
+    assert w["big"]["n_tokens"] == 400 and w["big"]["keep_ppm"] == 250_000
+    assert w["small"]["n_tokens"] == 40 and w["small"]["keep_ppm"] == 1_000_000
+    got = sampling.apply_mixture(docs, target_tokens=100).collect()
+    assert {r["doc_id"] for r in got if r["source"] == "small"} == set(range(40, 60))
+    n_big = sum(r["source"] == "big" for r in got)
+    assert 0 < n_big < 40  # partial, deterministic subset
+
+
 def test_pii_scan_values(spark):
     """Counts per pattern on the original text; redaction replaces in the
     fixed order so email digits never re-match as numeric PII."""

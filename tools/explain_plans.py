@@ -30,6 +30,15 @@ CHECKS = {
     # band-OR ANN: broadcast query side, exact re-rank window
     "similarity_ann_lsh": ["BroadcastHashJoin", "Window"],
     "dedup_embedding_cosine": ["HashJoin"],
+    # corpus curation: pure per-row projections/filters over a column-pruned
+    # scan ("!X" asserts absence) — the only Exchange allowed is the output
+    # ORDER BY's range partitioning, never an aggregation/join shuffle
+    "text_pii": ["ReadSchema: struct<doc_id:bigint,text:string>",
+                 "!HashAggregate", "!HashJoin"],
+    "corpus_split": ["ReadSchema: struct<doc_id:bigint,lang:string>",
+                     "!HashAggregate", "!HashJoin"],
+    # mixture apply: the per-source weights table must broadcast
+    "corpus_mixture": ["BroadcastHashJoin", "!SortMergeJoin"],
 }
 
 
@@ -54,7 +63,7 @@ def main() -> None:
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         print(plan[:4000])
         for want in CHECKS.get(name, []):
-            ok = want in plan
+            ok = want[1:] not in plan if want.startswith("!") else want in plan
             print(f"  [{'x' if ok else ' '}] {want}")
             if not ok:
                 failures.append((name, want))
