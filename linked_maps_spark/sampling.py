@@ -149,20 +149,25 @@ def apply_mixture_sql(target_tokens: int = 500) -> str:
     """
 
 
+def split_expr():
+    """The train/heldout/test band CASE as a reusable Column (shared by the
+    batch :func:`corpus_split` and the streaming curation path)."""
+    ticket = _ticket("split")
+    split = None
+    for name, hi in SPLIT_BANDS[:-1]:
+        branch = (ticket < hi, F.lit(name))
+        split = F.when(*branch) if split is None else split.when(*branch)
+    return split.otherwise(F.lit(SPLIT_BANDS[-1][0]))
+
+
 def corpus_split(documents: DataFrame) -> DataFrame:
     """Deterministic train/heldout/test assignment by hash band: every doc
     gets exactly one split, stable across runs and cluster layouts (the
     property a heldout set must have — a doc can never migrate into train).
     The split salt differs from the sampling salt so subsampling and
     splitting stay independent events."""
-    ticket = _ticket("split")
-    split = None
-    for name, hi in SPLIT_BANDS[:-1]:
-        branch = (ticket < hi, F.lit(name))
-        split = F.when(*branch) if split is None else split.when(*branch)
-    split = split.otherwise(F.lit(SPLIT_BANDS[-1][0]))
     return documents.select(
-        "doc_id", "lang", split.alias("split")
+        "doc_id", "lang", split_expr().alias("split")
     ).orderBy("doc_id")
 
 

@@ -140,3 +140,60 @@ def user_running_stats(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_curate(
+    spark: SparkSession,
+    docs_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: str = DOCS_SCHEMA,
+) -> DataFrame:
+    """Streaming corpus curation: the LLM-pipeline counterpart of the CDC
+    stream — documents land as files and are curated incrementally instead
+    of re-scanning the corpus per batch.
+
+    Stateless stages (content hash, token count, PII total, split band) map
+    1:1 from their batch definitions — same Column expressions, so stream ≡
+    batch by construction.  The stateful stage is exact dedup ACROSS
+    micro-batches via ``dropDuplicates`` on the content hash: state is one
+    tiny row per distinct hash in the state store, persisted in the
+    checkpoint, so a duplicate arriving days later (or after a restart) is
+    still dropped — the incremental-ingest property a batch job can only get
+    by rescanning everything.  A production deployment with an arrival
+    timestamp bounds the state with ``dropDuplicatesWithinWatermark``.
+
+    Drains with ``availableNow`` into a parquet sink (append mode: each doc
+    is emitted exactly once, on first sight; the file sink's commit log —
+    unlike a memory sink — supports restart recovery, so re-invoking with
+    the same checkpoint processes only newly landed files) and returns a
+    batch read of the output directory."""
+    from .sampling import split_expr
+    from .textops import PII_PATTERNS, tokens
+
+    n_pii = None
+    for _, pat, _tok in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
+        n_pii = c if n_pii is None else n_pii + c
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    cur = (
+        stream.withColumn("content_md5", F.md5("text"))
+        .withColumn("n_tokens", F.size(tokens(F.col("text"))).cast("long"))
+        .withColumn("n_pii", n_pii)
+        .withColumn("split", split_expr())
+        .dropDuplicates(["content_md5"])
+        .select("doc_id", "content_md5", "n_tokens", "n_pii", "split")
+    )
+    q = (
+        cur.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
