@@ -310,6 +310,47 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Corpus curation pipeline: documents parquet → annotated,
+    exact-deduped corpus parquet (content hash, token count, PII total,
+    train/heldout/test split), batch or incremental (``--stream``).
+
+    Batch keeps the deterministic keeper (min doc_id) per content hash and
+    retains the full document columns; the streaming path keeps the
+    first-seen doc and its checkpoint state drops duplicates across later
+    arrivals (streaming.stream_curate)."""
+    from pyspark.sql import Window, functions as F
+
+    spark = _spark(args.cores)
+    out = os.path.abspath(args.out)
+    if args.stream:
+        from .streaming import stream_curate
+
+        ckpt = args.checkpoint or out + "_stream_checkpoint"
+        cur = stream_curate(spark, args.docs, ckpt, out)
+        n = cur.count()
+    else:
+        from .sampling import split_expr
+        from .textops import curation_columns
+
+        cur = spark.read.parquet(args.docs)
+        for name, col in curation_columns().items():
+            cur = cur.withColumn(name, col)
+        cur = cur.withColumn("split", split_expr())
+        win = Window.partitionBy("content_md5").orderBy("doc_id")
+        cur = (
+            cur.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if args.drop_pii:
+            cur = cur.filter(F.col("n_pii") == 0)
+        cur.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+    print(f"curate: {n} docs -> {out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m linked_maps_spark",
@@ -399,6 +440,19 @@ def build_parser() -> argparse.ArgumentParser:
     ip.add_argument("--commits-per-epoch", type=int, default=8)
     ip.add_argument("--n-buckets", type=int, default=8)
     ip.set_defaults(fn=cmd_ingest)
+
+    cp = sub.add_parser(
+        "curate", help="documents parquet -> annotated, deduped corpus (batch or --stream)"
+    )
+    cp.add_argument("--docs", required=True, help="input documents parquet dir")
+    cp.add_argument("--out", required=True, help="output parquet dir")
+    cp.add_argument("--stream", action="store_true",
+                    help="incremental Structured Streaming drain (availableNow)")
+    cp.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (default: <out>_stream_checkpoint)")
+    cp.add_argument("--drop-pii", action="store_true",
+                    help="batch only: drop docs with any PII hit")
+    cp.set_defaults(fn=cmd_curate)
 
     mp = sub.add_parser("maintain", help="compact logs / expire snapshots (VACUUM analog)")
     mp.add_argument("--warehouse", required=True)

@@ -172,18 +172,14 @@ def stream_curate(
     the same checkpoint processes only newly landed files) and returns a
     batch read of the output directory."""
     from .sampling import split_expr
-    from .textops import PII_PATTERNS, tokens
+    from .textops import curation_columns
 
-    n_pii = None
-    for _, pat, _tok in PII_PATTERNS:
-        c = F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
-        n_pii = c if n_pii is None else n_pii + c
     stream = spark.readStream.schema(schema).parquet(docs_path)
+    cur = stream
+    for name, col in curation_columns().items():
+        cur = cur.withColumn(name, col)
     cur = (
-        stream.withColumn("content_md5", F.md5("text"))
-        .withColumn("n_tokens", F.size(tokens(F.col("text"))).cast("long"))
-        .withColumn("n_pii", n_pii)
-        .withColumn("split", split_expr())
+        cur.withColumn("split", split_expr())
         .dropDuplicates(["content_md5"])
         .select("doc_id", "content_md5", "n_tokens", "n_pii", "split")
     )

@@ -349,6 +349,21 @@ PII_PATTERNS = [
 ]
 
 
+def curation_columns() -> dict:
+    """The shared stateless curation expressions — content hash, token
+    count, total PII hits — used identically by the batch curate CLI and
+    ``streaming.stream_curate`` (stream ≡ batch by construction)."""
+    n_pii = None
+    for _, pat, _tok in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
+        n_pii = c if n_pii is None else n_pii + c
+    return {
+        "content_md5": F.md5("text"),
+        "n_tokens": F.size(tokens(F.col("text"))).cast("long"),
+        "n_pii": n_pii,
+    }
+
+
 def pii_scan(documents: DataFrame) -> DataFrame:
     """PII detection + redaction: per doc, the count of each PII pattern
     (emails, IPv4 addresses, dashed phone numbers) on the original text and

@@ -245,3 +245,30 @@ def test_cli_segment_is_incremental_without_reset(spark, shp_dir, tmp_path):
                      "--n-buckets", "2"]) == 0
     second = {r["gid"] for r in read_jl(spark, prefix)[0].collect()}
     assert first == second
+
+
+def test_cli_curate_batch_and_stream(spark, tmp_path):
+    """curate: exact dedup with deterministic batch keeper (min doc_id),
+    --drop-pii filter, and the --stream drain producing the same hash set."""
+    from linked_maps_spark.streaming import DOCS_SCHEMA
+
+    land = str(tmp_path / "docs")
+    rows = [(i, f"text number {i % 8}", "en", "s0", 5) for i in range(12)]
+    rows.append((20, "mail a@b.co now", "en", "s0", 5))
+    spark.createDataFrame(rows, DOCS_SCHEMA).write.parquet(land)
+
+    out_b = str(tmp_path / "out_b")
+    assert cli.main(["curate", "--docs", land, "--out", out_b]) == 0
+    got = spark.read.parquet(out_b)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(8)) + [20]
+    row20 = got.filter("doc_id = 20").collect()[0]
+    assert row20["n_pii"] == 1 and row20["split"] in ("train", "heldout", "test")
+
+    out_p = str(tmp_path / "out_p")
+    assert cli.main(["curate", "--docs", land, "--out", out_p, "--drop-pii"]) == 0
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out_p).collect()) == list(range(8))
+
+    out_s = str(tmp_path / "out_s")
+    assert cli.main(["curate", "--docs", land, "--out", out_s, "--stream"]) == 0
+    stream_hashes = {r["content_md5"] for r in spark.read.parquet(out_s).collect()}
+    assert stream_hashes == {r["content_md5"] for r in got.collect()}
