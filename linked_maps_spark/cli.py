@@ -315,10 +315,12 @@ def cmd_curate(args: argparse.Namespace) -> int:
     exact-deduped corpus parquet (content hash, token count, PII total,
     train/heldout/test split), batch or incremental (``--stream``).
 
-    Batch keeps the deterministic keeper (min doc_id) per content hash and
-    retains the full document columns; the streaming path keeps the
-    first-seen doc and its checkpoint state drops duplicates across later
-    arrivals (streaming.stream_curate)."""
+    Both modes emit the same schema (full document columns + annotations)
+    and apply ``--drop-pii`` BEFORE dedup, so a PII-bearing keeper never
+    shadows a clean duplicate.  Batch keeps the deterministic keeper (min
+    doc_id) per content hash; the streaming path keeps the first-arrival
+    doc and its checkpoint state drops duplicates across later arrivals
+    (streaming.stream_curate)."""
     from pyspark.sql import Window, functions as F
 
     spark = _spark(args.cores)
@@ -327,7 +329,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         from .streaming import stream_curate
 
         ckpt = args.checkpoint or out + "_stream_checkpoint"
-        cur = stream_curate(spark, args.docs, ckpt, out)
+        cur = stream_curate(spark, args.docs, ckpt, out, drop_pii=args.drop_pii)
         n = cur.count()
     else:
         from .sampling import split_expr
@@ -337,14 +339,14 @@ def cmd_curate(args: argparse.Namespace) -> int:
         for name, col in curation_columns().items():
             cur = cur.withColumn(name, col)
         cur = cur.withColumn("split", split_expr())
+        if args.drop_pii:
+            cur = cur.filter(F.col("n_pii") == 0)
         win = Window.partitionBy("content_md5").orderBy("doc_id")
         cur = (
             cur.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if args.drop_pii:
-            cur = cur.filter(F.col("n_pii") == 0)
         cur.write.mode("overwrite").parquet(out)
         n = spark.read.parquet(out).count()
     print(f"curate: {n} docs -> {out}")
@@ -451,7 +453,7 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--checkpoint", default=None,
                     help="stream checkpoint dir (default: <out>_stream_checkpoint)")
     cp.add_argument("--drop-pii", action="store_true",
-                    help="batch only: drop docs with any PII hit")
+                    help="drop docs with any PII hit (before dedup)")
     cp.set_defaults(fn=cmd_curate)
 
     mp = sub.add_parser("maintain", help="compact logs / expire snapshots (VACUUM analog)")

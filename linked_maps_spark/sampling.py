@@ -86,11 +86,22 @@ def stratified_sample_sql(
     """
 
 
+# largest target where target * PPM still fits int64 (2^63-1 ≈ 9.22e18);
+# beyond it Spark would wrap silently (ANSI off) while DuckDB raises —
+# fail loudly and identically on both engines instead
+MAX_TARGET_TOKENS = 9_000_000_000_000
+
+
 def mixture_weights(documents: DataFrame, target_tokens: int = 500) -> DataFrame:
     """Data-mixing weights: per source stream, the doc/token totals and the
     ppm keep-rate that downsamples the stream to ``target_tokens`` (capped
     at keep-all).  One hash-shuffle with map-side partial agg; exact integer
     arithmetic (`` * PPM div n_tokens``) so the oracle matches bit-for-bit."""
+    if target_tokens > MAX_TARGET_TOKENS:
+        raise ValueError(
+            f"target_tokens > {MAX_TARGET_TOKENS}: target * {PPM} would "
+            "overflow int64; split the budget across calls"
+        )
     return (
         documents.groupBy("source")
         .agg(
@@ -109,6 +120,8 @@ def mixture_weights(documents: DataFrame, target_tokens: int = 500) -> DataFrame
 
 
 def mixture_weights_sql(target_tokens: int = 500) -> str:
+    if target_tokens > MAX_TARGET_TOKENS:
+        raise ValueError(f"target_tokens > {MAX_TARGET_TOKENS} overflows int64")
     toks = "string_split_regex(trim(lower(text)), '\\s+')"
     return f"""
     SELECT source, COUNT(*) AS n_docs,

@@ -151,6 +151,7 @@ def stream_curate(
     checkpoint_dir: str,
     out_dir: str,
     schema: str = DOCS_SCHEMA,
+    drop_pii: bool = False,
 ) -> DataFrame:
     """Streaming corpus curation: the LLM-pipeline counterpart of the CDC
     stream — documents land as files and are curated incrementally instead
@@ -166,11 +167,22 @@ def stream_curate(
     by rescanning everything.  A production deployment with an arrival
     timestamp bounds the state with ``dropDuplicatesWithinWatermark``.
 
-    Drains with ``availableNow`` into a parquet sink (append mode: each doc
-    is emitted exactly once, on first sight; the file sink's commit log —
-    unlike a memory sink — supports restart recovery, so re-invoking with
-    the same checkpoint processes only newly landed files) and returns a
-    batch read of the output directory."""
+    Keeper contract: across micro-batches the keeper is the FIRST ARRIVAL
+    (that is the point of incremental curation); within one micro-batch
+    holding several copies, ``dropDuplicates`` keeps an arbitrary one —
+    the surviving content set is deterministic, the surviving doc_id is
+    not.  Use the batch curate path when a reproducible keeper identity
+    (min doc_id) matters more than incrementality.
+
+    Output keeps the FULL document columns plus the curation annotations —
+    the same schema the batch curate CLI writes — so downstream consumers
+    can tokenize/train from either.  ``drop_pii`` filters PII-bearing docs
+    before dedup (also matching batch).  Drains with ``availableNow`` into
+    a parquet sink (append mode: each doc is emitted exactly once, on first
+    sight; the file sink's commit log — unlike a memory sink — supports
+    restart recovery, so re-invoking with the same checkpoint processes
+    only newly landed files) and returns a batch read of the output
+    directory."""
     from .sampling import split_expr
     from .textops import curation_columns
 
@@ -178,11 +190,10 @@ def stream_curate(
     cur = stream
     for name, col in curation_columns().items():
         cur = cur.withColumn(name, col)
-    cur = (
-        cur.withColumn("split", split_expr())
-        .dropDuplicates(["content_md5"])
-        .select("doc_id", "content_md5", "n_tokens", "n_pii", "split")
-    )
+    cur = cur.withColumn("split", split_expr())
+    if drop_pii:
+        cur = cur.filter(F.col("n_pii") == 0)
+    cur = cur.dropDuplicates(["content_md5"])
     q = (
         cur.writeStream.format("parquet")
         .outputMode("append")

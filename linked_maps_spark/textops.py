@@ -349,54 +349,71 @@ PII_PATTERNS = [
 ]
 
 
+def pii_exprs() -> dict:
+    """The PII counting/redaction expressions, staged as a cascade: each
+    pattern is counted on the text with all EARLIER patterns already
+    redacted, then redacted itself.  Counting and redaction therefore see
+    the same text, so one entity can never count under two categories (a
+    phone-shaped string inside an email address counts once, as the email
+    it belongs to).  Single source of truth for :func:`pii_scan` and
+    :func:`curation_columns`."""
+    out: dict = {}
+    red = F.col("text")
+    total = None
+    for name, pat, tok in PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(red, F.lit(pat), 0)).cast("long")
+        out[f"n_{name}"] = c
+        total = c if total is None else total + c
+        red = F.regexp_replace(red, pat, tok)
+    out["redacted"] = red
+    out["n_pii"] = total.cast("long")
+    return out
+
+
 def curation_columns() -> dict:
     """The shared stateless curation expressions — content hash, token
     count, total PII hits — used identically by the batch curate CLI and
     ``streaming.stream_curate`` (stream ≡ batch by construction)."""
-    n_pii = None
-    for _, pat, _tok in PII_PATTERNS:
-        c = F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
-        n_pii = c if n_pii is None else n_pii + c
     return {
         "content_md5": F.md5("text"),
         "n_tokens": F.size(tokens(F.col("text"))).cast("long"),
-        "n_pii": n_pii,
+        "n_pii": pii_exprs()["n_pii"],
     }
 
 
 def pii_scan(documents: DataFrame) -> DataFrame:
     """PII detection + redaction: per doc, the count of each PII pattern
-    (emails, IPv4 addresses, dashed phone numbers) on the original text and
-    the md5 of the redacted text (patterns replaced by fixed tokens, in the
-    fixed PII_PATTERNS order so email digits can never re-match as numeric
-    PII).  The pre-training "scrub before tokenize" sweep.
+    (emails, IPv4 addresses, dashed phone numbers) and the md5 of the
+    redacted text.  Counts come from the same redaction cascade that
+    produces the text (see :func:`pii_exprs`), so ``n_pii`` is exactly the
+    number of replacement tokens in the redacted output.  The pre-training
+    "scrub before tokenize" sweep.
 
     Stateless JVM-side regex per row — no shuffle at all, a 100-TB scan
     parallelizes embarrassingly and the scan's column pruning keeps it to
     (doc_id, text)."""
-    counts = [
-        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    red = F.col("text")
-    for _, pat, tok in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, tok)
-    out = documents.select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
-    total = sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS)
-    return out.withColumn("n_pii", total.cast("long")).orderBy("doc_id")
+    e = pii_exprs()
+    return documents.select(
+        "doc_id",
+        *[e[f"n_{name}"].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        F.md5(e["redacted"]).alias("redacted_md5"),
+        e["n_pii"].alias("n_pii"),
+    ).orderBy("doc_id")
 
 
 def pii_scan_sql(text_expr: str = "text") -> str:
-    counts = ", ".join(
-        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
-    red = text_expr
-    for _, pat, tok in PII_PATTERNS:
+    # mirror the staged cascade: count pattern k on the text with patterns
+    # 0..k-1 already redacted, so counts ≡ replacement tokens in the output
+    counts, red = [], text_expr
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
         red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
     total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
     return f"""
-    WITH t AS (SELECT doc_id, {counts}, md5({red}) AS redacted_md5 FROM documents)
+    WITH t AS (SELECT doc_id, {", ".join(counts)}, md5({red}) AS redacted_md5
+               FROM documents)
     SELECT doc_id, n_email, n_ipv4, n_phone, redacted_md5,
            CAST({total} AS BIGINT) AS n_pii
     FROM t

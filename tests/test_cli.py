@@ -270,5 +270,13 @@ def test_cli_curate_batch_and_stream(spark, tmp_path):
 
     out_s = str(tmp_path / "out_s")
     assert cli.main(["curate", "--docs", land, "--out", out_s, "--stream"]) == 0
-    stream_hashes = {r["content_md5"] for r in spark.read.parquet(out_s).collect()}
+    stream_df = spark.read.parquet(out_s)
+    assert set(stream_df.columns) == set(got.columns)  # schema parity with batch
+    stream_hashes = {r["content_md5"] for r in stream_df.collect()}
     assert stream_hashes == {r["content_md5"] for r in got.collect()}
+
+    # --drop-pii applies in stream mode too (before dedup)
+    out_sp = str(tmp_path / "out_sp")
+    assert cli.main(["curate", "--docs", land, "--out", out_sp,
+                     "--stream", "--drop-pii"]) == 0
+    assert all(r["n_pii"] == 0 for r in spark.read.parquet(out_sp).collect())

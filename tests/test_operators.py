@@ -257,6 +257,11 @@ def test_mixture_weights_and_apply(spark):
     assert {r["doc_id"] for r in got if r["source"] == "small"} == set(range(40, 60))
     n_big = sum(r["source"] == "big" for r in got)
     assert 0 < n_big < 40  # partial, deterministic subset
+    # target * PPM beyond int64 fails loudly on both engines, never wraps
+    with pytest.raises(ValueError):
+        sampling.mixture_weights(docs, target_tokens=10**13)
+    with pytest.raises(ValueError):
+        sampling.mixture_weights_sql(target_tokens=10**13)
 
 
 def test_pii_scan_values(spark):
@@ -268,6 +273,7 @@ def test_pii_scan_values(spark):
         (1, "write to bob@x.org or alice.smith@mail.co today"),
         (2, "server 10.0.0.7 and 192.168.1.1 up; call 555-123-4567"),
         (3, "clean text with no secrets"),
+        (4, "reach me: 555-123-4567@mail.com"),  # phone-shaped email local part
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in textops.pii_scan(docs).collect()}
@@ -275,6 +281,10 @@ def test_pii_scan_values(spark):
     assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 2, 1)
     assert got[2]["n_pii"] == 3
     assert got[3]["n_pii"] == 0
+    # staged cascade: one entity counts once — the email swallows the phone
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_pii"]) == (1, 0, 1)
+    import hashlib as _h
+    assert got[4]["redacted_md5"] == _h.md5(b"reach me: <EMAIL>").hexdigest()
     red2 = "server <IP> and <IP> up; call <PHONE>"
     assert got[2]["redacted_md5"] == hashlib.md5(red2.encode()).hexdigest()
     red1 = "write to <EMAIL> or <EMAIL> today"
