@@ -281,6 +281,54 @@ def event_sequencing(spark, sf_dir):
 
 
 @query(
+    "event_sessionize",
+    """
+    WITH t AS (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    f AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 21600
+                    THEN 1 ELSE 0 END AS new_session
+        FROM t
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM f
+    ORDER BY user_id, event_id
+    """,
+)
+def event_sessionize(spark, sf_dir):
+    """Gap-based sessionization (6-hour inactivity threshold): lag + a
+    conditional running sum — the standard event-stream session operator.
+    Two windows over ONE partitioning (user_id), so Spark plans a single
+    sort+shuffle; the gap test is exact integer epoch-seconds arithmetic,
+    oracle-identical to DuckDB's date_diff."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 21600), 1).otherwise(0).alias("new_session"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        flagged.select(
+            "event_id",
+            "user_id",
+            F.sum("new_session").over(run).cast("long").alias("session_id"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "event_type_votes",
     """
     SELECT event_type, COUNT(*) AS votes

@@ -443,3 +443,30 @@ def test_multimodal_resize_and_frames(docs):
         multimodal.resize_images(media, fake=False).collect()
     with pytest.raises(Exception):
         multimodal.sample_frames(media, fake=False).collect()
+
+
+def test_event_sessionize_boundaries(spark, tmp_path):
+    """Gap rule: strictly more than 21600 s of inactivity opens a session;
+    exactly 21600 s does not.  Sessions number per user from 1."""
+    import datetime as dt
+
+    from linked_maps_spark import relational
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (1, base, 7, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 7, "a", 1.0, "{}"),           # same
+        (3, base + dt.timedelta(hours=8), 7, "a", 1.0, "{}"),           # new
+        (4, base + dt.timedelta(hours=14, seconds=1), 7, "a", 1.0, "{}"),  # 6h+1s: new
+        (5, base + dt.timedelta(hours=20, seconds=1), 7, "a", 1.0, "{}"),  # exactly 6h: same
+        (6, base, 9, "a", 1.0, "{}"),                                   # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_id"]: r["session_id"]
+           for r in relational.event_sessionize(spark, str(tmp_path)).collect()}
+    assert [got[i] for i in range(1, 6)] == [1, 1, 2, 3, 3]
+    assert got[6] == 1
