@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from linked_maps_spark import (
+    bpe,
     dedup,
     entry_cdc,
     multimodal,
@@ -85,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_stats"] = _doc()(textops.token_stats)
     q["text_lang_id"] = _doc()(textops.lang_id)
     q["text_fingerprint"] = _doc()(textops.doc_fingerprint)
+    # BPE tokenizer: distributed merge training + corpus encode; the two
+    # entries share one training via bpe's plain-python memo
+    q["text_bpe_merges"] = _doc()(bpe.bpe_merges)
+    q["text_bpe_tokens"] = _doc()(bpe.bpe_tokens)
     # Gopher/C4 repetition signals; the fixture is single-line, so both
     # engines first line-ize it identically (literal ' a ' → newline)
     q["text_packing"] = _doc()(textops.pack_sequences)
@@ -99,21 +104,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_mixture_weights"] = _doc()(sampling.mixture_weights)
     q["corpus_mixture"] = _doc()(sampling.apply_mixture)
     # PII scrub: the corpus fixture has no PII, so both engines inject the
-    # same deterministic doc_id-derived emails / IPs / phone numbers first
-    pii_fix = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 4 == 0,
-            F.concat(F.lit(" 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
-        ).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit(" 555-867-5309")).otherwise(F.lit("")),
-    )
+    # same deterministic doc_id-derived emails / IPs / phone numbers first.
+    # Column construction stays inside the callable: queries() itself must
+    # not require an active SparkContext (driver builds the dict up front).
+    def pii_fix():
+        return F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" 555-867-5309")).otherwise(F.lit("")),
+        )
+
     q["text_pii"] = _doc()(
-        lambda d: textops.pii_scan(d.withColumn("text", pii_fix))
+        lambda d: textops.pii_scan(d.withColumn("text", pii_fix()))
     )
     # multimodal plumbing
     q["multimodal_metadata"] = _doc()(
@@ -169,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["text_packing"] = textops.pack_sequences_sql()
+    o["text_bpe_merges"] = bpe.bpe_merges_sql()
+    o["text_bpe_tokens"] = bpe.bpe_tokens_sql()
     o["corpus_sample"] = sampling.stratified_sample_sql()
     o["corpus_split"] = sampling.corpus_split_sql()
     o["corpus_mixture_weights"] = sampling.mixture_weights_sql()
