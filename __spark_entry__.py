@@ -62,6 +62,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.filter("doc_id % 17 != 0"), d.filter("doc_id % 17 = 0")
         )
     )
+    # corpus-level duplicate-line removal; the fixture is single-line, so
+    # both engines first line-ize it identically (literal ' a ' → newline,
+    # the text_repetition convention)
+    q["dedup_lines"] = _doc()(
+        lambda d: dedup.dedup_lines(
+            d.withColumn("text", F.replace("text", F.lit(" a "), F.lit("\n")))
+        )
+    )
     # similarity search
     q["similarity_cosine_topk"] = _doc("embeddings")(
         lambda e: similarity.cosine_topk(e, n_queries=5, k=5)
@@ -168,6 +176,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = dedup.dedup_minhash_lsh_sql()
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_decontaminate"] = dedup.decontaminate_sql()
+    o["dedup_lines"] = dedup.dedup_lines_sql(
+        text_expr="replace(text, ' a ', chr(10))"
+    )
     o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)

@@ -381,6 +381,102 @@ def decontaminate_sql(
     """
 
 
+# ------------------------------------------------------ line-level dedup
+
+def dedup_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus-level duplicate-line removal (the RefinedWeb / MassiveText
+    line-dedup pass): drop EVERY occurrence of any trimmed non-empty line
+    whose document frequency across the corpus reaches ``min_df``, then
+    reassemble each document from its surviving lines in order.
+
+    Complements the document-level family (:func:`dedup_exact` /
+    MinHash / SimHash): boilerplate lines — nav menus, cookie banners,
+    license headers — repeat across *distinct* documents that no whole-doc
+    or near-dup pass catches.  Dropping all copies (not keep-first) makes
+    the result order-independent and needs no global tie-break.
+
+    Plan (100 TB): posexplode lines; document frequency is one
+    hash-shuffle count with map-side partial agg over ``distinct`` (doc,
+    line) pairs; the blocklist (lines at/over ``min_df``) is orders of
+    magnitude smaller than the corpus, so AQE broadcasts the anti-join
+    when it fits and falls back to a shuffle join when it doesn't (the
+    blocklist is data-dependent, so no unconditional broadcast hint);
+    reassembly is one shuffle on doc_id.  No step is ever quadratic: the
+    only join is the anti-join against the blocklist.
+
+    Returns (doc_id, n_lines, n_kept, text_clean) for every input
+    document — ``text_clean = ''`` when every line was boilerplate."""
+    lines = (
+        documents.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    blocklist = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(blocklist, "line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    total = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        documents.select("doc_id")
+        .join(total, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_lines_sql(min_df: int = 2, text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`dedup_lines` (same trim/empty/df rules)."""
+    return f"""
+    WITH lx AS (
+      SELECT doc_id, i AS pos, trim(ls[i]) AS line
+      FROM (SELECT doc_id, string_split({text_expr}, chr(10)) AS ls
+            FROM documents) t,
+           unnest(range(1, len(t.ls) + 1)) AS r(i)
+      WHERE trim(ls[i]) <> ''
+    ),
+    bl AS (
+      SELECT line FROM (SELECT DISTINCT doc_id, line FROM lx)
+      GROUP BY line HAVING COUNT(*) >= {min_df}
+    ),
+    kept AS (SELECT * FROM lx WHERE line NOT IN (SELECT line FROM bl)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS text_clean
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lx GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(agg.text_clean, '') AS text_clean
+    FROM documents d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------- MinHash + LSH
 
 def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:

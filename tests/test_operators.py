@@ -306,6 +306,63 @@ def test_connected_components_chain(spark):
         assert got[d]["cluster_id"] == 100 and got[d]["cluster_size"] == 2
 
 
+def _ref_dedup_lines(rows, min_df=2):
+    """Independent python derivation of the line-dedup contract."""
+    from collections import Counter
+
+    per_doc, df = {}, Counter()
+    for doc_id, text in rows:
+        ls = [l.strip() for l in text.split("\n")]
+        ls = [l for l in ls if l]
+        per_doc[doc_id] = ls
+        for l in set(ls):
+            df[l] += 1
+    return [
+        (
+            doc_id,
+            len(per_doc[doc_id]),
+            len([l for l in per_doc[doc_id] if df[l] < min_df]),
+            "\n".join(l for l in per_doc[doc_id] if df[l] < min_df),
+        )
+        for doc_id, _ in rows
+    ]
+
+
+def test_dedup_lines_values(spark):
+    """Spark ≡ python reference ≡ DuckDB oracle on an adversarial fixture:
+    cross-doc boilerplate (dropped everywhere incl. a within-doc repeat),
+    trim-equal lines, a within-doc repeat with df=1 (kept), a fully-dropped
+    doc, and an empty doc."""
+    rows = [
+        (1, "alpha\ncookie banner\nbravo"),
+        (2, "cookie banner\ncharlie\ncookie banner"),
+        (3, "  cookie banner  \ndelta"),
+        (4, "echo\necho"),
+        (5, "cookie banner\n\n   "),
+        (6, ""),
+    ]
+    docs6 = spark.createDataFrame(rows, "doc_id long, text string")
+    got_df = dedup.dedup_lines(docs6)
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == _ref_dedup_lines(rows)
+    # doc 4's within-doc repeat survives (df counts documents, not copies)
+    assert got[3] == (4, 2, 2, "echo\necho")
+    # doc 5 is fully boilerplate but still present in the output
+    assert got[4] == (5, 1, 0, "")
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs6.toPandas())
+    duck = con.execute(dedup.dedup_lines_sql()).fetchall()
+    assert [tuple(r) for r in duck] == got
+
+    # plan property: the only join shape is the blocklist anti-join —
+    # never a cross join
+    plan = got_df._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan and "Cartesian" not in plan
+
+
 def test_decontaminate_values(spark, docs):
     """Benchmark split: doc 1 is the 'benchmark'; doc 2 copies it verbatim
     (full contamination), doc 3 is a near-dup (partial), 4/5 are clean."""
