@@ -142,6 +142,65 @@ def user_running_stats(
     return spark.table(query_name)
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    gap_seconds: int = 21600,
+    watermark: str = "1 day",
+    schema: str = EVENTS_SCHEMA,
+) -> DataFrame:
+    """§2.11 native session windows: the streaming counterpart of
+    ``relational.event_sessionize`` via ``F.session_window`` — Spark's
+    built-in merging session state, the idiomatic answer where the batch op
+    needs lag + running sum (which streaming can't express: arbitrary
+    windows over event order don't exist on an unbounded stream).
+
+    Gap contract: the batch operator measures inactivity in WHOLE seconds
+    (``unix_timestamp`` floor, oracle-identical to DuckDB's
+    ``date_diff('second')``) and starts a new session strictly ABOVE
+    ``gap_seconds``.  ``session_window`` merges at microsecond precision
+    with a half-open ``diff < gap`` rule, so the stream truncates event
+    time to seconds and windows by ``gap_seconds + 1``: truncated
+    ``diff < gap+1  ⟺  floor-diff ≤ gap``, exactly the batch rule.  The
+    emitted first/last timestamps keep the original precision.
+
+    The watermark bounds session state: a session closes (and its state is
+    dropped) once the watermark passes its window end — at 100 TB/day the
+    state store holds only sessions still inside the lateness horizon,
+    never the history.  Drains with ``availableNow`` into a memory sink
+    (complete mode, so tests see every session without a sentinel flush;
+    a production run would use append mode + a parquet sink and let the
+    watermark emit sessions as they close)."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window(
+                F.date_trunc("second", F.col("ts")), f"{gap_seconds + 1} seconds"
+            ).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "n_events", "first_ts", "last_ts")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 

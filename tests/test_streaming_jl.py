@@ -99,6 +99,44 @@ def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
     assert res == exp and res
 
 
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """§2.11 native session windows: streaming session_window sessions ≡ the
+    batch lag+running-sum sessionization aggregated per session — including
+    the strict->gap boundary contract (whole-second inactivity measure)."""
+    import pyspark.sql.functions as F
+
+    from linked_maps_spark import relational
+    from linked_maps_spark.streaming import EVENTS_SCHEMA, stream_sessionize
+
+    import shutil
+
+    src = str(tmp_path / "events_dir")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+    got = stream_sessionize(spark, src, str(tmp_path / "ck_sess"), "sess_t")
+    res = {
+        (r["user_id"], r["first_ts"], r["last_ts"], r["n_events"])
+        for r in got.collect()
+    }
+    # batch truth: event-level session ids -> per-session aggregates
+    ids = relational.event_sessionize(spark, "/root/testdata/sf0.001")
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(src).select("event_id", "ts")
+    batch = (
+        ids.join(ev, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    exp = {
+        (r["user_id"], r["first_ts"], r["last_ts"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert res == exp and len(res) > 100
+
+
 def test_user_running_stats_stateful_stream(spark, tmp_path):
     """§2.11 applyInPandasWithState: the custom stateful operator's final
     per-user state ≡ the batch aggregate."""
