@@ -85,6 +85,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the recompute path, so it shares the IVF oracle
     q["similarity_ann_ivf_indexed"] = vec_index.driver_ann_ivf_indexed
     q["similarity_ann_lsh_indexed"] = vec_index.driver_ann_lsh_indexed
+    # product quantization: the 100-TB memory path (codes 32× smaller than
+    # vectors; ADC scans touch only the code table)
+    q["similarity_pq_codes"] = _doc("embeddings")(similarity.pq_codes_str)
+    q["similarity_ann_pq"] = _doc("embeddings")(
+        lambda e: similarity.ann_pq_topk(e, n_queries=5, k=5)
+    )
     q["dedup_embedding_cosine"] = _doc("embeddings")(
         # the synthetic embeddings have no planted dups (max cosine ~0.5);
         # 0.4 exercises the candidate+verify path on real pair mass
@@ -184,6 +190,8 @@ def oracle_sql() -> dict[str, str]:
     o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf_indexed"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh_indexed"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
+    o["similarity_pq_codes"] = similarity.pq_codes_sql()
+    o["similarity_ann_pq"] = similarity.ann_pq_topk_sql(n_queries=5, k=5)
     o["dedup_embedding_cosine"] = similarity.dedup_embedding_cosine_sql(threshold=0.4)
     o["text_token_stats"] = textops.token_stats_sql()
     o["text_lang_id"] = textops.lang_id_sql()

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import MAX_KEY_DF, h32
@@ -559,3 +561,245 @@ def ann_lsh_topk_sql(
     FROM ranked WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+# -------------------------------------------------------- product quantization
+
+PQ_M = 8        # subspaces
+PQ_KSUB = 16    # centroids per subspace → codes are m × log2(ksub)/8 = 4 bytes
+
+
+def _pq_cent_vals(j: int, c: int, dsub: int) -> list[float]:
+    """Centroid c of subspace j: component d = h32(f"pq{j}:{c}:{d}")/2³¹ − 1 —
+    the same portable-hash construction as the LSH planes / IVF centroids,
+    so the full PQ pipeline is DuckDB-expressible.
+
+    Components are precomputed driver-side as Python doubles: n/2³¹ only
+    shifts the exponent and the final subtraction is exact, so these are
+    bit-identical to the symbolic md5 expressions the DuckDB oracle still
+    evaluates — while keeping the Catalyst tree two orders of magnitude
+    smaller (the fully-symbolic form compiled to 2 MiB task binaries and
+    minutes of planning time for 500 rows)."""
+    vals = []
+    for d in range(dsub):
+        n = int(hashlib.md5(f"pq{j}:{c}:{d}".encode()).hexdigest()[:8], 16)
+        vals.append(n / float(1 << 31) - 1.0)
+    return vals
+
+
+def _pq_cent(j: int, c: int, dsub: int):
+    return F.array(*[F.lit(v) for v in _pq_cent_vals(j, c, dsub)])
+
+
+def _pq_cnorm(j: int, c: int, dsub: int) -> float:
+    """‖c‖² via the same sequential left fold both engines use for dots."""
+    acc = 0.0
+    for v in _pq_cent_vals(j, c, dsub):
+        acc = acc + v * v
+    return acc
+
+
+def _pq_cents_j(j: int, dsub: int, ksub: int):
+    """All ksub centroids of subspace j as one nested literal array —
+    letting score computation be a single ``zip_with`` per subspace instead
+    of ksub unrolled folds (16× fewer Catalyst nodes, same arithmetic)."""
+    return F.array(*[_pq_cent(j, c, dsub) for c in range(ksub)])
+
+
+def _pq_cnorms_j(j: int, dsub: int, ksub: int):
+    return F.array(*[F.lit(_pq_cnorm(j, c, dsub)) for c in range(ksub)])
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, codes array<int>) — product-quantization codes: each vector
+    splits into ``m`` subvectors and each subvector stores only the id
+    (1-based) of its nearest subspace centroid.
+
+    THE memory move at 100 TB: 64 float32 dims (256 B) become ``m`` 4-bit
+    codes (4 B here; byte-sized codes at ksub=256) — a 32–64× shrink that
+    lets the whole corpus's codes sit in executor memory for ADC scans,
+    with the uncompressed vectors read only to re-rank a shortlist.
+
+    Assignment is argmin-L2 per subspace, computed as
+    ``‖c‖² − 2⟨x_j, c⟩`` (the ``‖x_j‖²`` term is constant per subspace so
+    the argmin is unchanged) — both dot products run as sequential left
+    folds, bit-compatible with DuckDB's ``list_dot_product``; ties break to
+    the smallest centroid id (first match, both engines)."""
+    dsub = dim // m
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+    code_cols = []
+    for j in range(m):
+        sub = F.slice("_v", j * dsub + 1, dsub)
+        scores = F.zip_with(
+            _pq_cnorms_j(j, dsub, ksub),
+            _pq_cents_j(j, dsub, ksub),
+            lambda n, cent: n - F.lit(2.0) * _dot(sub, cent),
+        )
+        code_cols.append(
+            F.expr(f"array_position(_sc_{j}, array_min(_sc_{j}))").cast("int")
+        )
+        base = base.withColumn(f"_sc_{j}", scores)
+    return base.select(
+        "vec_id", F.array(*code_cols).alias("codes")
+    )
+
+
+def pq_codes_str(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64
+) -> DataFrame:
+    """Driver-gate projection of :func:`pq_codes`: codes as a '-'-joined
+    string (portable value hashing), ordered by vec_id."""
+    return (
+        pq_codes(embeddings, m, ksub, dim)
+        .select("vec_id", F.array_join(F.col("codes"), "-").alias("code_str"))
+        .orderBy("vec_id")
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries stay uncompressed; every
+    candidate's distance is approximated from its codes alone via the
+    query's per-subspace lookup table — ``adc = Σ_j lut[j][code_j]`` with
+    ``lut[j][c] = ‖q_j − c‖²``.
+
+    Scale plan: the LUT side is ``n_queries × m × ksub`` doubles —
+    broadcast; the code table is the only scanned input (the 32× shrink is
+    what makes an exhaustive scan of 10⁹ codes memory-resident), and the
+    join never touches the uncompressed base vectors.  A production
+    pipeline composes this with IVF (scan only probed cells' codes) and an
+    exact re-rank of the shortlist; here the ADC ranking itself is the
+    contract so the oracle can check it value-for-value.
+
+    Output ranks by ``round(adc, 6)`` ascending, vec_id tie-break."""
+    dsub = dim // m
+    codes = pq_codes(embeddings, m, ksub, dim)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("_qv"),
+    )
+    def _lut_j(j: int):
+        qs = F.slice("_qv", j * dsub + 1, dsub)
+        return F.zip_with(
+            _pq_cnorms_j(j, dsub, ksub),
+            _pq_cents_j(j, dsub, ksub),
+            lambda n, cent: _dot(qs, qs) - F.lit(2.0) * _dot(qs, cent) + n,
+        )
+
+    luts = F.array(*[_lut_j(j) for j in range(m)])
+    qlut = q.select("query_id", luts.alias("_lut"))
+    # left-assoc + chain over the m terms — identical association in the SQL
+    # oracle, so the double sums are bit-compatible
+    adc = F.element_at(F.element_at("_lut", 1), F.element_at("codes", 1))
+    for j in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at("_lut", j + 1), F.element_at("codes", j + 1)
+        )
+    scored = (
+        codes.join(F.broadcast(qlut), F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(adc, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_cent_sql(j: int, c: int, dsub: int) -> str:
+    return (
+        f"list_transform(range(0, {dsub}), d -> "
+        f"CAST(('0x' || substr(md5('pq{j}:{c}:' || d), 1, 8)) AS UBIGINT)::BIGINT"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+def _pq_codes_cte(m: int, ksub: int, dim: int) -> str:
+    dsub = dim // m
+    code_exprs = []
+    for j in range(m):
+        sub = f"v[{j * dsub + 1}:{(j + 1) * dsub}]"
+        scores = ", ".join(
+            f"list_dot_product({_pq_cent_sql(j, c, dsub)}, {_pq_cent_sql(j, c, dsub)})"
+            f" - 2.0 * list_dot_product({sub}, {_pq_cent_sql(j, c, dsub)})"
+            for c in range(ksub)
+        )
+        code_exprs.append(
+            f"list_position([{scores}], list_min([{scores}]))::INT"
+        )
+    codes = ", ".join(code_exprs)
+    return f"""
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (SELECT vec_id, [{codes}] AS codes FROM base)
+    """
+
+
+def pq_codes_sql(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64) -> str:
+    """DuckDB oracle for :func:`pq_codes_str` (same centroids, same
+    argmin/tie-break)."""
+    return (
+        "WITH " + _pq_codes_cte(m, ksub, dim)
+        + """
+    SELECT vec_id, array_to_string(codes, '-') AS code_str
+    FROM codes ORDER BY vec_id
+    """
+    )
+
+
+def ann_pq_topk_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`ann_pq_topk` — same centroids, same LUT
+    algebra, same left-assoc ADC sum."""
+    dsub = dim // m
+    lut_arrays = ", ".join(
+        "["
+        + ", ".join(
+            f"list_dot_product(v[{j * dsub + 1}:{(j + 1) * dsub}],"
+            f" v[{j * dsub + 1}:{(j + 1) * dsub}])"
+            f" - 2.0 * list_dot_product(v[{j * dsub + 1}:{(j + 1) * dsub}],"
+            f" {_pq_cent_sql(j, c, dsub)})"
+            f" + list_dot_product({_pq_cent_sql(j, c, dsub)}, {_pq_cent_sql(j, c, dsub)})"
+            for c in range(ksub)
+        )
+        + "]"
+        for j in range(m)
+    )
+    adc = " + ".join(f"q.lut[{j + 1}][c.codes[{j + 1}]]" for j in range(m))
+    return (
+        "WITH " + _pq_codes_cte(m, ksub, dim)
+        + f""",
+    q AS (SELECT vec_id AS query_id, [{lut_arrays}] AS lut
+          FROM base WHERE vec_id < {n_queries}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({adc}, 6) AS adc_dist
+        FROM codes c JOIN q ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )

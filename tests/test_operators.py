@@ -147,6 +147,93 @@ def test_ann_ivf_recall_and_structure(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
 
 
+def _np_pq_reference(emb_rows, m=8, ksub=16, dim=64):
+    """Independent numpy/hashlib derivation of PQ codes + ADC luts."""
+    import hashlib
+
+    import numpy as np
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    dsub = dim // m
+    cents = np.array(
+        [
+            [
+                [h32(f"pq{j}:{c}:{d}") / float(1 << 31) - 1.0 for d in range(dsub)]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    )  # (m, ksub, dsub)
+    codes = {}
+    for vec_id, v in emb_rows:
+        v = np.asarray(v, dtype=np.float64)
+        cs = []
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            scores = (cents[j] * cents[j]).sum(axis=1) - 2.0 * (cents[j] @ sub)
+            cs.append(int(np.argmin(scores)) + 1)  # first-min tie-break
+        codes[vec_id] = cs
+    return cents, codes
+
+
+def test_pq_codes_and_adc_ranking(spark):
+    """PQ codes ≡ an independent numpy/hashlib derivation; ADC top-k ranking
+    ≡ a numpy recompute from those codes; clustered vectors quantize to the
+    cluster's code so ADC retrieves clustermates first."""
+    import numpy as np
+
+    from linked_maps_spark import similarity
+
+    rng = np.random.default_rng(7)
+    # 4 tight clusters of 10 vectors each around well-separated anchors
+    anchors = rng.normal(size=(4, 64)) * 3.0
+    rows = []
+    for i in range(40):
+        v = anchors[i % 4] + rng.normal(size=64) * 0.05
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents, ref_codes = _np_pq_reference(
+        [(i, np.asarray(v, dtype=np.float32).astype(np.float64)) for i, v in rows]
+    )
+    got_codes = {
+        r["vec_id"]: [int(x) for x in r["code_str"].split("-")]
+        for r in similarity.pq_codes_str(emb).collect()
+    }
+    assert got_codes == ref_codes
+    assert all(1 <= c <= 16 and len(cs) == 8 for cs in got_codes.values() for c in cs)
+    # same-cluster vectors quantize to (nearly) the same code word — a
+    # near-tie centroid may flip under jitter, so pin Hamming ≤ 2 of 8
+    for i in range(4, 40):
+        ham = sum(a != b for a, b in zip(got_codes[i], got_codes[i % 4]))
+        assert ham <= 2, (i, got_codes[i], got_codes[i % 4])
+
+    # ADC ranking ≡ numpy recompute (distances from codes, not raw vectors)
+    got = similarity.ann_pq_topk(emb, n_queries=3, k=5).collect()
+    dsub = 8
+    for r in got:
+        q = np.asarray(rows[r["query_id"]][1], dtype=np.float32).astype(np.float64)
+        n_codes = ref_codes[r["neighbor_id"]]
+        adc = sum(
+            float(
+                (q[j * dsub : (j + 1) * dsub] @ q[j * dsub : (j + 1) * dsub])
+                - 2.0 * (q[j * dsub : (j + 1) * dsub] @ cents[j][n_codes[j] - 1])
+                + (cents[j][n_codes[j] - 1] @ cents[j][n_codes[j] - 1])
+            )
+            for j in range(8)
+        )
+        assert abs(r["adc_dist"] - adc) < 1e-4, (r, adc)
+    # clustermates (near-identical codes ⇒ minimal ADC) fill the top-5
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid, neigh in by_q.items():
+        mates = {i for i in range(40) if i % 4 == qid % 4 and i != qid}
+        assert set(neigh) <= mates, (qid, neigh)
+
+
 def test_dedup_embedding_cosine(spark):
     """Near-dup pairs by embedding cosine: candidates via the LSH self-join,
     exact verification.  The synthetic embeddings carry no planted dups (max
