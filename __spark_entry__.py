@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the recompute path, so it shares the IVF oracle
     q["similarity_ann_ivf_indexed"] = vec_index.driver_ann_ivf_indexed
     q["similarity_ann_lsh_indexed"] = vec_index.driver_ann_lsh_indexed
+    # the production composition: probe cells from the index, rank by PQ
+    # asymmetric distance over the index's codes, exact re-rank a shortlist
+    q["similarity_ann_ivfpq_indexed"] = vec_index.driver_ann_ivfpq_indexed
     # product quantization: the 100-TB memory path (codes 32× smaller than
     # vectors; ADC scans touch only the code table)
     q["similarity_pq_codes"] = _doc("embeddings")(similarity.pq_codes_str)
@@ -190,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
     o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf_indexed"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh_indexed"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
+    o["similarity_ann_ivfpq_indexed"] = similarity.ann_ivfpq_topk_sql(
+        n_queries=5, k=5, shortlist=50
+    )
     o["similarity_pq_codes"] = similarity.pq_codes_sql()
     o["similarity_ann_pq"] = similarity.ann_pq_topk_sql(n_queries=5, k=5)
     o["dedup_embedding_cosine"] = similarity.dedup_embedding_cosine_sql(threshold=0.4)

@@ -661,6 +661,47 @@ def pq_codes_str(
     )
 
 
+def pq_query_luts(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, _lut array<array<double>>) — each query's per-subspace ADC
+    lookup table, ``lut[j][c] = ‖q_j − c‖²``, computed over ONLY the query
+    rows (``vec_id < n_queries``).  Tiny (n_queries × m × ksub doubles) —
+    always broadcast by callers."""
+    dsub = dim // m
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("_qv"),
+    )
+
+    def _lut_j(j: int):
+        qs = F.slice("_qv", j * dsub + 1, dsub)
+        return F.zip_with(
+            _pq_cnorms_j(j, dsub, ksub),
+            _pq_cents_j(j, dsub, ksub),
+            lambda n, cent: _dot(qs, qs) - F.lit(2.0) * _dot(qs, cent) + n,
+        )
+
+    luts = F.array(*[_lut_j(j) for j in range(m)])
+    return q.select("query_id", luts.alias("_lut"))
+
+
+def _adc_col(m: int):
+    """ADC distance from in-scope ``_lut``/``codes`` columns: a left-assoc
+    + chain over the m subspace terms — identical association in the SQL
+    oracles, so the double sums are bit-compatible."""
+    adc = F.element_at(F.element_at("_lut", 1), F.element_at("codes", 1))
+    for j in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at("_lut", j + 1), F.element_at("codes", j + 1)
+        )
+    return adc
+
+
 def ann_pq_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -683,32 +724,11 @@ def ann_pq_topk(
     contract so the oracle can check it value-for-value.
 
     Output ranks by ``round(adc, 6)`` ascending, vec_id tie-break."""
-    dsub = dim // m
     codes = pq_codes(embeddings, m, ksub, dim)
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double(F.col("embedding")).alias("_qv"),
-    )
-    def _lut_j(j: int):
-        qs = F.slice("_qv", j * dsub + 1, dsub)
-        return F.zip_with(
-            _pq_cnorms_j(j, dsub, ksub),
-            _pq_cents_j(j, dsub, ksub),
-            lambda n, cent: _dot(qs, qs) - F.lit(2.0) * _dot(qs, cent) + n,
-        )
-
-    luts = F.array(*[_lut_j(j) for j in range(m)])
-    qlut = q.select("query_id", luts.alias("_lut"))
-    # left-assoc + chain over the m terms — identical association in the SQL
-    # oracle, so the double sums are bit-compatible
-    adc = F.element_at(F.element_at("_lut", 1), F.element_at("codes", 1))
-    for j in range(1, m):
-        adc = adc + F.element_at(
-            F.element_at("_lut", j + 1), F.element_at("codes", j + 1)
-        )
+    qlut = pq_query_luts(embeddings, n_queries, m, ksub, dim)
     scored = (
         codes.join(F.broadcast(qlut), F.col("vec_id") != F.col("query_id"))
-        .withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("adc_dist", F.round(_adc_col(m), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
@@ -727,11 +747,13 @@ def _pq_cent_sql(j: int, c: int, dsub: int) -> str:
     )
 
 
-def _pq_codes_cte(m: int, ksub: int, dim: int) -> str:
+def _pq_codes_list_sql(m: int, ksub: int, dim: int, var: str = "v") -> str:
+    """``[code_0, …, code_{m-1}]`` — the PQ code list over a DOUBLE[] column
+    ``var`` (same argmin/tie-break as :func:`pq_codes`)."""
     dsub = dim // m
     code_exprs = []
     for j in range(m):
-        sub = f"v[{j * dsub + 1}:{(j + 1) * dsub}]"
+        sub = f"{var}[{j * dsub + 1}:{(j + 1) * dsub}]"
         scores = ", ".join(
             f"list_dot_product({_pq_cent_sql(j, c, dsub)}, {_pq_cent_sql(j, c, dsub)})"
             f" - 2.0 * list_dot_product({sub}, {_pq_cent_sql(j, c, dsub)})"
@@ -740,10 +762,33 @@ def _pq_codes_cte(m: int, ksub: int, dim: int) -> str:
         code_exprs.append(
             f"list_position([{scores}], list_min([{scores}]))::INT"
         )
-    codes = ", ".join(code_exprs)
+    return "[" + ", ".join(code_exprs) + "]"
+
+
+def _pq_lut_list_sql(m: int, ksub: int, dim: int, var: str = "v") -> str:
+    """``[lut_0, …, lut_{m-1}]`` — the per-subspace ADC lookup tables over a
+    DOUBLE[] query column ``var`` (same algebra as :func:`pq_query_luts`)."""
+    dsub = dim // m
+    return ", ".join(
+        "["
+        + ", ".join(
+            f"list_dot_product({var}[{j * dsub + 1}:{(j + 1) * dsub}],"
+            f" {var}[{j * dsub + 1}:{(j + 1) * dsub}])"
+            f" - 2.0 * list_dot_product({var}[{j * dsub + 1}:{(j + 1) * dsub}],"
+            f" {_pq_cent_sql(j, c, dsub)})"
+            f" + list_dot_product({_pq_cent_sql(j, c, dsub)}, {_pq_cent_sql(j, c, dsub)})"
+            for c in range(ksub)
+        )
+        + "]"
+        for j in range(m)
+    )
+
+
+def _pq_codes_cte(m: int, ksub: int, dim: int) -> str:
+    codes = _pq_codes_list_sql(m, ksub, dim)
     return f"""
     base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    codes AS (SELECT vec_id, [{codes}] AS codes FROM base)
+    codes AS (SELECT vec_id, {codes} AS codes FROM base)
     """
 
 
@@ -768,20 +813,7 @@ def ann_pq_topk_sql(
 ) -> str:
     """DuckDB oracle for :func:`ann_pq_topk` — same centroids, same LUT
     algebra, same left-assoc ADC sum."""
-    dsub = dim // m
-    lut_arrays = ", ".join(
-        "["
-        + ", ".join(
-            f"list_dot_product(v[{j * dsub + 1}:{(j + 1) * dsub}],"
-            f" v[{j * dsub + 1}:{(j + 1) * dsub}])"
-            f" - 2.0 * list_dot_product(v[{j * dsub + 1}:{(j + 1) * dsub}],"
-            f" {_pq_cent_sql(j, c, dsub)})"
-            f" + list_dot_product({_pq_cent_sql(j, c, dsub)}, {_pq_cent_sql(j, c, dsub)})"
-            for c in range(ksub)
-        )
-        + "]"
-        for j in range(m)
-    )
+    lut_arrays = _pq_lut_list_sql(m, ksub, dim)
     adc = " + ".join(f"q.lut[{j + 1}][c.codes[{j + 1}]]" for j in range(m))
     return (
         "WITH " + _pq_codes_cte(m, ksub, dim)
@@ -803,3 +835,96 @@ def ann_pq_topk_sql(
     ORDER BY query_id, rank
     """
     )
+
+
+def ann_ivfpq_topk_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    shortlist: int = 50,
+) -> str:
+    """DuckDB oracle for :func:`vec_index.ann_ivfpq_topk_indexed` — the full
+    composed pipeline (IVF probe → ADC over PQ codes → shortlist → exact
+    re-rank), value-for-value: same md5 coarse centroids and probe rule as
+    :func:`ann_ivf_topk_sql`, same PQ codes/LUT algebra as
+    :func:`ann_pq_topk_sql`, deterministic shortlist cut
+    (adc asc, vec_id asc)."""
+
+    def cent(c: int) -> str:
+        return (
+            f"list_transform(range(0, {dim}), d -> "
+            f"CAST(('0x' || substr(md5('c{c}:' || d), 1, 8)) AS UBIGINT)::BIGINT"
+            f" / 2147483648.0 - 1.0)"
+        )
+
+    sims = ", ".join(
+        f"list_dot_product(v, {cent(c)})"
+        f" / (nrm * sqrt(list_dot_product({cent(c)}, {cent(c)})))"
+        for c in range(n_cells)
+    )
+    codes_list = _pq_codes_list_sql(m, ksub, dim)
+    lut_arrays = _pq_lut_list_sql(m, ksub, dim)
+    adc = " + ".join(f"q.lut[{j + 1}][cand.codes[{j + 1}]]" for j in range(m))
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    simmed AS (SELECT vec_id, v, nrm, [{sims}] AS sims FROM base),
+    cells AS (
+        SELECT vec_id, list_position(sims, list_max(sims)) AS cell FROM simmed
+    ),
+    qexp AS (
+        SELECT s.vec_id AS query_id, t.c + 1 AS cell, s.sims[t.c + 1] AS sim
+        FROM simmed s, range(0, {n_cells}) AS t(c)
+        WHERE s.vec_id < {n_queries}
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, cell ASC) AS prank
+            FROM qexp
+        ) WHERE prank <= {n_probe}
+    ),
+    codes AS (SELECT vec_id, {codes_list} AS codes FROM base),
+    q AS (SELECT vec_id AS query_id, [{lut_arrays}] AS lut
+          FROM base WHERE vec_id < {n_queries}),
+    cand AS (
+        SELECT p.query_id, cl.vec_id, c.codes
+        FROM cells cl JOIN probes p ON cl.cell = p.cell
+                      JOIN codes c ON c.vec_id = cl.vec_id
+        WHERE cl.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id, ROUND({adc}, 6) AS adc_dist
+        FROM cand JOIN q ON q.query_id = cand.query_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, vec_id ASC) AS srank
+            FROM adc
+        ) WHERE srank <= {shortlist}
+    ),
+    scored AS (
+        SELECT s.query_id, s.vec_id AS neighbor_id,
+               ROUND(list_dot_product(b.v, qq.v) / (b.nrm * qq.nrm), 6) AS cosine
+        FROM short s JOIN base b ON b.vec_id = s.vec_id
+                     JOIN base qq ON qq.vec_id = s.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

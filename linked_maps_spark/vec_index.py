@@ -32,20 +32,25 @@ cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .lakehouse import LakeTable
 from .similarity import (
+    PQ_KSUB,
+    PQ_M,
+    _adc_col,
     _exact_rerank,
     ivf_cells,
     ivf_probes,
     lsh_band_array,
     lsh_bands,
     md5_centroid,
+    pq_codes,
+    pq_query_luts,
     with_norm,
 )
 
-VEC_INDEX_SCHEMA = "vec_id long, cell int, bands array<string>"
+VEC_INDEX_SCHEMA = "vec_id long, cell int, bands array<string>, codes array<int>"
 
 
 def train_centroids(
@@ -101,6 +106,8 @@ def build_vec_index(
     train_iters: int = 5,
     n_buckets: int = 16,
     overwrite: bool = False,
+    pq_m: int = PQ_M,
+    pq_ksub: int = PQ_KSUB,
 ) -> LakeTable:
     """Compute per-vector index state once and MERGE it into a LakeTable.
 
@@ -123,6 +130,10 @@ def build_vec_index(
             k: t.latest_summary_value(k)
             for k in ("n_cells", "n_planes", "n_bands", "dim")
         }
+        # pre-PQ index tables: fall back to the defaults (merge_upsert's
+        # schema evolution NULL-fills the codes column for old rows)
+        params["pq_m"] = t.latest_summary_value("pq_m") or pq_m
+        params["pq_ksub"] = t.latest_summary_value("pq_ksub") or pq_ksub
     else:
         t = LakeTable.create(
             spark, path, VEC_INDEX_SCHEMA, key_cols=["vec_id"],
@@ -134,11 +145,15 @@ def build_vec_index(
             if trained else None
         )
         params = {"n_cells": n_cells, "n_planes": n_planes,
-                  "n_bands": n_bands, "dim": dim}
+                  "n_bands": n_bands, "dim": dim,
+                  "pq_m": pq_m, "pq_ksub": pq_ksub}
     src = ivf_cells(
         embeddings, params["n_cells"], params["dim"], centroids=cents
     ).join(
         lsh_band_array(embeddings, params["n_planes"], params["n_bands"], params["dim"]),
+        "vec_id",
+    ).join(
+        pq_codes(embeddings, params["pq_m"], params["pq_ksub"], params["dim"]),
         "vec_id",
     )
     t.merge_upsert(
@@ -155,6 +170,8 @@ def _index_params(index: LakeTable) -> dict:
         "n_bands": index.latest_summary_value("n_bands"),
         "dim": index.latest_summary_value("dim"),
         "centroids": index.latest_summary_value("centroids"),
+        "pq_m": index.latest_summary_value("pq_m"),
+        "pq_ksub": index.latest_summary_value("pq_ksub"),
     }
 
 
@@ -216,6 +233,57 @@ def ann_lsh_topk_indexed(
     return _exact_rerank(cand, embeddings, n_queries, k)
 
 
+def ann_ivfpq_topk_indexed(
+    embeddings: DataFrame,
+    index: LakeTable,
+    n_queries: int = 5,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF+PQ top-k FROM the persisted index — the production ANN shape.
+
+    Plan: the query side computes its probe cells and ADC lookup tables over
+    ONLY the ``n_queries`` rows (both broadcast); the corpus side is a
+    parquet scan of the index table's ``(vec_id, cell, codes)`` — probed
+    cells select candidates by ``cell`` equi-join, the PQ asymmetric
+    distance ranks them from codes alone (4 B/vector — the uncompressed
+    corpus never enters this join), and only the per-query ``shortlist``
+    survivors are re-ranked by exact cosine against the embeddings table.
+    At 100 TB: probe fraction ≈ n_probe/n_cells of the code scan, exact
+    reads ≈ n_queries × shortlist vectors.
+
+    Deterministic end-to-end (adc asc, vec_id asc shortlist cut; cosine
+    desc, vec_id asc final rank), so the whole composition is value-oracled
+    by :func:`similarity.ann_ivfpq_topk_sql`."""
+    p = _index_params(index)
+    probes = ivf_probes(
+        embeddings, n_queries, p["n_cells"], n_probe, p["dim"],
+        centroids=p["centroids"],
+    )
+    qlut = pq_query_luts(
+        embeddings, n_queries, p["pq_m"], p["pq_ksub"], p["dim"]
+    )
+    cand = (
+        index.read().select("vec_id", "cell", "codes")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(qlut), "query_id")
+        .withColumn("adc_dist", F.round(_adc_col(p["pq_m"]), 6))
+    )
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    short = (
+        adc.withColumn("srank", F.row_number().over(wsl))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank(short, embeddings, n_queries, k)
+
+
 _DRIVER_IDX: dict[str, LakeTable] = {}
 
 
@@ -234,6 +302,14 @@ def driver_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     same persisted index (oracle: ``similarity.ann_lsh_topk_sql``)."""
     emb, idx = _driver_index(spark, sf_dir)
     return ann_lsh_topk_indexed(emb, idx, n_queries=5, k=5)
+
+
+def driver_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: IVF+PQ ADC top-k answered from the shared
+    persisted index (oracle: ``similarity.ann_ivfpq_topk_sql`` — the full
+    probe → ADC shortlist → exact re-rank composition, value-for-value)."""
+    emb, idx = _driver_index(spark, sf_dir)
+    return ann_ivfpq_topk_indexed(emb, idx, n_queries=5, k=5, shortlist=50)
 
 
 def _driver_index(spark: SparkSession, sf_dir: str):

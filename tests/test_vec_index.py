@@ -55,6 +55,65 @@ def test_indexed_lsh_equals_recompute(spark, emb, tmp_path_factory):
     assert got == want
 
 
+def test_ivfpq_indexed_matches_duckdb_and_skips_corpus_math(
+    spark, emb, tmp_path_factory, monkeypatch
+):
+    """The composed IVF+PQ path: probe cells and ADC codes both come FROM
+    the index table (no corpus-side cell/code recompute in the query), and
+    the full pipeline — probe → ADC shortlist → exact re-rank — is
+    value-identical to the independent DuckDB composition."""
+    import duckdb
+
+    from linked_maps_spark import vec_index as vi
+
+    t = vi.build_vec_index(
+        spark, emb, str(tmp_path_factory.mktemp("vpq") / "idx"), n_buckets=4
+    )
+    # corpus-side index math must NOT run during the query
+    for fn in ("ivf_cells", "pq_codes"):
+        monkeypatch.setattr(
+            vi, fn,
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError(f"{fn} recomputed at query time")
+            ),
+        )
+    got = [
+        tuple(r)
+        for r in vi.ann_ivfpq_topk_indexed(
+            emb, t, n_queries=5, k=5, shortlist=50
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    want = [
+        (int(q), int(n), float(c), int(rk))
+        for q, n, c, rk in con.execute(
+            similarity.ann_ivfpq_topk_sql(n_queries=5, k=5, shortlist=50)
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(got) == 25
+    # structural containment: every IVF+PQ neighbor came from a probed cell,
+    # i.e. is in the IVF-flat candidate set (k=500 ⇒ all candidates ranked)
+    ivf_cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(emb, 5, 500).collect()
+    }
+    assert {(q, n) for q, n, _, _ in got} <= ivf_cand
+    # the ADC shortlist is approximate on near-uniform random vectors but
+    # still agrees with IVF-flat exact top-1 on most queries
+    ivf_top1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(emb, 5, 5).collect()
+        if r["rank"] == 1
+    }
+    pq_top1 = {(q, n) for q, n, _, rk in got if rk == 1}
+    assert len(pq_top1 & ivf_top1) >= 3
+
+
 def test_index_incremental_merge_equals_full_build(spark, emb, tmp_path_factory):
     """The 100 TB maintenance path: first build over the initial corpus,
     then MERGE only the delta — index content identical to a full rebuild."""
