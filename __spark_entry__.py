@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # snap-rounding front-end value oracle: quantize + DDA rasterization +
     # WKT round-trip vs DuckDB re-deriving every edge id (tie-free fixture)
     q["cdc_snap_micro"] = entry_cdc.cdc_snap_micro
+    # lakehouse change-data-feed (LakeTable.changes + delete_where): pure
+    # relational state over events, so the whole CDF is value-oracled
+    q["cdc_table_changes"] = entry_cdc.cdc_table_changes
     return q
 
 
@@ -231,4 +234,5 @@ def oracle_sql() -> dict[str, str]:
     # SQL-expressible), but the micro fold IS: full value oracle
     o["cdc_fold_micro"] = entry_cdc.cdc_fold_micro_sql()
     o["cdc_snap_micro"] = entry_cdc.cdc_snap_micro_sql()
+    o["cdc_table_changes"] = entry_cdc.cdc_table_changes_sql()
     return o

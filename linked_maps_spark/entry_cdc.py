@@ -400,3 +400,86 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     eng = warehouse_engine(spark, sf_dir)
     y1, y2 = _years(spark, sf_dir)
     return classify_changes(eng.current_segments(), eng.relations.read(), y1, y2)
+
+
+# ------------------------------------------------------- cdc_table_changes
+#
+# The lakehouse change-data-feed surface (LakeTable.changes +
+# delete_where) with a FULL DuckDB value oracle.  The scenario is pure
+# relational state over the driver's events table, so every CDF row —
+# insert / delete / update pre+post images — is re-derivable in SQL:
+#   v1 = MERGE of the latest even-event per user (users user_id%3≠2 only)
+#   v2 = MERGE of the latest odd-event per user (all users)
+#   v3 = DELETE WHERE user_id%4=1 OR event_type='error'
+#   result = changes(v1, v3)
+# Reference analog: the north rule's "CDC upsert into Iceberg" read side —
+# Iceberg changelog scan / Delta table_changes.
+
+_CDF_TABLES: dict[str, str] = {}
+
+_CDF_COLS = ["user_id", "event_id", "event_type", "value"]
+_CDF_DELETE = "user_id % 4 = 1 OR event_type = 'error'"
+
+
+def cdc_table_changes(spark, sf_dir) -> DataFrame:
+    """CDF between the first MERGE and the post-DELETE snapshot."""
+    from .lakehouse import LakeTable
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key not in _CDF_TABLES:
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        path = os.path.join(
+            tempfile.gettempdir(), f"lms_warehouse_cdf_{key}_{SEED}"
+        )
+        t = LakeTable.create(
+            spark, path,
+            "user_id long, event_id long, event_type string, value double",
+            key_cols=["user_id"], n_buckets=4, overwrite=True,
+        )
+        b1 = events.filter("event_id % 2 = 0 AND user_id % 3 <> 2").select(*_CDF_COLS)
+        t.merge_upsert(b1, order_col="event_id")          # v1
+        b2 = events.filter("event_id % 2 = 1").select(*_CDF_COLS)
+        t.merge_upsert(b2, order_col="event_id")          # v2
+        t.delete_where(_CDF_DELETE)                        # v3
+        _CDF_TABLES[key] = path
+    t = LakeTable.load(spark, _CDF_TABLES[key])
+    return t.changes(1, 3).orderBy("user_id", "_change_type")
+
+
+def cdc_table_changes_sql() -> str:
+    """Independent DuckDB derivation of :func:`cdc_table_changes`: recompute
+    the three snapshots' states from the events table, then the four-way
+    diff."""
+    cols = ", ".join(_CDF_COLS)
+
+    def latest(pred: str) -> str:
+        return f"""(
+        SELECT {cols} FROM (
+            SELECT {cols}, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events WHERE {pred}
+        ) WHERE rn = 1)"""
+
+    row = lambda a: "(" + ", ".join(f"{a}.{c}" for c in _CDF_COLS[1:]) + ")"
+    return f"""
+    WITH s1 AS {latest("event_id % 2 = 0 AND user_id % 3 <> 2")},
+    s2u AS {latest("event_id % 2 = 1")},
+    s2 AS (
+        SELECT * FROM s2u
+        UNION ALL
+        SELECT * FROM s1 WHERE user_id NOT IN (SELECT user_id FROM s2u)
+    ),
+    s3 AS (SELECT * FROM s2 WHERE NOT ({_CDF_DELETE}))
+    SELECT s3.*, 'insert' AS _change_type FROM s3
+        WHERE user_id NOT IN (SELECT user_id FROM s1)
+    UNION ALL
+    SELECT s1.*, 'delete' FROM s1
+        WHERE user_id NOT IN (SELECT user_id FROM s3)
+    UNION ALL
+    SELECT s1.*, 'update_preimage' FROM s1 JOIN s3 USING (user_id)
+        WHERE {row("s1")} IS DISTINCT FROM {row("s3")}
+    UNION ALL
+    SELECT s3.*, 'update_postimage' FROM s1 JOIN s3 USING (user_id)
+        WHERE {row("s1")} IS DISTINCT FROM {row("s3")}
+    ORDER BY user_id, _change_type
+    """

@@ -427,6 +427,191 @@ class LakeTable:
 
         return commit
 
+    def delete_where(
+        self, condition, summary: dict[str, Any] | None = None
+    ) -> int:
+        """DELETE FROM … WHERE condition (Iceberg/Delta row-level delete,
+        copy-on-write at bucket granularity).
+
+        Rows where ``condition`` evaluates TRUE are removed; FALSE and NULL
+        rows are kept (ANSI DELETE semantics).  Only buckets that contain a
+        matching row are rewritten — the predicate is pushed into the
+        parquet scan for the bucket-discovery pass, so at 100 TB a
+        selective delete touches ``matched_buckets/n_buckets`` of the table,
+        not all of it.  Untouched buckets' files carry over in the new
+        manifest unchanged, which is also what keeps :meth:`changes`'
+        manifest-diff pruning exact across deletes.
+
+        ``condition`` is a Column or a SQL predicate string.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self.snapshot()
+        version = self.version() + 1
+        matches = self.read().filter(cond)
+        touched = self.buckets_for(matches)
+        if not touched:  # no-op delete still commits (audit + version fence)
+            self._commit_snapshot(
+                version, self.schema(), snap["files"], "delete", summary
+            )
+            return version
+        kept = self.read(buckets=touched).filter(
+            ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        )
+        new_files = self._write_data(self._align_to(kept, self.schema()), version)
+        touched_set = set(touched)
+        files = [
+            f for f in snap["files"] if f["bucket"] not in touched_set
+        ] + new_files
+        self._commit_snapshot(version, self.schema(), files, "delete", summary)
+        return version
+
+    # ------------------------------------------------------ change data feed
+
+    def _changed_buckets(self, old: dict, new: dict) -> list[int] | None:
+        """Buckets whose data-file sets differ between two snapshots, or
+        None when bucket identity is incomparable (layout changed).
+
+        Sound because every write path is copy-on-write at bucket
+        granularity: a bucket whose manifest entries are identical carries
+        the exact same immutable files, hence identical rows."""
+        if (
+            old["n_buckets"] != new["n_buckets"]
+            or old.get("bucket_cols", old["key_cols"])
+            != new.get("bucket_cols", new["key_cols"])
+        ):
+            return None
+        by_old: dict[int, set[str]] = {}
+        by_new: dict[int, set[str]] = {}
+        for f in old["files"]:
+            by_old.setdefault(f["bucket"], set()).add(f["path"])
+        for f in new["files"]:
+            by_new.setdefault(f["bucket"], set()).add(f["path"])
+        return [
+            b
+            for b in sorted(set(by_old) | set(by_new))
+            if by_old.get(b, set()) != by_new.get(b, set())
+        ]
+
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two snapshots (Delta CDF /
+        ``table_changes`` analog): one row per changed key with
+        ``_change_type`` ∈ insert / delete / update_preimage /
+        update_postimage, in the ``to`` snapshot's schema.
+
+        Plan shape: ONE null-safe full-outer join on ``key_cols`` over only
+        the buckets whose manifest file sets differ between the snapshots
+        (:meth:`_changed_buckets` — a pure metadata diff, no Spark job).
+        At 100 TB an epoch that touched k of n buckets diffs ``k/n`` of the
+        table; the join shuffles on the same key hash the layout buckets
+        by.  A rebucket between the versions voids bucket identity — the
+        diff falls back to a full read and stays correct.
+
+        Requires ``key_cols`` (row identity).  Unchanged rows produce no
+        output; updates emit pre- and post-image rows like Delta CDF."""
+        to_version = self.version() if to_version is None else to_version
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        old_snap, new_snap = self.snapshot(from_version), self.snapshot(to_version)
+        keys = new_snap["key_cols"]
+        if not keys:
+            raise ValueError(
+                "changes() requires key_cols; use read_appended for "
+                "append-only log tables"
+            )
+        schema = StructType.fromJson(new_snap["schema"])
+        buckets = self._changed_buckets(old_snap, new_snap)
+        old = self._align_to(self.read(from_version, buckets=buckets), schema)
+        new = self.read(to_version, buckets=buckets)
+        nonkey = [f.name for f in schema.fields if f.name not in keys]
+        img = (lambda df: F.struct(*[df[c] for c in nonkey])) if nonkey else (
+            lambda df: F.struct(F.lit(0).alias("_dummy"))
+        )
+        o = old.select(*keys, img(old).alias("_o"), F.lit(True).alias("_po"))
+        n = new.select(*keys, img(new).alias("_n"), F.lit(True).alias("_pn"))
+        j = o.join(n, on=keys, how="full_outer")
+
+        def ev(kind: str, image):
+            return F.struct(F.lit(kind).alias("t"), image.alias("img"))
+
+        # unchanged rows fall through to the implicit NULL, which explode
+        # drops — no per-row filter needed
+        events = (
+            F.when(F.col("_po").isNull(), F.array(ev("insert", F.col("_n"))))
+            .when(F.col("_pn").isNull(), F.array(ev("delete", F.col("_o"))))
+            .when(
+                ~F.col("_o").eqNullSafe(F.col("_n")),
+                F.array(
+                    ev("update_preimage", F.col("_o")),
+                    ev("update_postimage", F.col("_n")),
+                ),
+            )
+        )
+        out = j.select(*keys, F.explode(events).alias("_e"))
+        return out.select(
+            *keys,
+            *[F.col(f"_e.img.{c}").alias(c) for c in nonkey],
+            F.col("_e.t").alias("_change_type"),
+        )
+
+    def read_appended(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows added between two snapshots of an append-only table, read
+        from ONLY the data files the later manifests introduce (a pure
+        metadata diff — the incremental-consumption primitive for the
+        commit-log/metrics tables, and what a streaming sink tails).
+
+        Raises if any intermediate snapshot's operation rewrites rows
+        (merge/delete/overwrite/rebucket) — appended files are only "the
+        delta" under append-only history; keyed tables use :meth:`changes`."""
+        to_version = self.version() if to_version is None else to_version
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        for v in range(from_version + 1, to_version + 1):
+            op = self.snapshot(v)["operation"]
+            if op not in ("append", "create", "delete"):
+                raise ValueError(
+                    f"read_appended over non-append history (v{v}: {op})"
+                )
+            if op == "delete":
+                # a no-op delete keeps files; a real one breaks the contract
+                if {f["path"] for f in self.snapshot(v)["files"]} != {
+                    f["path"] for f in self.snapshot(v - 1)["files"]
+                }:
+                    raise ValueError(
+                        f"read_appended over non-append history (v{v}: delete)"
+                    )
+        new_snap = self.snapshot(to_version)
+        old_paths = {f["path"] for f in self.snapshot(from_version)["files"]}
+        schema = StructType.fromJson(new_snap["schema"])
+        fresh = [f for f in new_snap["files"] if f["path"] not in old_paths]
+        if not fresh:
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, f["path"]) for f in fresh]
+        )
+
+    def stream_read(self) -> DataFrame:
+        """Structured-Streaming source over an append-only lake table.
+
+        Spark's file-stream source tails ``data/*/_bucket=*/*.parquet``;
+        append-only history never rewrites or relocates a data file, so
+        each file is picked up exactly once → exactly-once rows with a
+        checkpointed ``writeStream``.  (Keyed/COW tables rewrite whole
+        buckets on merge, which a file source would double-count — use
+        :meth:`changes` batch-incrementally for those.)"""
+        return (
+            self.spark.readStream.schema(self.schema())
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(self.path, "data", "*", "_bucket=*"))
+        )
+
     # ---------------------------------------------------------- maintenance
 
     def rebucket(self, n_buckets: int, summary: dict[str, Any] | None = None) -> int:

@@ -248,3 +248,170 @@ def test_maybe_rebucket_policy(spark, tmp_path):
         eng.current_segments().select("repo", "path").distinct().limit(1)
     )
     assert leaves.count() > 0 and buckets
+
+
+# ------------------------------------------------------- change data feed
+
+
+def _cdf_rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_delete_where_semantics_and_cow(spark, tbl):
+    tbl.append(_df(spark, [("a", 1), ("b", 2), ("c", 3), ("d", 4)]))
+    before = {f["path"] for f in tbl.snapshot()["files"]}
+    v = tbl.delete_where("v >= 3")
+    assert tbl.snapshot(v)["operation"] == "delete"
+    got = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert got == {"a": 1, "b": 2}
+    # COW: buckets without a match carry their old files over unchanged
+    untouched = {f["path"] for f in tbl.snapshot()["files"]} & before
+    kept_buckets = {
+        tbl.buckets_for(_df(spark, [("a", 1)]))[0],
+        tbl.buckets_for(_df(spark, [("b", 2)]))[0],
+    }
+    deleted_buckets = {
+        tbl.buckets_for(_df(spark, [("c", 3)]))[0],
+        tbl.buckets_for(_df(spark, [("d", 4)]))[0],
+    }
+    if kept_buckets - deleted_buckets:  # a purely-kept bucket exists
+        assert untouched
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "n"), "k string, v long", key_cols=["k"], n_buckets=2
+    )
+    t.append(
+        spark.createDataFrame([("a", 1), ("b", None)], "k string, v long")
+    )
+    t.delete_where("v > 0")  # NULL -> not deleted (ANSI DELETE)
+    assert {r["k"] for r in t.read().collect()} == {"b"}
+
+
+def test_delete_where_noop_commits_version(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    v0 = tbl.version()
+    v = tbl.delete_where("v > 99")
+    assert v == v0 + 1
+    assert tbl.read().count() == 1
+
+
+def test_changes_insert_update_delete(spark, tbl):
+    tbl.merge_upsert(_df(spark, [("a", 1), ("b", 2), ("c", 3)]))  # v1
+    tbl.merge_upsert(_df(spark, [("b", 20), ("d", 4)]))           # v2
+    tbl.delete_where("k = 'c'")                                    # v3
+    got = _cdf_rows(tbl.changes(1, 3))
+    assert got == [
+        ("b", 2, "update_preimage"),
+        ("b", 20, "update_postimage"),
+        ("c", 3, "delete"),
+        ("d", 4, "insert"),
+    ]
+    # sub-ranges compose
+    assert _cdf_rows(tbl.changes(2, 3)) == [("c", 3, "delete")]
+    assert ("d", 4, "insert") in _cdf_rows(tbl.changes(1, 2))
+    # identical versions diff to nothing; whole-range from v0 = all inserts
+    assert tbl.changes(3, 3).count() == 0
+    assert {t for *_, t in _cdf_rows(tbl.changes(0, 3))} == {"insert"}
+
+
+def test_changes_prunes_unchanged_buckets(spark, tmp_path, monkeypatch):
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), "k string, v long", key_cols=["k"], n_buckets=8
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(f"k{i}", i) for i in range(64)], "k string, v long")
+    )
+    delta = spark.createDataFrame([("k0", 99)], "k string, v long")
+    t.merge_upsert(delta)  # touches only k0's bucket
+    touched = set(t.buckets_for(delta))
+    seen: list = []
+    orig = LakeTable.read
+
+    def spy(self, version=None, buckets=None):
+        seen.append(buckets)
+        return orig(self, version, buckets)
+
+    monkeypatch.setattr(LakeTable, "read", spy)
+    got = _cdf_rows(t.changes(1, 2))
+    assert got == [("k0", 0, "update_preimage"), ("k0", 99, "update_postimage")]
+    # every read during the diff was pruned to exactly the touched buckets
+    assert seen and all(b is not None and set(b) == touched for b in seen)
+
+
+def test_changes_across_rebucket_falls_back_and_stays_correct(spark, tbl):
+    tbl.merge_upsert(_df(spark, [("a", 1), ("b", 2)]))  # v1
+    tbl.rebucket(8)                                      # v2: layout-only
+    tbl.merge_upsert(_df(spark, [("a", 10)]))            # v3
+    assert tbl._changed_buckets(tbl.snapshot(1), tbl.snapshot(3)) is None
+    assert _cdf_rows(tbl.changes(1, 3)) == [
+        ("a", 1, "update_preimage"),
+        ("a", 10, "update_postimage"),
+    ]
+    # layout-only rebucket alone diffs to nothing
+    assert tbl.changes(1, 2).count() == 0
+
+
+def test_changes_schema_evolution_old_side_null_filled(spark, tbl):
+    tbl.merge_upsert(_df(spark, [("a", 1)]))  # v1
+    tbl.merge_upsert(
+        spark.createDataFrame([("a", 1, "x")], "k string, v long, tag string")
+    )  # v2 adds tag; a's (v, tag) goes (1, NULL) -> (1, 'x')
+    got = set(_cdf_rows(tbl.changes(1, 2)))
+    assert got == {("a", 1, None, "update_preimage"), ("a", 1, "x", "update_postimage")}
+
+
+def test_changes_requires_keys_and_ordered_versions(spark, tmp_path, tbl):
+    log = LakeTable.create(spark, str(tmp_path / "log"), "m string", key_cols=[])
+    with pytest.raises(ValueError, match="key_cols"):
+        log.changes(0)
+    with pytest.raises(ValueError, match="from_version"):
+        tbl.changes(1, 0)
+
+
+def test_read_appended_incremental(spark, tmp_path):
+    log = LakeTable.create(
+        spark, str(tmp_path / "l"), "m string, i long", key_cols=[]
+    )
+    log.append(spark.createDataFrame([("a", 1)], "m string, i long"))
+    log.append(spark.createDataFrame([("b", 2), ("c", 3)], "m string, i long"))
+    assert {r["m"] for r in log.read_appended(1).collect()} == {"b", "c"}
+    assert {r["m"] for r in log.read_appended(0, 2).collect()} == {"a", "b", "c"}
+    assert log.read_appended(2, 2).count() == 0
+
+
+def test_read_appended_rejects_rewrites(spark, tbl):
+    tbl.merge_upsert(_df(spark, [("a", 1)]))
+    with pytest.raises(ValueError, match="non-append"):
+        tbl.read_appended(0)
+
+
+def test_stream_read_tails_appends_exactly_once(spark, tmp_path):
+    """stream_read: each appended file is consumed exactly once across two
+    checkpointed availableNow drains (the 'consume the lakehouse as a
+    stream' surface for the append-only log tables)."""
+    log = LakeTable.create(
+        spark, str(tmp_path / "sl"), "m string, i long", key_cols=[]
+    )
+    log.append(spark.createDataFrame([("a", 1), ("b", 2)], "m string, i long"))
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    def drain():
+        q = (
+            log.stream_read()
+            .writeStream.foreachBatch(
+                lambda df, _eid: out.extend(tuple(r) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(out) == [("a", 1), ("b", 2)]
+    log.append(spark.createDataFrame([("c", 3)], "m string, i long"))
+    drain()  # same checkpoint: only the new file lands
+    assert sorted(out) == [("a", 1), ("b", 2), ("c", 3)]
