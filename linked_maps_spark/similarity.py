@@ -587,27 +587,38 @@ def _pq_cent_vals(j: int, c: int, dsub: int) -> list[float]:
     return vals
 
 
-def _pq_cent(j: int, c: int, dsub: int):
-    return F.array(*[F.lit(v) for v in _pq_cent_vals(j, c, dsub)])
+def _pq_book_vals(
+    j: int, c: int, dsub: int, codebooks: list | None = None
+) -> list[float]:
+    """Centroid c of subspace j: trained values when ``codebooks`` is given
+    (vec_index.train_pq_codebooks), md5-derived otherwise."""
+    if codebooks is not None:
+        return [float(x) for x in codebooks[j][c]]
+    return _pq_cent_vals(j, c, dsub)
 
 
-def _pq_cnorm(j: int, c: int, dsub: int) -> float:
+def _pq_cnorm(j: int, c: int, dsub: int, codebooks: list | None = None) -> float:
     """‖c‖² via the same sequential left fold both engines use for dots."""
     acc = 0.0
-    for v in _pq_cent_vals(j, c, dsub):
+    for v in _pq_book_vals(j, c, dsub, codebooks):
         acc = acc + v * v
     return acc
 
 
-def _pq_cents_j(j: int, dsub: int, ksub: int):
+def _pq_cents_j(j: int, dsub: int, ksub: int, codebooks: list | None = None):
     """All ksub centroids of subspace j as one nested literal array —
     letting score computation be a single ``zip_with`` per subspace instead
     of ksub unrolled folds (16× fewer Catalyst nodes, same arithmetic)."""
-    return F.array(*[_pq_cent(j, c, dsub) for c in range(ksub)])
+    return F.array(
+        *[
+            F.array(*[F.lit(v) for v in _pq_book_vals(j, c, dsub, codebooks)])
+            for c in range(ksub)
+        ]
+    )
 
 
-def _pq_cnorms_j(j: int, dsub: int, ksub: int):
-    return F.array(*[F.lit(_pq_cnorm(j, c, dsub)) for c in range(ksub)])
+def _pq_cnorms_j(j: int, dsub: int, ksub: int, codebooks: list | None = None):
+    return F.array(*[F.lit(_pq_cnorm(j, c, dsub, codebooks)) for c in range(ksub)])
 
 
 def pq_codes(
@@ -615,6 +626,7 @@ def pq_codes(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     dim: int = 64,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """(vec_id, codes array<int>) — product-quantization codes: each vector
     splits into ``m`` subvectors and each subvector stores only the id
@@ -629,15 +641,19 @@ def pq_codes(
     ``‖c‖² − 2⟨x_j, c⟩`` (the ``‖x_j‖²`` term is constant per subspace so
     the argmin is unchanged) — both dot products run as sequential left
     folds, bit-compatible with DuckDB's ``list_dot_product``; ties break to
-    the smallest centroid id (first match, both engines)."""
+    the smallest centroid id (first match, both engines).
+
+    ``codebooks`` (``[m][ksub][dsub]`` floats, from
+    ``vec_index.train_pq_codebooks``) replaces the md5 codebooks; the
+    oracle covers the default."""
     dsub = dim // m
     base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("_v"))
     code_cols = []
     for j in range(m):
         sub = F.slice("_v", j * dsub + 1, dsub)
         scores = F.zip_with(
-            _pq_cnorms_j(j, dsub, ksub),
-            _pq_cents_j(j, dsub, ksub),
+            _pq_cnorms_j(j, dsub, ksub, codebooks),
+            _pq_cents_j(j, dsub, ksub, codebooks),
             lambda n, cent: n - F.lit(2.0) * _dot(sub, cent),
         )
         code_cols.append(
@@ -667,6 +683,7 @@ def pq_query_luts(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     dim: int = 64,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """(query_id, _lut array<array<double>>) — each query's per-subspace ADC
     lookup table, ``lut[j][c] = ‖q_j − c‖²``, computed over ONLY the query
@@ -681,13 +698,39 @@ def pq_query_luts(
     def _lut_j(j: int):
         qs = F.slice("_qv", j * dsub + 1, dsub)
         return F.zip_with(
-            _pq_cnorms_j(j, dsub, ksub),
-            _pq_cents_j(j, dsub, ksub),
+            _pq_cnorms_j(j, dsub, ksub, codebooks),
+            _pq_cents_j(j, dsub, ksub, codebooks),
             lambda n, cent: _dot(qs, qs) - F.lit(2.0) * _dot(qs, cent) + n,
         )
 
     luts = F.array(*[_lut_j(j) for j in range(m)])
     return q.select("query_id", luts.alias("_lut"))
+
+
+def pq_mse(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    codebooks: list | None = None,
+) -> float:
+    """Mean squared quantization error ``E‖x − decode(code(x))‖²`` — the
+    k-means objective the trained codebooks minimize.  Per subspace the
+    assigned centroid's score is ``‖c‖² − 2⟨x_j,c⟩``, so the error
+    contribution is ``min(scores_j) + ‖x_j‖²`` (no decode needed)."""
+    dsub = dim // m
+    base = embeddings.select(_as_double(F.col("embedding")).alias("_v"))
+    err = None
+    for j in range(m):
+        sub = F.slice("_v", j * dsub + 1, dsub)
+        scores = F.zip_with(
+            _pq_cnorms_j(j, dsub, ksub, codebooks),
+            _pq_cents_j(j, dsub, ksub, codebooks),
+            lambda n, cent: n - F.lit(2.0) * _dot(sub, cent),
+        )
+        term = F.array_min(scores) + _dot(sub, sub)
+        err = term if err is None else err + term
+    return base.select(F.avg(err).alias("mse")).collect()[0]["mse"]
 
 
 def _adc_col(m: int):

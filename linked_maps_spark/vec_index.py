@@ -94,6 +94,71 @@ def train_centroids(
     return cents
 
 
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    iters: int = 5,
+    decimals: int = 6,
+) -> list[list[list[float]]]:
+    """Seeded deterministic per-subspace k-means for the PQ quantizer
+    (``[m][ksub][dsub]`` floats) — the same recipe as
+    :func:`train_centroids`: md5-codebook init (no RNG), Lloyd rounds
+    whose assignment step is the exact :func:`similarity.pq_codes` rule
+    with the current books, per-(subspace, code) means rounded to
+    ``decimals`` so float partition-order jitter cannot break run-to-run
+    determinism, empty codes keep their previous centroid.
+
+    One Spark job per round: codes for all m subspaces at once, then one
+    posexplode + groupBy over the subvector components (``m·ksub·dsub``
+    doubles to the driver — tiny)."""
+    from .similarity import _as_double, _pq_book_vals, pq_codes
+
+    dsub = dim // m
+    books = [
+        [_pq_book_vals(j, c, dsub) for c in range(ksub)] for j in range(m)
+    ]
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("_v")
+    )
+    for _ in range(iters):
+        codes = pq_codes(embeddings, m, ksub, dim, codebooks=books)
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.element_at("codes", j + 1).alias("c"),
+                    F.slice("_v", j * dsub + 1, dsub).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        comp = (
+            base.join(codes, "vec_id")
+            .select(F.explode(subs).alias("s"))
+            .select("s.j", "s.c", F.posexplode("s.sub").alias("d", "x"))
+            .groupBy("j", "c", "d")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        means: dict[tuple[int, int], list[float]] = {}
+        for r in comp:
+            means.setdefault((int(r["j"]), int(r["c"]) - 1), [0.0] * dsub)[
+                int(r["d"])
+            ] = r["mean"]
+        books = [
+            [
+                [round(x, decimals) for x in means[(j, c)]]
+                if (j, c) in means
+                else books[j][c]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
 def build_vec_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -126,6 +191,7 @@ def build_vec_index(
         pass
     if exists:
         cents = t.latest_summary_value("centroids")
+        books = t.latest_summary_value("pq_codebooks")
         params = {
             k: t.latest_summary_value(k)
             for k in ("n_cells", "n_planes", "n_bands", "dim")
@@ -144,6 +210,10 @@ def build_vec_index(
                 embeddings, n_cells, dim, iters=train_iters)]
             if trained else None
         )
+        books = (
+            train_pq_codebooks(embeddings, pq_m, pq_ksub, dim, iters=train_iters)
+            if trained else None
+        )
         params = {"n_cells": n_cells, "n_planes": n_planes,
                   "n_bands": n_bands, "dim": dim,
                   "pq_m": pq_m, "pq_ksub": pq_ksub}
@@ -153,12 +223,16 @@ def build_vec_index(
         lsh_band_array(embeddings, params["n_planes"], params["n_bands"], params["dim"]),
         "vec_id",
     ).join(
-        pq_codes(embeddings, params["pq_m"], params["pq_ksub"], params["dim"]),
+        pq_codes(
+            embeddings, params["pq_m"], params["pq_ksub"], params["dim"],
+            codebooks=books,
+        ),
         "vec_id",
     )
     t.merge_upsert(
         src, assume_unique=True,
-        summary={**params, "centroids": cents, "op": "vec-index-build"},
+        summary={**params, "centroids": cents, "pq_codebooks": books,
+                 "op": "vec-index-build"},
     )
     return t
 
@@ -172,6 +246,7 @@ def _index_params(index: LakeTable) -> dict:
         "centroids": index.latest_summary_value("centroids"),
         "pq_m": index.latest_summary_value("pq_m"),
         "pq_ksub": index.latest_summary_value("pq_ksub"),
+        "pq_codebooks": index.latest_summary_value("pq_codebooks"),
     }
 
 
@@ -262,7 +337,8 @@ def ann_ivfpq_topk_indexed(
         centroids=p["centroids"],
     )
     qlut = pq_query_luts(
-        embeddings, n_queries, p["pq_m"], p["pq_ksub"], p["dim"]
+        embeddings, n_queries, p["pq_m"], p["pq_ksub"], p["dim"],
+        codebooks=p["pq_codebooks"],
     )
     cand = (
         index.read().select("vec_id", "cell", "codes")

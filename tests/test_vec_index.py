@@ -201,3 +201,47 @@ def test_trained_index_persists_centroids(spark, tmp_path_factory):
         ).collect()
     ]
     assert got == want
+
+
+def test_trained_pq_codebooks_cut_quantization_error(spark):
+    """Per-subspace Lloyd rounds from the md5 init can only lower the
+    k-means objective; on a clustered corpus (scale far outside the random
+    books' [-1,1] range) the drop is large.  Training is deterministic
+    across runs (rounded means, no RNG)."""
+    emb = _clustered(spark)
+    kw = dict(m=4, ksub=8, dim=16, iters=4)
+    books = vec_index.train_pq_codebooks(emb, **kw)
+    assert books == vec_index.train_pq_codebooks(emb, **kw)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    mse_trained = similarity.pq_mse(emb, m=4, ksub=8, dim=16, codebooks=books)
+    mse_fixed = similarity.pq_mse(emb, m=4, ksub=8, dim=16)
+    assert mse_trained < 0.5 * mse_fixed
+
+
+def test_trained_ivfpq_index_end_to_end(spark, tmp_path_factory):
+    """build_vec_index(trained=True) persists PQ codebooks alongside the
+    IVF centroids; with a shortlist covering every candidate, the composed
+    IVF+PQ query reduces exactly to IVF-flat under the same trained
+    centroids (the ADC stage only orders the shortlist cut)."""
+    emb = _clustered(spark)
+    t = vec_index.build_vec_index(
+        spark, emb, str(tmp_path_factory.mktemp("vtpq") / "idx"),
+        n_cells=8, dim=16, trained=True, train_iters=3, n_buckets=4,
+        pq_m=4, pq_ksub=8,
+    )
+    books = t.latest_summary_value("pq_codebooks")
+    assert books and len(books) == 4 and len(books[0]) == 8
+    got = [
+        tuple(r)
+        for r in vec_index.ann_ivfpq_topk_indexed(
+            emb, t, n_queries=5, k=5, n_probe=2, shortlist=10_000
+        ).collect()
+    ]
+    cents = t.latest_summary_value("centroids")
+    want = [
+        tuple(r)
+        for r in similarity.ann_ivf_topk(
+            emb, 5, 5, n_cells=8, n_probe=2, dim=16, centroids=cents
+        ).collect()
+    ]
+    assert got == want
