@@ -430,3 +430,45 @@ def test_polygon_mode_engine(spark, tmp_path):
             exp[r["gid"]] = r["content_sha256"]
     got = {r["gid"]: r["content_sha256"] for r in seg.collect()}
     assert got == exp
+
+
+def test_segments_change_feed_across_epochs(spark, tmp_path):
+    """LakeTable.changes over the REAL engine's segments table: the CDF
+    between the pre- and post-epoch snapshots is exactly the epoch's
+    effect — inserts for new gids, update pre+post pairs for flag flips
+    (leaf retirement), never a delete (the fold only adds or amends)."""
+    wal = synth_change_log(n_keys=4, n_commits=4, seed=31)
+    eng = _engine(spark, tmp_path, "cdf")
+    first = wal[wal["commit"] <= sorted(wal["commit"].unique())[1]]
+    eng.ingest(to_spark(spark, first), commits_per_epoch=2)
+    v1 = eng.segments.version()
+    gids_v1 = {r["gid"] for r in eng.segments.read().select("gid").collect()}
+    eng.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    v2 = eng.segments.version()
+    assert v2 > v1
+
+    cdf = eng.segments.changes(v1, v2).collect()
+    by_type: dict[str, set] = {}
+    for r in cdf:
+        by_type.setdefault(r["_change_type"], set()).add(r["gid"])
+    assert "delete" not in by_type
+    # inserts are exactly the gids that did not exist at v1
+    gids_v2 = {r["gid"] for r in eng.segments.read().select("gid").collect()}
+    assert by_type.get("insert", set()) == gids_v2 - gids_v1
+    # updates come in matched pre/post pairs on pre-existing gids
+    pre = by_type.get("update_preimage", set())
+    assert pre == by_type.get("update_postimage", set())
+    assert pre <= gids_v1
+    # replaying the CDF's post-state onto the v1 snapshot reproduces v2
+    post_rows = [
+        r for r in cdf if r["_change_type"] in ("insert", "update_postimage")
+    ]
+    v1_rows = {
+        r["gid"]: r for r in eng.segments.read(version=v1).collect()
+    }
+    for r in post_rows:
+        v1_rows[r["gid"]] = r
+    want = {r["gid"]: tuple(r[c] for c in SEG_COLS) for r in
+            eng.segments.read().collect()}
+    got = {g: tuple(r[c] for c in SEG_COLS) for g, r in v1_rows.items()}
+    assert got == want
