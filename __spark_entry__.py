@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from linked_maps_spark import (
     bpe,
     dedup,
+    dedup_index,
     entry_cdc,
     multimodal,
     relational,
@@ -54,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = _doc()(lambda d: dedup.dedup_ngram_jaccard(d, threshold=0.5))
     q["dedup_clusters"] = _doc()(lambda d: dedup.dedup_clusters(d, threshold=0.5))
     q["dedup_minhash_lsh"] = _doc()(dedup.dedup_minhash_lsh)
+    # production cadence: new batch deduped AGAINST the persisted corpus
+    # index (signatures read from a LakeTable, batch-only shingle explode)
+    q["dedup_minhash_incremental"] = dedup_index.driver_dedup_incremental
     q["dedup_simhash"] = _doc()(dedup.simhash)
     # benchmark decontamination: deterministic corpus/benchmark split of
     # the fixture (doc_id % 17), identical predicate in the SQL oracle
@@ -186,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = dedup.dedup_ngram_jaccard_sql(threshold=0.5)
     o["dedup_clusters"] = dedup.dedup_clusters_sql(threshold=0.5)
     o["dedup_minhash_lsh"] = dedup.dedup_minhash_lsh_sql()
+    o["dedup_minhash_incremental"] = dedup_index.dedup_minhash_incremental_sql()
     o["dedup_simhash"] = dedup.simhash_sql()
     o["dedup_decontaminate"] = dedup.decontaminate_sql()
     o["dedup_lines"] = dedup.dedup_lines_sql(
