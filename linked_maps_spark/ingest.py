@@ -452,8 +452,12 @@ class CdcEngine:
     def current_segments(self) -> DataFrame:
         return self.segments.read()
 
+    _LEAF_PREDS = [("is_leaf", "=", True), ("retired", "=", False)]
+
     def current_leaves(self) -> DataFrame:
-        return self.segments.read().filter(F.col("is_leaf") & ~F.col("retired"))
+        # stats-pruned: a data file whose footer says every row is retired
+        # (or none is a leaf) is skipped at the manifest, not the scan
+        return self.segments.read_where(self._LEAF_PREDS)
 
     def _pruned_leaves(self, batch_keys: DataFrame) -> tuple[DataFrame, list[int]]:
         """Leaf state for exactly the batch's ``(repo, path)`` keys, reading
@@ -465,8 +469,7 @@ class CdcEngine:
         segs = self.segments
         buckets = segs.buckets_for(batch_keys)
         leaves = (
-            segs.read(buckets=buckets)
-            .filter(F.col("is_leaf") & ~F.col("retired"))
+            segs.read_where(self._LEAF_PREDS, buckets=buckets)
             .join(batch_keys, on=["repo", "path"], how="left_semi")
         )
         return leaves, buckets
@@ -483,8 +486,7 @@ class CdcEngine:
         is about to commit — anti-join out updated gids, union the new rows,
         re-filter leaves — so downstream sees post-merge state."""
         base = (
-            self.segments.read(buckets=buckets)
-            .filter(F.col("is_leaf") & ~F.col("retired"))
+            self.segments.read_where(self._LEAF_PREDS, buckets=buckets)
             .join(batch_keys, on=["repo", "path"], how="left_semi")
         )
         if patch_changes is None:
@@ -608,6 +610,12 @@ class CdcEngine:
         self.maybe_rebucket(target_bucket_bytes)
         # crashed epochs can leave combined-write scratch dirs behind
         shutil.rmtree(os.path.join(self.warehouse, "_stage"), ignore_errors=True)
+        # adopted (combined-write) data files enter manifests without footer
+        # stats so the epoch hot path never pays per-file metadata reads;
+        # backfill them here, amortized once per ingest call, so the
+        # stats-pruned leaf reads get sharper every maintenance pass
+        for tbl in (self.segments, self.relations):
+            tbl.analyze()
         for tbl, dedup in ((self.commit_log, False), (self.metrics, True)):
             if len(tbl.snapshot()["files"]) > max_log_files:
                 df = self.read_metrics() if dedup else tbl.read()

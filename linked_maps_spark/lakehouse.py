@@ -40,6 +40,183 @@ from pyspark.sql.types import StructType
 
 _SNAP_DIR = "_snapshots"
 
+# file-level column statistics (Iceberg manifest metrics analog) ------------
+#
+# Every snapshot manifest entry may carry ``rows`` and per-column
+# ``stats: {col: {min, max, nulls}}`` harvested from the parquet footer.
+# ``read_where`` uses them to skip whole files before the scan even opens
+# them — at 100 TB (object store) that is the difference between N GET
+# requests and ``matching_files`` GETs, on top of whatever row-group
+# skipping the reader does once a file IS opened.  Iceberg writers report
+# these metrics from the executors as part of the write; this offline
+# analog harvests them from the footer (a metadata-only read) at
+# manifest-build time, and ``analyze()`` backfills them for externally
+# written (adopted) files as a maintenance step.
+
+_STATS_MAX_STR = 64  # longer string bounds are truncated (min) or dropped (max)
+
+
+def _footer_stats(full_path: str) -> tuple[int | None, dict]:
+    """(row_count, {col: {min, max, nulls}}) from a parquet footer.
+
+    Conservative by construction: a column whose statistics are missing,
+    non-scalar, NaN-polluted, or type-ambiguous is simply absent from the
+    result — pruning treats absent stats as "may match".  A truncated
+    string ``min`` prefix is still a valid lower bound; a truncated ``max``
+    would NOT be a valid upper bound, so it is dropped (None = unbounded).
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None, {}
+    mins: dict[str, list] = {}
+    maxs: dict[str, list] = {}
+    nulls: dict[str, int] = {}
+    bad: set[str] = set()
+
+    def drop(name: str) -> None:
+        bad.add(name)
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in bad:  # nested leaves: not prunable here
+                continue
+            st = c.statistics
+            if st is None or st.null_count is None:
+                drop(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                # an all-null row group contributes no values (bounds keep);
+                # values without stats make the column unusable
+                if st.null_count != g.num_rows:
+                    drop(name)
+                continue
+            mn, mx = st.min, st.max
+            scalar = lambda v: isinstance(v, (bool, int, float, str))  # noqa: E731
+            if not scalar(mn) or not scalar(mx) or mn != mn or mx != mx:  # NaN-safe
+                drop(name)
+                continue
+            try:
+                mins.setdefault(name, []).append(mn)
+                maxs.setdefault(name, []).append(mx)
+            except TypeError:
+                drop(name)
+    stats: dict[str, dict] = {}
+    for name, n in nulls.items():
+        if name in bad:
+            continue
+        try:
+            lo = min(mins[name]) if mins.get(name) else None
+            hi = max(maxs[name]) if maxs.get(name) else None
+        except TypeError:  # mixed types across row groups
+            continue
+        if isinstance(lo, str) and len(lo) > _STATS_MAX_STR:
+            lo = lo[:_STATS_MAX_STR]
+        if isinstance(hi, str) and len(hi) > _STATS_MAX_STR:
+            hi = None
+        stats[name] = {"min": lo, "max": hi, "nulls": n}
+    return md.num_rows, stats
+
+
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between", "is_null", "not_null")
+
+
+def _may_match(entry: dict, preds: list[tuple]) -> bool:
+    """Whether a manifest entry's file MAY contain rows matching every
+    predicate.  Missing stats/rows → True (conservative); False only on a
+    proof from the footer bounds."""
+    stats = entry.get("stats") or {}
+    rows = entry.get("rows")
+    for col, op, *rest in preds:
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+        s = stats.get(col)
+        if s is None:
+            continue
+        lo, hi, n = s.get("min"), s.get("max"), s.get("nulls")
+        val = rest[0] if rest else None
+        try:
+            if op == "is_null":
+                if n == 0:
+                    return False
+                continue
+            if op == "not_null":
+                if rows is not None and n == rows:
+                    return False
+                continue
+            # comparison predicates are never satisfied by NULL rows
+            if rows is not None and n == rows:
+                return False
+
+            def inside(v) -> bool:
+                return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+            if op in ("=", "=="):
+                if not inside(val):
+                    return False
+            elif op == "<":
+                if lo is not None and lo >= val:
+                    return False
+            elif op == "<=":
+                if lo is not None and lo > val:
+                    return False
+            elif op == ">":
+                if hi is not None and hi <= val:
+                    return False
+            elif op == ">=":
+                if hi is not None and hi < val:
+                    return False
+            elif op == "in":
+                if not any(inside(v) for v in val):
+                    return False
+            elif op == "between":
+                a, b = val
+                if (hi is not None and hi < a) or (lo is not None and lo > b):
+                    return False
+        except TypeError:  # literal/stat type mismatch → cannot prune
+            continue
+    return True
+
+
+def _preds_column(preds: list[tuple]):
+    """The exact residual filter for ``preds`` (applied after pruning so
+    results never depend on stats being present or complete)."""
+    c = F.lit(True)
+    for col, op, *rest in preds:
+        k = F.col(col)
+        val = rest[0] if rest else None
+        if op in ("=", "=="):
+            e = k == F.lit(val)
+        elif op == "<":
+            e = k < F.lit(val)
+        elif op == "<=":
+            e = k <= F.lit(val)
+        elif op == ">":
+            e = k > F.lit(val)
+        elif op == ">=":
+            e = k >= F.lit(val)
+        elif op == "in":
+            e = k.isin(list(val))
+        elif op == "between":
+            e = k.between(F.lit(val[0]), F.lit(val[1]))
+        elif op == "is_null":
+            e = k.isNull()
+        elif op == "not_null":
+            e = k.isNotNull()
+        else:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+        c = c & e
+    return c
+
 
 class CommitConflict(RuntimeError):
     pass
@@ -188,6 +365,51 @@ class LakeTable:
         paths = [os.path.join(self.path, f["path"]) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def files_where(
+        self, preds: list[tuple], version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> list[dict]:
+        """Manifest entries whose files MAY contain rows matching ``preds``
+        (pure metadata — no Spark job, no file opens).
+
+        ``preds`` is a conjunction of ``(col, op, value)`` triples with op in
+        ``= < <= > >= in between`` plus ``(col, "is_null"/"not_null")``.
+        Entries without stats for a column are always kept."""
+        for _col, op, *_rest in preds:
+            if op not in _PRED_OPS:
+                raise ValueError(f"unsupported predicate op: {op!r}")
+        snap = self.snapshot(version)
+        files = snap["files"]
+        if buckets is not None:
+            keep = set(buckets)
+            files = [f for f in files if f["bucket"] in keep]
+        return [f for f in files if _may_match(f, preds)]
+
+    def read_where(
+        self, preds: list[tuple], version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Stats-pruned scan: open ONLY the files :meth:`files_where` keeps,
+        then apply the full predicate conjunction as a residual filter — the
+        result is exactly ``read().filter(preds)`` whether or not any file
+        carries stats.
+
+        At 100 TB this is manifest-level file skipping (Iceberg
+        lower/upper-bound pruning): a selective range predicate touches the
+        handful of files whose footer bounds overlap it instead of issuing
+        an open/GET per file, and composes with bucket pruning
+        (``buckets=``) and the reader's own row-group skipping."""
+        snap = self.snapshot(version)
+        schema = StructType.fromJson(snap["schema"])
+        files = self.files_where(preds, version=version, buckets=buckets)
+        residual = _preds_column(preds)
+        if not files:
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+            ).filter(residual)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths).filter(residual)
+
     def bucket_expr(self, df: DataFrame, n_buckets: int | None = None):
         snap = self.snapshot()
         cols = snap.get("bucket_cols", snap["key_cols"])
@@ -267,6 +489,12 @@ class LakeTable:
                     files.append(
                         {"path": os.path.join("data", f"v{version}", bdir, part), "bucket": b}
                     )
+        for f in files:  # footer metrics → manifest (Iceberg write metrics)
+            rows, stats = _footer_stats(os.path.join(self.path, f["path"]))
+            if rows is not None:
+                f["rows"] = rows
+                if stats:
+                    f["stats"] = stats
         return files
 
     def append(
@@ -396,7 +624,12 @@ class LakeTable:
         lakehouses do natively — an Iceberg/Delta manifest references data
         files wherever they were written, no rename/copy required.  On a
         100 TB S3/HDFS deployment this method would simply record the
-        staged files' absolute paths in the manifest instead of linking."""
+        staged files' absolute paths in the manifest instead of linking.
+
+        Adopted entries carry no footer column stats (the epoch hot path
+        must not pay a per-file metadata read); :meth:`analyze` backfills
+        them as maintenance, after which reads prune on them like any
+        :meth:`_write_data`-produced file."""
         merged = StructType(list(self.schema().fields))
         names = {f.name for f in merged.fields}
         for f in schema.fields:
@@ -573,17 +806,18 @@ class LakeTable:
             )
         for v in range(from_version + 1, to_version + 1):
             op = self.snapshot(v)["operation"]
-            if op not in ("append", "create", "delete"):
+            if op not in ("append", "create", "delete", "analyze"):
                 raise ValueError(
                     f"read_appended over non-append history (v{v}: {op})"
                 )
-            if op == "delete":
-                # a no-op delete keeps files; a real one breaks the contract
+            if op in ("delete", "analyze"):
+                # a no-op delete / stats backfill keeps the exact same data
+                # files; anything that rewrites them breaks the contract
                 if {f["path"] for f in self.snapshot(v)["files"]} != {
                     f["path"] for f in self.snapshot(v - 1)["files"]
                 }:
                     raise ValueError(
-                        f"read_appended over non-append history (v{v}: delete)"
+                        f"read_appended over non-append history (v{v}: {op})"
                     )
         new_snap = self.snapshot(to_version)
         old_paths = {f["path"] for f in self.snapshot(from_version)["files"]}
@@ -645,6 +879,40 @@ class LakeTable:
             {**(summary or {}), "n_buckets": n_buckets},
             key_cols=snap["key_cols"], n_buckets=n_buckets,
             bucket_cols=snap.get("bucket_cols", snap["key_cols"]),
+        )
+        return version
+
+    def analyze(self, summary: dict[str, Any] | None = None) -> int:
+        """Backfill footer column stats for manifest entries that lack them
+        (the Iceberg compute-table-stats / rewrite-manifests analog).
+
+        Adopted data files (:meth:`adopt_merge`) enter the manifest without
+        stats to keep the ingest hot path free of per-epoch footer reads;
+        this maintenance step harvests them amortized (a metadata-only read
+        per missing file, no Spark job) and commits an ``analyze`` snapshot
+        with the SAME data files — row content is untouched, so
+        :meth:`changes` sees an empty diff and :meth:`read_appended`
+        treats it as a no-op.  No-op (no version bump) when every entry
+        already has stats."""
+        snap = self.snapshot()
+        entries = [dict(f) for f in snap["files"]]
+        changed = False
+        for f in entries:
+            if "stats" in f or "rows" in f:
+                continue
+            rows, stats = _footer_stats(os.path.join(self.path, f["path"]))
+            if rows is None:
+                continue
+            f["rows"] = rows
+            if stats:
+                f["stats"] = stats
+            changed = True
+        if not changed:
+            return self.version()
+        version = self.version() + 1
+        self._commit_snapshot(
+            version, self.schema(), entries, "analyze",
+            {**(summary or {}), "reason": "stats-backfill"},
         )
         return version
 

@@ -1,0 +1,155 @@
+"""File-level column stats in manifests + predicate file skipping.
+
+The Iceberg-parity slice: writers record per-file column lower/upper bounds
+and null counts (``_footer_stats``); ``files_where``/``read_where`` prune
+whole files on them before the scan opens anything; ``analyze()`` backfills
+stats for adopted files as maintenance.  Correctness never depends on stats:
+the residual filter is always applied, pruning only removes files PROVEN
+empty for the predicate.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linked_maps_spark.lakehouse import LakeTable, _may_match
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), "k string, v long, s string",
+        key_cols=["k"], n_buckets=2,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long, s string")
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"], r["s"]) for r in df.collect())
+
+
+def test_write_collects_footer_stats(spark, tbl):
+    tbl.append(_df(spark, [("a", 1, "x"), ("b", 9, None)]))
+    entries = tbl.snapshot()["files"]
+    assert entries and all("rows" in f and "stats" in f for f in entries)
+    assert sum(f["rows"] for f in entries) == 2
+    vs = [f["stats"]["v"] for f in entries]
+    assert min(s["min"] for s in vs) == 1
+    assert max(s["max"] for s in vs) == 9
+    assert sum(f["stats"]["s"]["nulls"] for f in entries) == 1
+
+
+def test_files_where_prunes_disjoint_ranges(spark, tbl):
+    tbl.append(_df(spark, [("a", i, "lo") for i in range(10)]))
+    tbl.append(_df(spark, [("b", 100 + i, "hi") for i in range(10)]))
+    all_files = tbl.snapshot()["files"]
+    kept = tbl.files_where([("v", ">", 50)])
+    assert kept and len(kept) < len(all_files)
+    assert all("v2" in f["path"] for f in kept)  # only the second append
+    # the pruned scan is exactly the filtered full scan
+    assert _rows(tbl.read_where([("v", ">", 50)])) == _rows(
+        tbl.read().filter(F.col("v") > 50)
+    )
+    # and the disjoint predicate prunes everything yet still answers
+    assert tbl.files_where([("v", "between", (40, 60))]) == []
+    assert tbl.read_where([("v", "between", (40, 60))]).count() == 0
+
+
+@pytest.mark.parametrize(
+    "preds, cond",
+    [
+        ([("v", "=", 105)], lambda: F.col("v") == 105),
+        ([("v", "in", [3, 104])], lambda: F.col("v").isin([3, 104])),
+        ([("v", "<=", 2), ("s", "=", "lo")],
+         lambda: (F.col("v") <= 2) & (F.col("s") == "lo")),
+        ([("s", "is_null")], lambda: F.col("s").isNull()),
+        ([("s", "not_null"), ("v", ">=", 100)],
+         lambda: F.col("s").isNotNull() & (F.col("v") >= 100)),
+    ],
+)
+def test_read_where_matches_filter(spark, tbl, preds, cond):
+    tbl.append(_df(spark, [("a", i, "lo") for i in range(10)]))
+    tbl.append(_df(spark, [("b", 100 + i, None if i % 2 else "hi") for i in range(10)]))
+    assert _rows(tbl.read_where(preds)) == _rows(tbl.read().filter(cond()))
+
+
+def test_all_null_file_pruned_for_comparisons(spark, tbl):
+    tbl.append(_df(spark, [("a", 1, None), ("a2", 2, None)]))
+    assert tbl.files_where([("s", "=", "anything")]) == []
+    assert tbl.files_where([("s", "is_null")]) != []
+    assert tbl.read_where([("s", "is_null")]).count() == 2
+
+
+def test_long_string_bounds_stay_conservative(spark, tbl):
+    # a >64-char value: min is a truncated (still valid) lower bound, max is
+    # dropped — a predicate above the truncated prefix must NOT prune
+    tbl.append(_df(spark, [("a", 1, "a" * 100)]))
+    (entry,) = tbl.snapshot()["files"]
+    assert entry["stats"]["s"]["min"] == "a" * 64
+    assert entry["stats"]["s"]["max"] is None
+    assert tbl.read_where([("s", ">", "a" * 70)]).count() == 1  # kept via None max
+    assert tbl.files_where([("s", "<", "a" * 10)]) == []  # provably below min
+
+
+def test_type_mismatch_and_missing_stats_keep_file():
+    entry = {"path": "p", "bucket": 0, "rows": 5,
+             "stats": {"v": {"min": 1, "max": 9, "nulls": 0}}}
+    assert _may_match(entry, [("v", ">", "zzz")])  # literal type mismatch
+    assert _may_match(entry, [("other_col", "=", 7)])  # no stats for col
+    assert _may_match({"path": "p", "bucket": 0}, [("v", "=", 1)])  # no stats at all
+    assert not _may_match(entry, [("v", ">", 9)])
+
+
+def test_unknown_op_raises(tbl):
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        tbl.files_where([("v", "like", "x%")])
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        tbl.read_where([("v", "like", "x%")])
+
+
+def test_analyze_backfills_adopted_files(spark, tbl, tmp_path, monkeypatch):
+    import linked_maps_spark.lakehouse as lh
+
+    tbl.append(_df(spark, [("a", 1, "x")]))
+    # externally written file adopted without stats (the ingest hot path)
+    ext = str(tmp_path / "ext")
+    src = _df(spark, [("b", 200, "y")]).withColumn("_b", tbl.bucket_expr(_df(spark, [("b", 200, "y")])))
+    b = src.select("_b").collect()[0]["_b"]
+    src.drop("_b").coalesce(1).write.mode("overwrite").parquet(ext)
+    import glob
+    part = glob.glob(ext + "/*.parquet")[0]
+    tbl.adopt_merge([(part, b)], tbl.schema(), [b])()
+    missing = [f for f in tbl.snapshot()["files"] if "stats" not in f]
+    assert missing  # adopted entry carries no stats yet
+    # conservative: the stats-less file is always kept
+    assert any("stats" not in f for f in tbl.files_where([("v", "<", 0)]))
+
+    v_before = tbl.version()
+    tbl.analyze()
+    assert tbl.version() == v_before + 1
+    assert all("stats" in f for f in tbl.snapshot()["files"])
+    # now the same predicate proves the adopted file empty
+    assert tbl.files_where([("v", "<", 0)]) == []
+    assert _rows(tbl.read_where([("v", ">=", 200)])) == [("b", 200, "y")]
+    # analyze with nothing to do is a no-op (no version bump)
+    assert tbl.analyze() == tbl.version() == v_before + 1
+    # content untouched: the change feed across the analyze commit is empty
+    assert tbl.changes(v_before, tbl.version()).count() == 0
+
+
+def test_read_appended_spans_analyze_commits(spark, tmp_path, monkeypatch):
+    import linked_maps_spark.lakehouse as lh
+
+    log = LakeTable.create(spark, str(tmp_path / "log"), "e long", key_cols=[], n_buckets=1)
+    log.append(spark.range(3).select(F.col("id").alias("e")))
+    # write one append blind (no footer harvest) so analyze has work
+    monkeypatch.setattr(lh, "_footer_stats", lambda p: (None, {}))
+    log.append(spark.range(3, 5).select(F.col("id").alias("e")))
+    monkeypatch.undo()
+    v_appends = log.version()
+    log.analyze()
+    assert log.version() == v_appends + 1
+    got = sorted(r["e"] for r in log.read_appended(1, log.version()).collect())
+    assert got == [3, 4]
