@@ -26,6 +26,8 @@ from linked_maps_spark import (
     relational,
     sampling,
     similarity,
+    sketch,
+    temporal,
     textops,
     vec_index,
 )
@@ -50,6 +52,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # relational operator suite (SURVEY.md §2.2–§2.8 analogs)
     q.update(relational.QUERIES)
+    # temporal custom operators: as-of join (union-tag + window), binned
+    # range join, hypertable rollup — oracled by DuckDB's native ASOF
+    # JOIN / IEJoin / direct-from-raw recompute respectively
+    q.update(temporal.QUERIES)
+    # mergeable sketches (HLL registers, Count-Min): driver queries build
+    # from disjoint shards + merge; oracles build single-pass — the gate's
+    # hash equality proves mergeability
+    q.update(sketch.QUERIES)
     # training-data ops: dedup family
     q["dedup_exact"] = _doc()(dedup.dedup_exact)
     q["dedup_ngram_jaccard"] = _doc()(lambda d: dedup.dedup_ngram_jaccard(d, threshold=0.5))
@@ -186,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o = dict(relational.ORACLES)
+    o.update(temporal.ORACLES)
+    o.update(sketch.ORACLES)
     o["dedup_exact"] = dedup.DEDUP_EXACT_SQL
     o["dedup_ngram_jaccard"] = dedup.dedup_ngram_jaccard_sql(threshold=0.5)
     o["dedup_clusters"] = dedup.dedup_clusters_sql(threshold=0.5)

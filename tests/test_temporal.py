@@ -1,0 +1,219 @@
+"""Temporal operators: as-of join, binned range join, hypertable rollup.
+
+Value checks run against naive python recomputes and DuckDB's native
+temporal operators (ASOF JOIN / IEJoin); plan checks pin the physical
+shapes the module promises (no join in the as-of plan, no cartesian in the
+range join).
+"""
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from linked_maps_spark import temporal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(day, h, m=0, s=0, us=0):
+    return dt.datetime(2024, 1, day, h, m, s, us)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    """Classic as-of fixture: trades matched to the latest prior quote."""
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts(1, 9, 30)),
+            (2, "A", _ts(1, 10, 0)),
+            (3, "A", _ts(1, 10, 0, 0, 1)),
+            (4, "B", _ts(1, 9, 0)),  # before any B quote
+            (5, "B", _ts(1, 12, 0)),
+            (6, "C", _ts(1, 12, 0)),  # key with no quotes at all
+        ],
+        "trade_id long, sym string, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(1, 9, 0), 100),
+            ("A", _ts(1, 10, 0), 101),  # exactly at trade 2's time
+            ("A", _ts(1, 10, 0), 99),   # same-timestamp tie → max struct wins
+            ("B", _ts(1, 11, 0), 200),
+        ],
+        "sym string, qt timestamp, px long",
+    )
+    return trades, quotes
+
+
+def test_asof_inclusive_and_strict_semantics(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    inc = {
+        r["trade_id"]: r["asof_px"]
+        for r in temporal.asof_join(trades, quotes, "sym", "t", "qt").collect()
+    }
+    # trade 2 at exactly 10:00 sees the 10:00 quote (inclusive); the
+    # same-time tie resolves to the greatest payload struct (px=101)
+    assert inc == {1: 100, 2: 101, 3: 101, 4: None, 5: 200, 6: None}
+    strict = {
+        r["trade_id"]: r["asof_px"]
+        for r in temporal.asof_join(
+            trades, quotes, "sym", "t", "qt", strict=True
+        ).collect()
+    }
+    # strict: trade 2 must NOT see the 10:00 quote
+    assert strict == {1: 100, 2: 100, 3: 101, 4: None, 5: 200, 6: None}
+
+
+def test_asof_carries_matched_right_time(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    row = (
+        temporal.asof_join(trades, quotes, "sym", "t", "qt")
+        .filter("trade_id = 5")
+        .collect()[0]
+    )
+    assert row["asof_qt"] == _ts(1, 11, 0)
+
+
+def test_asof_plan_has_no_join(spark, quotes_trades):
+    """The whole as-of is one window over a union — no join operator, so
+    exactly one hash shuffle on the key."""
+    trades, quotes = quotes_trades
+    plan = (
+        temporal.asof_join(trades, quotes, "sym", "t", "qt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_duckdb_asof_join(spark):
+    """Cross-engine on real data: the driver query vs DuckDB ASOF JOIN."""
+    got = temporal.events_asof_purchase(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute(temporal.ORACLES["events_asof_purchase"]).df()
+    assert len(got) == len(want) > 0
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert g["asof_event_id"].astype("float").equals(w["asof_event_id"].astype("float"))
+    assert (
+        g["micros_since_purchase"].astype("float").equals(
+            w["micros_since_purchase"].astype("float")
+        )
+    )
+
+
+def test_range_join_binned_equals_cross_filter(spark):
+    """Binned pairing ≡ the quadratic reference plan, across bin sizes that
+    do and don't divide the interval length."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    iv = (
+        ev.filter(F.col("event_id") % 11 == 0)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 47 MINUTES")).alias("hi"),
+        )
+    )
+    ref = (
+        ev.crossJoin(iv)
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .select("event_id", "iv_id")
+    )
+    want = {(r["event_id"], r["iv_id"]) for r in ref.collect()}
+    assert want  # fixture produces real pairs
+    for bin_us in (3_600_000_000, 1_000_000_000, 47 * 60 * 1_000_000):
+        got = {
+            (r["event_id"], r["iv_id"])
+            for r in temporal.range_join_binned(
+                ev, iv, "ts", "lo", "hi", bin_micros=bin_us
+            )
+            .select("event_id", "iv_id")
+            .collect()
+        }
+        assert got == want, f"bin={bin_us}"
+
+
+def test_range_join_plan_is_equi_join(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    iv = ev.limit(5).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    plan = (
+        temporal.range_join_binned(ev, iv, "ts", "lo", "hi")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_range_join_boundary_exactness(spark):
+    """lo inclusive, hi exclusive, down to the microsecond."""
+    pts = spark.createDataFrame(
+        [
+            (1, _ts(1, 10, 0, 0, 0)),        # == lo → in
+            (2, _ts(1, 10, 29, 59, 999999)),  # hi-1us → in
+            (3, _ts(1, 10, 30, 0, 0)),        # == hi → out
+            (4, _ts(1, 9, 59, 59, 999999)),   # lo-1us → out
+        ],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(7, _ts(1, 10, 0), _ts(1, 10, 30))], "iv_id long, lo timestamp, hi timestamp"
+    )
+    got = {
+        r["pid"]
+        for r in temporal.range_join_binned(pts, iv, "ts", "lo", "hi").collect()
+    }
+    assert got == {1, 2}
+
+
+def test_rollup_reaggregation_is_lossless(spark):
+    """hour-from-minute ≡ hour-from-raw (the continuous-aggregate claim)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    minute = temporal._leaf_rollup(ev, "minute")
+    via_minute = temporal.reaggregate(minute, "hour").orderBy("bucket_ts")
+    direct = temporal._leaf_rollup(ev, "hour").orderBy("bucket_ts")
+    assert via_minute.collect() == direct.collect()
+
+
+def test_rollup_incremental_merge(spark):
+    """Continuous-aggregate maintenance: rollup(old) ⊕ rollup(delta) ≡
+    rollup(old ∪ delta), per level — O(delta) epoch updates are sound."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    merged = temporal.reaggregate(
+        temporal._leaf_rollup(old, "minute").unionByName(
+            temporal._leaf_rollup(delta, "minute")
+        ),
+        "minute",
+    )
+    full = temporal._leaf_rollup(ev, "minute")
+    assert merged.orderBy("bucket_ts").collect() == full.orderBy("bucket_ts").collect()
+
+
+def test_temporal_driver_queries_match_duckdb(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+
+    def h(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]")
+        return hashlib.sha256(df.astype(str).to_csv(index=False).encode()).hexdigest()
+
+    for name in ("events_in_error_windows", "rollup_hypertable"):
+        got = temporal.QUERIES[name](spark, SF).toPandas()
+        want = con.execute(temporal.ORACLES[name]).df()
+        assert h(got) == h(want), name
