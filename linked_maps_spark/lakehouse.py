@@ -129,16 +129,72 @@ def _footer_stats(full_path: str) -> tuple[int | None, dict]:
 
 _PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between", "is_null", "not_null")
 
+# ------------------------------------------------------- per-file blooms
+#
+# Min/max bounds can't prune point lookups when key ranges interleave
+# across files (a content-hash gid is uniform by construction, so EVERY
+# file spans ~the full key range and bounds never exclude anything).  A
+# small per-file bloom filter over the merge key closes that: a point
+# lookup opens only files whose bloom admits the key — the Iceberg/Delta
+# bloom-index analog.  Blooms are deterministic (md5-derived bit
+# positions), built by ``analyze(bloom_cols=...)`` as an amortized
+# maintenance read (one column scan per file, no Spark job), and probed
+# driver-side in ``files_where`` — absence is a proof, presence means
+# "may contain" exactly like the bounds.
+
+_BLOOM_BITS = 8192  # 1 KiB per column per file; fpr < 1% up to ~1k keys
+_BLOOM_K = 5
+
+
+def _bloom_positions(value, m_bits: int, k: int):
+    import hashlib
+
+    s = str(value).encode()
+    for i in range(k):
+        d = hashlib.md5(b"%d:%s" % (i, s)).digest()
+        yield int.from_bytes(d[:8], "big") % m_bits
+
+
+def _bloom_build(values, m_bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> dict:
+    import base64
+
+    bits = bytearray(m_bits // 8)
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_positions(v, m_bits, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m_bits, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_positions(value, bloom["m"], bloom["k"])
+    )
+
 
 def _may_match(entry: dict, preds: list[tuple]) -> bool:
     """Whether a manifest entry's file MAY contain rows matching every
     predicate.  Missing stats/rows → True (conservative); False only on a
     proof from the footer bounds."""
     stats = entry.get("stats") or {}
+    blooms = entry.get("blooms") or {}
     rows = entry.get("rows")
     for col, op, *rest in preds:
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")
+        bl = blooms.get(col)
+        if bl is not None and op in ("=", "==", "in"):
+            vals = rest[0] if op == "in" else [rest[0]]
+            try:
+                if not any(_bloom_may_contain(bl, v) for v in vals):
+                    return False
+            except Exception:
+                pass  # malformed bloom → cannot prune
         s = stats.get(col)
         if s is None:
             continue
@@ -882,7 +938,13 @@ class LakeTable:
         )
         return version
 
-    def analyze(self, summary: dict[str, Any] | None = None) -> int:
+    def analyze(
+        self,
+        summary: dict[str, Any] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = _BLOOM_BITS,
+        bloom_k: int = _BLOOM_K,
+    ) -> int:
         """Backfill footer column stats for manifest entries that lack them
         (the Iceberg compute-table-stats / rewrite-manifests analog).
 
@@ -893,7 +955,15 @@ class LakeTable:
         with the SAME data files — row content is untouched, so
         :meth:`changes` sees an empty diff and :meth:`read_appended`
         treats it as a no-op.  No-op (no version bump) when every entry
-        already has stats."""
+        already has stats.
+
+        ``bloom_cols`` additionally builds per-file bloom filters for those
+        columns on entries that lack them (one column read per file via
+        pyarrow — a data read, which is why blooms are opt-in maintenance
+        rather than part of the write path).  Point lookups in
+        :meth:`files_where` / :meth:`read_where` then skip files whose
+        bloom proves the key absent — the pruning min/max bounds cannot do
+        when every file spans the full range of a hash-shaped key."""
         snap = self.snapshot()
         entries = [dict(f) for f in snap["files"]]
         changed = False
@@ -907,6 +977,25 @@ class LakeTable:
             if stats:
                 f["stats"] = stats
             changed = True
+        for col in bloom_cols or []:
+            import pyarrow.parquet as pq
+
+            for f in entries:
+                have = f.get("blooms") or {}
+                if col in have:
+                    continue
+                try:
+                    tbl = pq.read_table(
+                        os.path.join(self.path, f["path"]), columns=[col]
+                    )
+                    values = tbl.column(col).to_pylist()
+                except Exception:
+                    continue  # column absent (schema evolution) → no bloom
+                f["blooms"] = {
+                    **have,
+                    col: _bloom_build(values, bloom_bits, bloom_k),
+                }
+                changed = True
         if not changed:
             return self.version()
         version = self.version() + 1

@@ -263,3 +263,71 @@ def stream_curate(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_attribution_join(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+    schema: str = EVENTS_SCHEMA,
+) -> DataFrame:
+    """§2.11 stream-stream interval join: purchases attributed to every
+    click by the same user within the preceding ``window_minutes`` — the
+    Structured-Streaming counterpart of :func:`linked_maps_spark.temporal.
+    range_join_binned` (which an unbounded stream can't run: the interval
+    side never stops growing).
+
+    Both sides carry a watermark AND the join condition bounds event time
+    on both sides (``click_ts <= p_ts < click_ts + window``), which is
+    exactly what lets Spark expire join state: a click older than
+    ``watermark + window`` can never match a future purchase, so the state
+    store holds only the sliding horizon — bounded at any corpus size.
+    Inner-join results emit as soon as both sides arrive (no watermark
+    wait), so an ``availableNow`` drain over a static backlog reproduces
+    the batch join exactly (tested).
+    """
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user
+            AND p_ts >= click_ts
+            AND p_ts < click_ts + INTERVAL {int(window_minutes)} MINUTES
+            """
+        ),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "p_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -153,3 +153,62 @@ def test_read_appended_spans_analyze_commits(spark, tmp_path, monkeypatch):
     assert log.version() == v_appends + 1
     got = sorted(r["e"] for r in log.read_appended(1, log.version()).collect())
     assert got == [3, 4]
+
+
+def test_bloom_prunes_interleaved_point_lookups(spark, tbl):
+    """Min/max can't prune interleaved key ranges; blooms can.  Absence is
+    a proof (file skipped), presence keeps the file, results never change."""
+    # two appends whose key ranges fully interleave → bounds nearly useless
+    tbl.append(_df(spark, [(f"k{i:03d}", 1, "f1") for i in range(0, 200, 2)]))
+    tbl.append(_df(spark, [(f"k{i:03d}", 2, "f2") for i in range(1, 200, 2)]))
+    probe = "k101"  # lives only in the second append
+    before = tbl.files_where([("k", "=", probe)])
+    assert len(before) > 1  # interleaved ranges: bounds keep extra files
+
+    v0 = tbl.version()
+    tbl.analyze(bloom_cols=["k"])
+    assert tbl.version() == v0 + 1
+    after = tbl.files_where([("k", "=", probe)])
+    assert len(after) < len(before)
+    # the bloom's verdict is honest: every kept file truly holds the key
+    # range (only second-append files can), and results are unchanged
+    assert all("v2" in f["path"] for f in after)
+    assert _rows(tbl.read_where([("k", "=", probe)])) == _rows(
+        tbl.read().filter(F.col("k") == probe)
+    )
+    # a key in neither append prunes everything, yet read_where answers
+    assert tbl.files_where([("k", "=", "zz")]) == []
+    assert tbl.read_where([("k", "=", "zz")]).count() == 0
+    # IN probes: any member present keeps the file
+    assert tbl.files_where([("k", "in", ["zz", probe])]) == after
+
+
+def test_bloom_survives_merge_of_other_buckets(spark, tbl):
+    """Untouched buckets carry their manifest entries (blooms included)
+    across merges; rewritten buckets lose them until the next analyze."""
+    tbl.append(_df(spark, [("a", 1, "x"), ("b", 2, "y")]))
+    tbl.analyze(bloom_cols=["k"])
+    with_bloom = {f["path"] for f in tbl.snapshot()["files"] if f.get("blooms")}
+    assert with_bloom
+    tbl.merge_upsert(_df(spark, [("a", 10, "x2")]))
+    kept = {f["path"] for f in tbl.snapshot()["files"] if f.get("blooms")}
+    # every surviving pre-merge file kept its bloom
+    assert kept == with_bloom & {f["path"] for f in tbl.snapshot()["files"]}
+    # analyze is idempotent for files that already carry the bloom
+    v = tbl.analyze(bloom_cols=["k"])
+    assert all(f.get("blooms") for f in tbl.snapshot()["files"])
+    assert tbl.analyze(bloom_cols=["k"]) == v  # second run: no version bump
+
+
+def test_bloom_determinism_and_portability():
+    """Blooms are md5-derived: same values → identical base64 on any
+    machine; membership honest for present keys (no false negatives)."""
+    from linked_maps_spark.lakehouse import _bloom_build, _bloom_may_contain
+
+    b1 = _bloom_build(["x", "y", None, 42])
+    b2 = _bloom_build(["x", "y", None, 42])
+    assert b1 == b2
+    assert _bloom_may_contain(b1, "x") and _bloom_may_contain(b1, 42)
+    # 1 KiB / 5 hashes / 3 keys: the fixture's absent probes must miss
+    assert not _bloom_may_contain(b1, "absent-key-1")
+    assert not _bloom_may_contain(b1, "absent-key-2")

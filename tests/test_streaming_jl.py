@@ -165,3 +165,38 @@ def test_user_running_stats_stateful_stream(spark, tmp_path):
     for uid, (n, total) in exp.items():
         assert res[uid][0] == n
         assert abs(res[uid][1] - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_stream_attribution_join_equals_batch(spark, tmp_path):
+    """§2.11 stream-stream interval join: watermarked click→purchase
+    attribution over a drained backlog ≡ the batch range join."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from linked_maps_spark.streaming import EVENTS_SCHEMA, stream_attribution_join
+    from linked_maps_spark.temporal import range_join_binned
+
+    src = str(tmp_path / "events_attr")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+    got = stream_attribution_join(
+        spark, src, str(tmp_path / "ck_attr"), "attr_t", window_minutes=30
+    )
+    res = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(src)
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    batch = range_join_binned(purchases, clicks, "ts", "lo", "hi").filter(
+        "user_id = c_user"
+    )
+    exp = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert res == exp and len(res) > 0
