@@ -261,3 +261,82 @@ def sketch_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- histogram quantiles
+
+HIST_BUCKETS = 256
+
+
+def hist_sketch(df: DataFrame, value: F.Column, lo: float, hi: float) -> DataFrame:
+    """Fixed-grid histogram sketch ``(bucket, cnt)`` over ``[lo, hi)`` —
+    the mergeable quantile/distribution summary (merge = per-bucket sum,
+    like CMS).  Values are clamped into the edge buckets, so the sketch is
+    total over any input.  Bucket index arithmetic is one multiply + one
+    divide + a floor in double — the identical IEEE op sequence in the
+    DuckDB oracle, so the sketch is value-exact cross-engine."""
+    idx = F.floor(
+        (value.cast("double") - F.lit(float(lo)))
+        * F.lit(float(HIST_BUCKETS))
+        / F.lit(float(hi) - float(lo))
+    )
+    clamped = F.greatest(F.lit(0), F.least(F.lit(HIST_BUCKETS - 1), idx)).cast("long")
+    return (
+        df.select(clamped.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantile(sketch: DataFrame, q: float, lo: float, hi: float) -> float:
+    """Linear-interpolated quantile from the histogram (driver-side float
+    over ≤ HIST_BUCKETS rows — outside the oracle-hashed surface, pinned by
+    pytest against numpy on the raw data).  Error ≤ one bucket width."""
+    rows = sorted((r["bucket"], r["cnt"]) for r in sketch.collect())
+    n = sum(c for _, c in rows)
+    if not n:
+        raise ValueError("empty sketch")
+    width = (hi - lo) / HIST_BUCKETS
+    target = q * n
+    cum = 0
+    for b, c in rows:
+        if cum + c >= target:
+            frac = (target - cum) / c
+            return lo + (b + frac) * width
+        cum += c
+    return hi
+
+
+_HIST_CELL_SQL = f"""
+        SELECT CAST(GREATEST(0, LEAST({HIST_BUCKETS - 1},
+                   FLOOR((CAST(value AS DOUBLE) - {{lo}})
+                         * {float(HIST_BUCKETS)} / ({{hi}} - {{lo}})))) AS BIGINT)
+               AS bucket
+        FROM events
+"""
+
+
+@query(
+    "sketch_hist_values",
+    f"""
+    WITH cells AS ({_HIST_CELL_SQL.format(lo="0.0", hi="512.0")})
+    SELECT bucket, COUNT(*) AS cnt FROM cells GROUP BY bucket ORDER BY bucket
+    """,
+)
+def sketch_hist_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram sketch of event values over [0, 512) — built from THREE
+    disjoint shards and merged; the oracle is single-pass (gate equality
+    proves mergeability, the pattern of the HLL/CMS rows)."""
+    ev = _load(spark, sf_dir, "events")
+    shards = [
+        hist_sketch(ev.filter(F.col("event_id") % 3 == i), F.col("value"), 0.0, 512.0)
+        for i in range(3)
+    ]
+    return hist_merge(*shards).orderBy("bucket")

@@ -336,3 +336,62 @@ _ROLLUP_LEVEL_SQL = """
 )
 def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable_rollup(_load(spark, sf_dir, "events"))
+
+
+# ------------------------------------- continuous rollup (lake-maintained)
+
+ROLLUP_SCHEMA = (
+    "level string, bucket_ts timestamp, n_events long, "
+    "sum_value_milli long, min_value_milli long, max_value_milli long"
+)
+
+
+def create_rollup_table(spark: SparkSession, path: str, n_buckets: int = 8):
+    """The materialized continuous-aggregate table (TimescaleDB caggs /
+    Spark's missing incremental materialized view), keyed by
+    ``(level, bucket_ts)`` and maintained by :func:`maintain_rollup`."""
+    from .lakehouse import LakeTable
+
+    return LakeTable.create(
+        spark, path, ROLLUP_SCHEMA, key_cols=["level", "bucket_ts"],
+        n_buckets=n_buckets,
+    )
+
+
+def maintain_rollup(events_tbl, rollup) -> int:
+    """Incrementally refresh ``rollup`` with the events appended to
+    ``events_tbl`` since the last refresh — O(delta + touched rollup rows),
+    never a re-scan of event history.
+
+    The refresh cursor (the events-table snapshot version last folded in)
+    rides the rollup table's own commit summary, so the maintenance step is
+    idempotent and crash-safe under the lakehouse's optimistic commits: a
+    retried refresh sees the cursor of the last COMMITTED refresh.  The
+    delta is read via the manifest diff (:meth:`LakeTable.read_appended` —
+    only the new data files are opened), aggregated with the same
+    decomposable measures as :func:`hypertable_rollup`, and combined with
+    ONLY the already-materialized rows it touches (bucket-pruned read +
+    broadcast semi-join on the delta's keys) before a keyed MERGE."""
+    to_v = events_tbl.version()
+    from_v = rollup.latest_summary_value("events_version")
+    if from_v is None:
+        from_v = 0
+    if from_v >= to_v:
+        return rollup.version()
+    delta = events_tbl.read_appended(from_v, to_v)
+    d = hypertable_rollup(delta)
+    keys = F.broadcast(d.select("level", "bucket_ts").distinct())
+    current = rollup.read(buckets=rollup.buckets_for(d)).join(
+        keys, ["level", "bucket_ts"], "left_semi"
+    )
+    combined = (
+        current.unionByName(d)
+        .groupBy("level", "bucket_ts")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_milli").alias("sum_value_milli"),
+            F.min("min_value_milli").alias("min_value_milli"),
+            F.max("max_value_milli").alias("max_value_milli"),
+        )
+    )
+    return rollup.merge_upsert(combined, summary={"events_version": to_v})

@@ -135,3 +135,39 @@ def test_hll_plan_is_partial_aggregate(spark, events):
         .toString()
     )
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hist_merge_shard_invariant_and_total(spark, events):
+    whole = sketch.hist_sketch(events, F.col("value"), 0.0, 512.0)
+    shards = [
+        sketch.hist_sketch(
+            events.filter(F.col("event_id") % 4 == i), F.col("value"), 0.0, 512.0
+        )
+        for i in range(4)
+    ]
+    merged = sketch.hist_merge(*shards)
+    key = lambda rows: sorted((r["bucket"], r["cnt"]) for r in rows)  # noqa: E731
+    assert key(merged.collect()) == key(whole.collect())
+    # total over any input: out-of-range values clamp into edge buckets
+    assert sum(c for _, c in key(whole.collect())) == events.count()
+
+
+def test_hist_quantile_accuracy_vs_numpy(spark, events):
+    import numpy as np
+
+    sk = sketch.hist_sketch(events, F.col("value"), 0.0, 512.0)
+    vals = np.array([r["value"] for r in events.select("value").collect()])
+    width = 512.0 / sketch.HIST_BUCKETS
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = sketch.hist_quantile(sk, q, 0.0, 512.0)
+        true = float(np.quantile(vals, q))
+        assert abs(est - true) <= width + 1e-9, (q, est, true)
+
+
+def test_hist_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (511.9,), (900.0,)], "value double")
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in sketch.hist_sketch(df, F.col("value"), 0.0, 512.0).collect()
+    }
+    assert got == {0: 2, sketch.HIST_BUCKETS - 1: 2}

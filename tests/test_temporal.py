@@ -217,3 +217,38 @@ def test_temporal_driver_queries_match_duckdb(spark):
         got = temporal.QUERIES[name](spark, SF).toPandas()
         want = con.execute(temporal.ORACLES[name]).df()
         assert h(got) == h(want), name
+
+
+def test_continuous_rollup_incremental_refresh(spark, tmp_path):
+    """Lake-maintained continuous aggregate: three appends, three
+    incremental refreshes — the materialized table always equals the
+    from-scratch rollup, the cursor survives in the commit summary, and a
+    refresh with no new events is a no-op (no version bump)."""
+    from linked_maps_spark.lakehouse import LakeTable
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events_tbl = LakeTable.create(
+        spark, str(tmp_path / "ev"), ev_schema, key_cols=[], n_buckets=1
+    )
+    rollup = temporal.create_rollup_table(spark, str(tmp_path / "ru"), n_buckets=4)
+    full = spark.read.parquet(f"{SF}/events.parquet")
+
+    slices = [
+        full.filter(F.col("event_id") % 3 == i).select(*events_tbl.schema().names)
+        for i in range(3)
+    ]
+    seen = None
+    for i, sl in enumerate(slices):
+        events_tbl.append(sl)
+        v = temporal.maintain_rollup(events_tbl, rollup)
+        assert rollup.latest_summary_value("events_version") == events_tbl.version()
+        seen = sl if seen is None else seen.unionByName(sl)
+        want = temporal.hypertable_rollup(seen).collect()
+        got = rollup.read().orderBy("level", "bucket_ts").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], f"refresh {i}"
+    # idempotent: nothing new appended → no new snapshot
+    assert temporal.maintain_rollup(events_tbl, rollup) == v
+    assert rollup.version() == v
