@@ -107,7 +107,9 @@ def dedup_ngram_jaccard(
     intersections alike, mirrored in the SQL oracle) before the self-join —
     without it one ubiquitous shingle quadratically explodes the candidate
     pairs at scale."""
-    sh = documents.select(
+    from .util import spread
+
+    sh = spread(documents, "doc_id").select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
     rare = (
@@ -292,7 +294,9 @@ def decontaminate(
     benchmark docs it hits, the worst-hit benchmark doc (ties break to the
     smallest id), and the fraction of that benchmark doc's shingles
     covered (the decontamination decision variable)."""
-    corp = documents.select(
+    from .util import spread
+
+    corp = spread(documents, "doc_id").select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
     ben = benchmark.select(
@@ -483,8 +487,13 @@ def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataF
     """(doc_id, mh_0..mh_{p-1}): min over shingles of p salted portable hashes.
 
     Vectorized JVM-side: explode shingles once, compute all permutations as
-    columns, min-aggregate — one shuffle."""
-    sh = documents.select(
+    columns, min-aggregate — one shuffle.  The input is spread across the
+    session's cores first when the scan under-partitions (single-file local
+    corpora would otherwise hash every shingle on one task; a no-op at
+    production split counts)."""
+    from .util import spread
+
+    sh = spread(documents, "doc_id").select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     )
     aggs = [F.min(h32(F.col("shingle"), salt=str(i))).alias(f"mh_{i}") for i in range(perms)]
@@ -568,13 +577,15 @@ def dedup_minhash_lsh(
         ]
     )
     buckets = sig.select("doc_id", F.explode(band_vals).alias("band_val"))
-    small = (
-        buckets.groupBy("band_val")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .select("band_val")
+    # hot-bucket ceiling via a window over band_val: the count rides the
+    # SAME hash partitioning the self-join below needs, so Catalyst reuses
+    # the exchange — one shuffle where the groupBy+semi-join form took three
+    wb = Window.partitionBy("band_val")
+    buckets = (
+        buckets.withColumn("__n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
     )
-    buckets = buckets.join(small, "band_val", "left_semi")
     a, c = buckets.alias("a"), buckets.alias("c")
     cand = (
         a.join(
@@ -647,7 +658,9 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over token hashes: bit b of the fingerprint is the
     sign of Σ_tokens (±1 per token's hash bit b).  JVM-side only (explode +
     bitwise agg) — no Python on the hot path."""
-    toks = documents.select(
+    from .util import spread
+
+    toks = spread(documents, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     ).withColumn("h", h32(F.col("tok")))
     bit_sums = toks.groupBy("doc_id").agg(

@@ -21,3 +21,21 @@ def table_digest(df: DataFrame, cols: list[str] | None = None) -> str:
         h.update(line.encode("utf-8"))
         h.update(b"\n")
     return h.hexdigest()
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ``df`` to the session's default parallelism — but ONLY
+    when the scan yields fewer partitions (the local small-file artifact:
+    one parquet file = one task, serializing every downstream explode/UDF
+    onto a single core).  At production scale the scan already yields
+    thousands of splits and this is a no-op — no shuffle is added.
+
+    ``cols`` (optional) hash-partitions by those columns so downstream
+    per-key work stays co-located; otherwise round-robin.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    from pyspark.sql import functions as F  # local: util stays import-light
+
+    return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
