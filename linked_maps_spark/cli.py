@@ -305,6 +305,13 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     eng = _open_engine(args)
     eng.maintain(keep_snapshots=args.keep_snapshots,
                  max_log_files=args.max_log_files)
+    if getattr(args, "cluster_by", None):
+        eng.segments.cluster_files([args.cluster_by])
+        print(f"maintain: segments clustered by {args.cluster_by}")
+    if getattr(args, "bloom_keys", False):
+        for tbl in (eng.segments, eng.relations):
+            tbl.analyze(bloom_cols=tbl.snapshot()["key_cols"])
+        print("maintain: key blooms built for segments/relations")
     print(f"maintain: compacted logs, kept ≤{args.keep_snapshots} snapshots "
           f"per table under {os.path.abspath(args.warehouse)}")
     return 0
@@ -462,6 +469,12 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--keep-snapshots", type=int, default=4)
     mp.add_argument("--max-log-files", type=int, default=8)
     mp.add_argument("--n-buckets", type=int, default=8)
+    mp.add_argument("--bloom-keys", action="store_true",
+                    help="build per-file bloom filters on the merge key "
+                         "(gid point lookups skip files; amortized reads)")
+    mp.add_argument("--cluster-by", default=None,
+                    help="rewrite segments range-clustered by this column "
+                         "(rewrite_data_files sort strategy)")
     mp.set_defaults(fn=cmd_maintain)
     return ap
 

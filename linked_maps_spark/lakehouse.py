@@ -938,6 +938,43 @@ class LakeTable:
         )
         return version
 
+    def cluster_files(
+        self,
+        sort_cols: list[str],
+        files_per_bucket: int = 4,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        """Rewrite the table's data files range-clustered by ``sort_cols``
+        within each bucket (Iceberg ``rewrite_data_files`` with a sort
+        strategy / Delta OPTIMIZE ZORDER, for the 1-D case).
+
+        Row content, bucket layout and digests are unchanged — only WHERE
+        rows sit.  After clustering, each bucket's files hold disjoint
+        ``sort_cols`` ranges, so the manifest's min/max bounds turn range
+        predicates on those columns into file skips (:meth:`files_where`),
+        and within a file the sorted pages tighten row-group pruning.  The
+        write is ``repartitionByRange(bucket, sort_cols)`` +
+        ``sortWithinPartitions`` feeding the dynamic-partition writer — the
+        range exchange is the only shuffle.  Layout-only like
+        :meth:`rebucket`: one atomic snapshot commit, crash leaves only
+        orphan files under the new version dir."""
+        snap = self.snapshot()
+        version = self.version() + 1
+        df = self._align_to(self.read(), self.schema())
+        bucketed = df.withColumn("_bucket", self.bucket_expr(df))
+        n_parts = max(1, snap["n_buckets"] * files_per_bucket)
+        laid = bucketed.repartitionByRange(
+            n_parts, F.col("_bucket"), *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions("_bucket", *sort_cols)
+        new_files = self._write_data(laid, version, write_shuffle=False)
+        self._commit_snapshot(
+            version, self.schema(), new_files, "cluster",
+            {**(summary or {}), "cluster_by": list(sort_cols)},
+            key_cols=snap["key_cols"], n_buckets=snap["n_buckets"],
+            bucket_cols=snap.get("bucket_cols", snap["key_cols"]),
+        )
+        return version
+
     def analyze(
         self,
         summary: dict[str, Any] | None = None,

@@ -135,6 +135,18 @@ def test_cli_query_and_maintain(spark, shp_dir, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["query", "q3", "--warehouse", wh, "--year1", "1900"])
     assert cli.main(["maintain", "--warehouse", wh, "--n-buckets", "2"]) == 0
+    # optional maintenance: key blooms + sort-clustering, digests unchanged
+    from linked_maps_spark.ingest import CdcEngine
+    from linked_maps_spark.util import table_digest
+
+    eng = CdcEngine(spark, wh, n_buckets=2)
+    before = table_digest(eng.segments.read())
+    assert cli.main(["maintain", "--warehouse", wh, "--n-buckets", "2",
+                     "--bloom-keys", "--cluster-by", "gid"]) == 0
+    eng = CdcEngine(spark, wh, n_buckets=2)
+    assert eng.segments.snapshot()["operation"] in ("cluster", "analyze")
+    assert any(f.get("blooms") for f in eng.segments.snapshot()["files"])
+    assert table_digest(eng.segments.read()) == before
 
 
 def test_cli_ingest_batch_equals_stream(spark, tmp_path):

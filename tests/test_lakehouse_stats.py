@@ -212,3 +212,30 @@ def test_bloom_determinism_and_portability():
     # 1 KiB / 5 hashes / 3 keys: the fixture's absent probes must miss
     assert not _bloom_may_contain(b1, "absent-key-1")
     assert not _bloom_may_contain(b1, "absent-key-2")
+
+
+def test_cluster_files_tightens_range_pruning(spark, tbl):
+    """Sort-clustering rewrite: digests unchanged, range predicates skip
+    files afterwards, the CDF across the rewrite is empty."""
+    from linked_maps_spark.util import table_digest
+
+    # interleaved value ranges across appends → every file spans ~all of v
+    tbl.append(_df(spark, [(f"a{i}", i * 2, "x") for i in range(50)]))
+    tbl.append(_df(spark, [(f"b{i}", i * 2 + 1, "y") for i in range(50)]))
+    before_digest = table_digest(tbl.read())
+    pred = [("v", "between", (10, 19))]
+    kept_before = len(tbl.files_where(pred))
+    n_files_before = len(tbl.snapshot()["files"])
+    assert kept_before == n_files_before  # interleaved: bounds keep all
+
+    v0 = tbl.version()
+    tbl.cluster_files(["v"], files_per_bucket=4)
+    assert tbl.snapshot()["operation"] == "cluster"
+    assert table_digest(tbl.read()) == before_digest
+    kept_after = len(tbl.files_where(pred))
+    assert kept_after < len(tbl.snapshot()["files"])
+    assert _rows(tbl.read_where(pred)) == _rows(
+        tbl.read().filter(F.col("v").between(10, 19))
+    )
+    # layout-only: the change feed across the rewrite is empty
+    assert tbl.changes(v0, tbl.version()).count() == 0
