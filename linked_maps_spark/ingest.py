@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import geometry as G
 from .fold import RELATION_COLUMNS, SEGMENT_BASE_COLUMNS, fold_key
 from .lakehouse import LakeTable
+from .util import balanced_part_col
 
 EVENT_CORE_COLS = ("repo", "path", "commit", "content")
 
@@ -788,22 +789,24 @@ class CdcEngine:
         # shuffles on fold_part = pmod(xxhash64(repo,path), k·n_buckets), so
         # the bucketed COW writes can skip their own exchange
         # (write_shuffle=False below) — one shuffle of the epoch's changes
-        # instead of three.  NOTE repartition(modulus, fold_part) hash-
-        # partitions on murmur3(fold_part), not fold_part itself, so a Spark
-        # partition is NOT bucket-pure (it may hold several fold_part
-        # values); correctness never depends on that (the dynamic-partition
-        # writer splits by _bucket regardless).  File count stays bounded
-        # because each fold_part VALUE lands wholly in one partition and
-        # maps to exactly one bucket (n_buckets | modulus): a merge writes
-        # ≤ #distinct-fold_part-values ≈ min(modulus, n_keys) files, not
-        # partitions × buckets.  Both tables' bucket counts start equal and
-        # only ever double (rebucket), so the larger divides the modulus.
+        # instead of three.  A Spark partition is NOT bucket-pure (it may
+        # hold several fold_part values); correctness never depends on that
+        # (the dynamic-partition writer splits by _bucket regardless).  File
+        # count stays bounded because each fold_part VALUE lands wholly in
+        # one partition and maps to exactly one bucket (n_buckets | modulus):
+        # a merge writes ≤ #distinct-fold_part-values ≈ min(modulus, n_keys)
+        # files, not partitions × buckets.  Both tables' bucket counts start
+        # equal and only ever double (rebucket), so the larger divides the
+        # modulus.  The shuffle routes through balanced_part_col (NOT raw
+        # repartition(n, fold_part)): hash-of-hash birthday collisions on a
+        # modulus-sized value set left ~1/e of the stage's slots idle.
         nb = max(
             self.segments.snapshot()["n_buckets"],
             self.relations.snapshot()["n_buckets"],
         )
         modulus = nb * max(1, round(n_parts / nb))
         fold_part = F.pmod(F.xxhash64("repo", "path"), F.lit(modulus))
+        spread = balanced_part_col(fold_part, modulus, n_parts)
         shaped = ev_side.unionByName(st_side)
         fold_fn = _make_fold_fn(self.geom_type, extras)
         out_schema = _fold_output_schema(extras)
@@ -825,10 +828,10 @@ class CdcEngine:
         if not hot:
             folded = (
                 shaped
-                # hash-partition by key: every (repo,path)'s events+state land
+                # partition by key: every (repo,path)'s events+state land
                 # in one partition; the mapper groups in pandas (one Arrow
                 # round-trip per partition, not per key)
-                .repartition(modulus, fold_part)
+                .repartition(n_parts, spread)
                 .mapInPandas(fold_fn, out_schema)
             )
         else:
@@ -838,7 +841,7 @@ class CdcEngine:
             )
             cold = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_anti")
             hotr = shaped.join(F.broadcast(hot_df), ["repo", "path"], "left_semi")
-            cold_changes = cold.repartition(modulus, fold_part).mapInPandas(
+            cold_changes = cold.repartition(n_parts, spread).mapInPandas(
                 fold_fn, out_schema
             )
             hot_changes = self._salted_fold(hotr, extras, out_schema)

@@ -38,6 +38,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from .util import balanced_part_col
+
 _SNAP_DIR = "_snapshots"
 
 # file-level column statistics (Iceberg manifest metrics analog) ------------
@@ -525,11 +527,16 @@ class LakeTable:
             # fan a hot bucket's write across salt_n tasks, keep bucket files
             # separate (skew salting on the write shuffle); partition count
             # pinned to buckets*salt so small merges don't spray hundreds of
-            # near-empty tasks/files through the dynamic-partition writer
+            # near-empty tasks/files through the dynamic-partition writer.
+            # The (bucket, salt) composite has only buckets×salt distinct
+            # values — routed through balanced_part_col so hash-of-hash
+            # birthday collisions can't idle ~1/e of the write tasks.
+            nb = n_buckets_override or snap["n_buckets"]
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_n))
+            composite = F.col("_bucket") * F.lit(salt_n) + salt
             bucketed = bucketed.repartition(
-                (n_buckets_override or snap["n_buckets"]) * salt_n,
-                F.col("_bucket"), salt,
+                nb * salt_n,
+                balanced_part_col(composite, nb * salt_n, nb * salt_n),
             )
         elif not keys:
             # key-less (append-only log) tables: single small file, no shuffle

@@ -472,3 +472,51 @@ def test_segments_change_feed_across_epochs(spark, tmp_path):
             eng.segments.read().collect()}
     got = {g: tuple(r[c] for c in SEG_COLS) for g, r in v1_rows.items()}
     assert got == want
+
+
+class TestBalancedShufflePlacement:
+    """The fold/write shuffles route low-cardinality partition keys through
+    util.balanced_part_col: a driver-side murmur3 pre-image that places value
+    v on partition v % n_parts exactly, instead of letting hash-of-hash
+    birthday collisions idle ~1/e of the stage's slots (measured: 6 of 16
+    partitions empty, 3× record skew on the 4-core fold)."""
+
+    def test_mmh3_long_matches_spark_hash(self, spark):
+        from linked_maps_spark.util import mmh3_long
+
+        vals = [0, 1, 5, -1, 42, 16, 511, -123456789, 2**40 + 7, -(2**55) - 3]
+        rows = {
+            r["x"]: r["h"]
+            for r in spark.createDataFrame([(v,) for v in vals], "x bigint")
+            .select("x", F.hash("x").alias("h"))
+            .collect()
+        }
+        assert all(rows[v] == mmh3_long(v) for v in vals)
+
+    def test_every_value_on_its_designated_partition(self, spark):
+        from linked_maps_spark.util import balanced_part_col
+
+        n_parts, modulus = 8, 24  # modulus a non-multiple case: 3 values/part
+        src = spark.range(0, 20000).withColumn(
+            "fp", F.pmod(F.xxhash64("id"), F.lit(modulus))
+        )
+        placed = (
+            src.repartition(n_parts, balanced_part_col(F.col("fp"), modulus, n_parts))
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("fp")
+            .agg(
+                F.count_distinct("pid").alias("npid"),
+                F.first("pid").alias("pid"),
+            )
+            .collect()
+        )
+        assert len(placed) == modulus
+        # value-locality (the file-count bound): one partition per value
+        assert all(r["npid"] == 1 for r in placed)
+        # exact designated placement — no collisions, no empty slots
+        assert all(r["pid"] == r["fp"] % n_parts for r in placed)
+        occupancy = {}
+        for r in placed:
+            occupancy[r["pid"]] = occupancy.get(r["pid"], 0) + 1
+        assert len(occupancy) == n_parts  # every slot busy
+        assert max(occupancy.values()) == 3 and min(occupancy.values()) == 3

@@ -35,10 +35,24 @@ def run_once(cores: int, keys: int, commits: int) -> dict:
     return json.loads(line)
 
 
-def run(cores: int, keys: int, commits: int, repeats: int) -> tuple[dict, list[dict]]:
-    samples = [run_once(cores, keys, commits) for _ in range(repeats)]
-    best = max(samples, key=lambda s: s["events_per_sec"])
-    return best, samples
+def run_interleaved(
+    n: int, keys: int, commits: int, repeats: int
+) -> tuple[dict, list[dict], dict, list[dict]]:
+    """Alternate (N, 4N) legs so both legs see the same weather windows.
+
+    Running all T_N legs then all T_4N legs (the old order) lets hypervisor
+    load drift between the two phases bias the ratio in either direction;
+    paired alternation exposes both legs to the same background-load
+    trajectory.  The estimator is unchanged: best-of-N per leg.
+    """
+    lo_samples: list[dict] = []
+    hi_samples: list[dict] = []
+    for _ in range(repeats):
+        lo_samples.append(run_once(n, keys, commits))
+        hi_samples.append(run_once(4 * n, keys, commits))
+    lo = max(lo_samples, key=lambda s: s["events_per_sec"])
+    hi = max(hi_samples, key=lambda s: s["events_per_sec"])
+    return lo, lo_samples, hi, hi_samples
 
 
 def main() -> None:
@@ -50,8 +64,7 @@ def main() -> None:
     keys = int(os.environ.get("SCALE_KEYS", "16000"))
     commits = int(os.environ.get("SCALE_COMMITS", "8"))
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
-    lo, lo_samples = run(n, keys, commits, repeats)
-    hi, hi_samples = run(4 * n, keys, commits, repeats)
+    lo, lo_samples, hi, hi_samples = run_interleaved(n, keys, commits, repeats)
     eff = hi["events_per_sec"] / (4 * lo["events_per_sec"])
 
     def fmt_samples(samples: list[dict]) -> str:
@@ -63,8 +76,9 @@ Per BASELINE.md's sandbox evidence plan: the **identical** CDC ingest job
 (seeded Zipf-skewed WAL, {lo['events']} change events, same configs with
 shuffle partitions scaled to cores) run at two local parallelism levels in
 fresh JVMs, standing in for N vs 4N executors.  Each leg = best of
-{repeats} runs (hypervisor background load swings identical runs by up to
-1.8×; all samples below).
+{repeats} runs, legs ALTERNATED (N, 4N, N, 4N, ...) so both legs sample the
+same background-load windows (hypervisor load swings identical runs by up
+to 1.8×; all samples below).
 
 | run | master | events | wall (s) | events/sec | all samples |
 |---|---|---|---|---|---|
