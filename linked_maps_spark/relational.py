@@ -307,10 +307,27 @@ def event_sessionize(spark, sf_dir):
     conditional running sum — the standard event-stream session operator.
     Two windows over ONE partitioning (user_id), so Spark plans a single
     sort+shuffle; the gap test is exact integer epoch-seconds arithmetic,
-    oracle-identical to DuckDB's date_diff."""
+    oracle-identical to DuckDB's date_diff.
+
+    Gap arithmetic is deliberately tz-FREE: ``unix_timestamp`` would route
+    the NTZ event time through the session timezone (a 6h30m wall gap
+    across a spring-forward reads as 5h30m and merges sessions the oracle
+    splits), so epoch seconds come from ``timestampdiff(MICROSECOND, ntz
+    epoch, ts)`` — pure wall-clock integer math, like DuckDB's naive
+    timestamps.  The floor-to-second difference equals DuckDB's
+    ``date_diff('second')`` boundary count (which ``timestampdiff(SECOND)``
+    — a truncated exact difference — would NOT for sub-second parts)."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sec = F.floor(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        )
+        / F.lit(1_000_000)
+    )
+    e = e.withColumn("__sec", sec)
+    gap = F.col("__sec") - F.lag("__sec").over(w)
     flagged = e.select(
         "event_id",
         "user_id",

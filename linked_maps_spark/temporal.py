@@ -197,10 +197,15 @@ def range_join_binned(
     stays ~1-2; Spark's native plan for this predicate is a nested-loop
     cross product.
     """
-    # NTZ-safe epoch micros: the LTZ cast's session-tz shift is identical on
-    # both sides, so bin assignment stays consistent (bin ids are internal —
-    # the residual filter below is the exact predicate).
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    # tz-FREE epoch micros (wall-clock since the NTZ epoch).  An LTZ cast
+    # here would be non-injective across a DST spring-forward gap: a point
+    # at a nonexistent wall time maps an hour ahead, can land in a bin past
+    # the interval's last covered bin, and the pair is silently dropped
+    # even though the exact residual predicate accepts it.
+    us = lambda c: F.expr(  # noqa: E731
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({c} AS TIMESTAMP_NTZ))"
+    )
     p = points.withColumn("__bin", F.floor(us(point_time) / F.lit(bin_micros)))
     i = intervals.withColumn(
         "__bin",

@@ -73,46 +73,59 @@ def mmh3_long(x: int, seed: int = 42) -> int:
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1
 
 
-_PROBE_CACHE: dict[tuple[int, int], list[int]] = {}
+_PROBE_CACHE: dict[int, list[int]] = {}
 
 
-def balanced_probes(modulus: int, n_parts: int) -> list[int]:
-    """probes[v] = smallest k ≥ 0 with pmod(murmur3(k), n_parts) == v % n_parts.
+def balanced_probes(n_parts: int) -> list[int]:
+    """probes[r] = smallest k ≥ 0 with pmod(murmur3(k), n_parts) == r.
 
     ``repartition(n, key)`` re-hashes the partition key through murmur3;
-    when the key has only ``modulus`` distinct values (a bucket id, a
+    when the key has only ~n distinct values (a bucket id, a
     bucket-refining fold key) the birthday collisions leave ~1/e of the
     partitions EMPTY and stack 2-3 values on one task (measured on the CDC
     fold at 4 cores / 16 values: 6 empty partitions, 3× record skew, fold
     stage 61.6 s vs the 50.2 s ideal).  Routing the shuffle through
-    ``probes[key]`` keeps every key value wholly in one partition (file-count
-    bounds unchanged) while making partition occupancy exactly
-    floor/ceil(modulus / n_parts) values each — the balanced layout the
-    hash was supposed to give.
+    ``probes[key % n_parts]`` keeps every key value wholly in one partition
+    (file-count bounds unchanged) while making partition occupancy exactly
+    floor/ceil(distinct-values / n_parts) values each — the balanced layout
+    the hash was supposed to give.
+
+    Only ``n_parts`` entries are needed (a value's designated partition is
+    its residue class), so the search is one k-sweep until every residue
+    has a pre-image — O(n_parts·ln n_parts) expected murmur evaluations,
+    never a function of the key modulus (a 2^20-bucket table costs ~the
+    same as a 16-bucket one).
     """
-    key = (modulus, n_parts)
-    got = _PROBE_CACHE.get(key)
+    got = _PROBE_CACHE.get(n_parts)
     if got is None:
-        got = []
-        for v in range(modulus):
-            target = v % n_parts
-            k = 0
-            while mmh3_long(k) % n_parts != target:
-                k += 1
-            got.append(k)
-        _PROBE_CACHE[key] = got
+        first: list[int | None] = [None] * n_parts
+        found, k = 0, 0
+        while found < n_parts:
+            r = mmh3_long(k) % n_parts
+            if first[r] is None:
+                first[r] = k
+                found += 1
+            k += 1
+        got = first  # type: ignore[assignment]
+        _PROBE_CACHE[n_parts] = got
     return got
 
 
 def balanced_part_col(value_col, modulus: int, n_parts: int):
-    """Column: probes[value_col] (O(1) literal-array lookup per row).
+    """Column: probes[value_col % n_parts] (O(1) literal-array lookup per
+    row; the array holds ``n_parts`` longs regardless of ``modulus``, so
+    plan size never grows with bucket count).
 
-    ``value_col`` must be integral in ``[0, modulus)``; repartitioning on
-    the returned column with ``n_parts`` partitions places value ``v`` on
-    partition ``v % n_parts`` exactly.
+    ``value_col`` must be integral; repartitioning on the returned column
+    with ``n_parts`` partitions places value ``v`` on partition
+    ``v % n_parts`` exactly.  ``modulus`` (the value domain size) is kept
+    in the signature for call-site documentation only — the probe table
+    depends solely on ``n_parts``.
     """
     from pyspark.sql import functions as F  # local: util stays import-light
 
-    probes = balanced_probes(modulus, n_parts)
+    probes = balanced_probes(n_parts)
     arr = F.array(*[F.lit(p).cast("long") for p in probes])
-    return F.element_at(arr, value_col.cast("int") + F.lit(1))
+    return F.element_at(
+        arr, F.pmod(value_col.cast("long"), F.lit(n_parts)).cast("int") + F.lit(1)
+    )

@@ -520,3 +520,27 @@ class TestBalancedShufflePlacement:
             occupancy[r["pid"]] = occupancy.get(r["pid"], 0) + 1
         assert len(occupancy) == n_parts  # every slot busy
         assert max(occupancy.values()) == 3 and min(occupancy.values()) == 3
+
+    def test_probe_search_independent_of_modulus(self):
+        """The probe table is residue-class-sized: a 2^20-bucket layout must
+        cost the same driver search (and the same plan-side literal array)
+        as a 16-bucket one — O(modulus) search would hang the first write
+        after maybe_rebucket doubles into the thousands."""
+        import time
+
+        from linked_maps_spark.util import _PROBE_CACHE, balanced_probes, mmh3_long
+
+        _PROBE_CACHE.pop(64, None)
+        t0 = time.monotonic()
+        probes = balanced_probes(64)
+        assert time.monotonic() - t0 < 1.0
+        assert len(probes) == 64
+        assert all(mmh3_long(k) % 64 == r for r, k in enumerate(probes))
+        # a huge modulus changes nothing: same table, same cost
+        from pyspark.sql import functions as F
+
+        from linked_maps_spark.util import balanced_part_col
+
+        t0 = time.monotonic()
+        balanced_part_col(F.lit(123456789), 1 << 20, 64)
+        assert time.monotonic() - t0 < 1.0

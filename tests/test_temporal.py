@@ -252,3 +252,84 @@ def test_continuous_rollup_incremental_refresh(spark, tmp_path):
     # idempotent: nothing new appended → no new snapshot
     assert temporal.maintain_rollup(events_tbl, rollup) == v
     assert rollup.version() == v
+
+
+def test_range_join_binned_is_dst_proof(spark):
+    """Bin arithmetic must be tz-free: under a DST session timezone an
+    LTZ-cast epoch is non-injective (a point at a nonexistent spring-forward
+    wall time maps an hour ahead), which used to drop pairs the exact
+    residual predicate accepts."""
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # 2024-03-10 02:00-03:00 does not exist on the NY wall clock
+        pts = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 3, 10, 2, 30)),   # inside the DST gap
+                (2, dt.datetime(2024, 3, 10, 1, 59)),
+                (3, dt.datetime(2024, 3, 10, 3, 1)),
+            ],
+            "pid long, ts timestamp_ntz",
+        )
+        iv = spark.createDataFrame(
+            [(10, dt.datetime(2024, 3, 10, 2, 0), dt.datetime(2024, 3, 10, 3, 0))],
+            "iv_id long, lo timestamp_ntz, hi timestamp_ntz",
+        )
+        got = {
+            (r["pid"], r["iv_id"])
+            for r in temporal.range_join_binned(
+                pts, iv, "ts", "lo", "hi", bin_micros=3_600_000_000
+            )
+            .select("pid", "iv_id")
+            .collect()
+        }
+        assert got == {(1, 10)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_event_sessionize_gap_is_dst_proof(spark, tmp_path):
+    """The 6h session gap is wall-clock (matching DuckDB's naive-timestamp
+    date_diff), not instant-based: a 6h30m wall gap spanning spring-forward
+    must START a new session even when only 5h30m of real time elapsed."""
+    import duckdb as _duck
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from linked_maps_spark import relational
+
+    rows = [
+        (1, dt.datetime(2024, 3, 10, 1, 30), 7, "view", 0.0, ""),
+        (2, dt.datetime(2024, 3, 10, 8, 0), 7, "view", 0.0, ""),  # +6h30m wall
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = {
+            r["event_id"]: r["session_id"]
+            for r in relational.QUERIES["event_sessionize"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    want = {
+        r[0]: r[2]
+        for r in con.execute(relational.ORACLES["event_sessionize"]).fetchall()
+    }
+    assert got == want == {1: 1, 2: 2}
