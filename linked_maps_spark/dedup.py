@@ -577,15 +577,22 @@ def dedup_minhash_lsh(
         ]
     )
     buckets = sig.select("doc_id", F.explode(band_vals).alias("band_val"))
-    # hot-bucket ceiling via a window over band_val: the count rides the
-    # SAME hash partitioning the self-join below needs, so Catalyst reuses
-    # the exchange — one shuffle where the groupBy+semi-join form took three
-    wb = Window.partitionBy("band_val")
-    buckets = (
-        buckets.withColumn("__n", F.count(F.lit(1)).over(wb))
-        .filter(F.col("__n") <= max_bucket)
-        .drop("__n")
+    # hot-bucket ceiling: count per band with a groupBy (map-side partial
+    # aggregation — the hot band collapses to one row per task BEFORE the
+    # shuffle), then anti-join the over-ceiling bands away.  A window
+    # count(*) over band_val would be one shuffle cheaper, but a window
+    # partition cannot be AQE-skew-split: the pathological band the ceiling
+    # exists to defuse would land whole in a single task before its filter
+    # ever ran.  The hot-band list is tiny by construction (≤ N·bands /
+    # max_bucket entries), so AQE broadcasts the anti-join and the only
+    # full-size shuffles left are the count agg and the self-join below.
+    hot = (
+        buckets.groupBy("band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band_val")
     )
+    buckets = buckets.join(hot, "band_val", "left_anti")
     a, c = buckets.alias("a"), buckets.alias("c")
     cand = (
         a.join(

@@ -129,13 +129,16 @@ def dedup_minhash_incremental(
             ).withColumn("is_new", F.lit(True))
         )
     )
-    small = (
+    # anti-join the tiny OVER-ceiling band list (AQE-broadcastable) instead
+    # of semi-joining the near-complete under-ceiling set — same semantics,
+    # one fewer full-size shuffle of the banded table
+    hot = (
         both.groupBy("band_val")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
+        .filter(F.col("n") > max_bucket)
         .select("band_val")
     )
-    both = both.join(small, "band_val", "left_semi")
+    both = both.join(hot, "band_val", "left_anti")
     a, c = both.alias("a"), both.alias("c")
     cand = (
         a.join(

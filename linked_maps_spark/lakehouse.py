@@ -148,10 +148,38 @@ _BLOOM_BITS = 8192  # 1 KiB per column per file; fpr < 1% up to ~1k keys
 _BLOOM_K = 5
 
 
+def _bloom_render(value) -> bytes:
+    """Canonical byte rendering shared by bloom build AND probe.
+
+    ``str(value)`` alone is a correctness trap: the build side hashes the
+    STORED python value (``str(10.0)`` = ``'10.0'``) while the probe side
+    hashes whatever literal the caller passed (``str(10)`` = ``'10'``), and
+    a rendering mismatch is a false NEGATIVE — files silently pruned away
+    from a query that would match.  Numerically-equal int/float/Decimal/bool
+    values must therefore collapse to one rendering; everything else keeps
+    its str() under a type tag so e.g. the string ``'10'`` never aliases the
+    number 10."""
+    import decimal
+
+    if isinstance(value, bool):
+        return b"n:%d" % int(value)
+    if isinstance(value, int):
+        return b"n:%d" % value
+    if isinstance(value, float):
+        if value.is_integer():
+            return b"n:%d" % int(value)
+        return b"f:%s" % repr(value).encode()
+    if isinstance(value, decimal.Decimal):
+        if value == value.to_integral_value():
+            return b"n:%d" % int(value)
+        return b"f:%s" % repr(float(value)).encode()
+    return b"s:%s" % str(value).encode()
+
+
 def _bloom_positions(value, m_bits: int, k: int):
     import hashlib
 
-    s = str(value).encode()
+    s = _bloom_render(value)
     for i in range(k):
         d = hashlib.md5(b"%d:%s" % (i, s)).digest()
         yield int.from_bytes(d[:8], "big") % m_bits
@@ -531,12 +559,21 @@ class LakeTable:
             # The (bucket, salt) composite has only buckets×salt distinct
             # values — routed through balanced_part_col so hash-of-hash
             # birthday collisions can't idle ~1/e of the write tasks.
+            # Partition count is capped: the probe table is an n_parts-long
+            # literal array in the plan (and an O(n·ln n) driver sweep), so
+            # letting it track nb·salt_n unbounded would blow up plan
+            # serialization once rebucketing reaches thousands of buckets.
+            # Under the cap each write task handles ceil(nb·salt_n/n_parts)
+            # composite values — still exactly balanced (residue classes),
+            # and the dynamic-partition writer splits files by _bucket
+            # regardless, so file layout is unchanged.
             nb = n_buckets_override or snap["n_buckets"]
             salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_n))
             composite = F.col("_bucket") * F.lit(salt_n) + salt
+            n_parts = min(nb * salt_n, 4096)
             bucketed = bucketed.repartition(
-                nb * salt_n,
-                balanced_part_col(composite, nb * salt_n, nb * salt_n),
+                n_parts,
+                balanced_part_col(composite, nb * salt_n, n_parts),
             )
         elif not keys:
             # key-less (append-only log) tables: single small file, no shuffle

@@ -411,13 +411,17 @@ def dedup_embedding_cosine(
       pairs, so total candidates stay ≤ N·bands·max_bucket — linear in N,
       never quadratic."""
     banded = lsh_bands(embeddings, n_planes, n_bands, dim)
-    small = (
+    # anti-join the OVER-ceiling bands (tiny by construction: ≤ N·bands /
+    # max_bucket entries, so AQE broadcasts it) rather than semi-joining the
+    # near-complete under-ceiling set, which would shuffle the full banded
+    # table a second time
+    hot = (
         banded.groupBy("band_val")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
+        .filter(F.col("n") > max_bucket)
         .select("band_val")
     )
-    banded = banded.join(small, "band_val", "left_semi")
+    banded = banded.join(hot, "band_val", "left_anti")
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(c, (F.col("a.band_val") == F.col("c.band_val"))

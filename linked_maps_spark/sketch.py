@@ -28,22 +28,11 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .util import load_table as _load, make_query_registry
 
-
-def query(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLES[name] = sql
-        return fn
-
-    return deco
-
-
-def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]
+ORACLES: dict[str, str]
+QUERIES, ORACLES, query = make_query_registry()
 
 
 # ------------------------------------------------------------- HyperLogLog
@@ -154,11 +143,17 @@ def cms_sketch(df: DataFrame, value: F.Column) -> DataFrame:
     Row r's hash: first 8 hex of ``md5(r || ':' || value)`` mod w — the
     same family as :func:`linked_maps_spark.dedup.h32`.  Merge of two
     sketches = union + ``groupBy(r, bucket).sum`` (tested in pytest).
+
+    NULL keys are excluded: ``concat_ws`` silently SKIPS nulls (hashing a
+    NULL value as the bare row index, polluting an unrelated cell) while
+    SQL ``||`` NULL-propagates — filtering up front is the only rendering
+    both engines agree on.
     """
     rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
-    cell = df.select(value.cast("string").alias("v")).select(
-        rows,
-        F.col("v"),
+    cell = (
+        df.select(value.cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .select(rows, F.col("v"))
     )
     bucket = (
         F.conv(
@@ -183,7 +178,11 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 def cms_point_estimates(sketch: DataFrame, keys: DataFrame, value: F.Column) -> DataFrame:
     """Point-query the sketch for each key row: min over the d row counters
     (the classic CMS upper-bound estimate, never below the true count)."""
-    probes = keys.select(value.cast("string").alias("v")).distinct()
+    probes = (
+        keys.select(value.cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+    )
     expanded = probes.select(
         "v", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
     )
@@ -206,7 +205,8 @@ _CMS_CELL_SQL = f"""
                CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || v.v), 1, 8))
                     AS UBIGINT)::BIGINT % {CMS_W} AS bucket,
                v.v
-        FROM (SELECT CAST(event_type AS VARCHAR) AS v FROM events) v,
+        FROM (SELECT CAST(event_type AS VARCHAR) AS v FROM events
+              WHERE event_type IS NOT NULL) v,
              (SELECT CAST(range AS BIGINT) AS r FROM range({CMS_D})) t
 """
 
@@ -216,7 +216,8 @@ _CMS_CELL_SQL = f"""
     f"""
     WITH cells AS ({_CMS_CELL_SQL}),
     sk AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY r, bucket),
-    probes AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS v FROM events),
+    probes AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS v FROM events
+               WHERE event_type IS NOT NULL),
     pcells AS (
         SELECT p.v, t.r,
                CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || p.v), 1, 8))
@@ -272,7 +273,10 @@ def hist_sketch(df: DataFrame, value: F.Column, lo: float, hi: float) -> DataFra
     """Fixed-grid histogram sketch ``(bucket, cnt)`` over ``[lo, hi)`` —
     the mergeable quantile/distribution summary (merge = per-bucket sum,
     like CMS).  Values are clamped into the edge buckets, so the sketch is
-    total over any input.  Bucket index arithmetic is one multiply + one
+    total over any NON-NULL input; NULLs are excluded up front — Spark's
+    least/greatest SKIP nulls, so without the filter a NULL value would
+    silently land in the top bucket (least(255, NULL) = 255) and skew every
+    derived quantile.  Bucket index arithmetic is one multiply + one
     divide + a floor in double — the identical IEEE op sequence in the
     DuckDB oracle, so the sketch is value-exact cross-engine."""
     idx = F.floor(
@@ -282,7 +286,8 @@ def hist_sketch(df: DataFrame, value: F.Column, lo: float, hi: float) -> DataFra
     )
     clamped = F.greatest(F.lit(0), F.least(F.lit(HIST_BUCKETS - 1), idx)).cast("long")
     return (
-        df.select(clamped.alias("bucket"))
+        df.where(value.isNotNull())
+        .select(clamped.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -319,7 +324,7 @@ _HIST_CELL_SQL = f"""
                    FLOOR((CAST(value AS DOUBLE) - {{lo}})
                          * {float(HIST_BUCKETS)} / ({{hi}} - {{lo}})))) AS BIGINT)
                AS bucket
-        FROM events
+        FROM events WHERE value IS NOT NULL
 """
 
 

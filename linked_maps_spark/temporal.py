@@ -38,22 +38,11 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+from .util import load_table as _load, make_query_registry
 
-
-def query(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLES[name] = sql
-        return fn
-
-    return deco
-
-
-def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]
+ORACLES: dict[str, str]
+QUERIES, ORACLES, query = make_query_registry()
 
 
 # --------------------------------------------------------------- as-of join
@@ -207,7 +196,11 @@ def range_join_binned(
         f"CAST({c} AS TIMESTAMP_NTZ))"
     )
     p = points.withColumn("__bin", F.floor(us(point_time) / F.lit(bin_micros)))
-    i = intervals.withColumn(
+    # Degenerate intervals (hi <= lo) match nothing under lo <= t < hi, but
+    # left in they would be a DoS: sequence(start, stop) defaults to step -1
+    # when start > stop, so one corrupt row with swapped bounds explodes to
+    # every bin DOWN to its hi — drop them before the explode.
+    i = intervals.where(F.col(hi) > F.col(lo)).withColumn(
         "__bin",
         F.explode(
             F.sequence(
@@ -303,19 +296,23 @@ def reaggregate(finer: DataFrame, level: str) -> DataFrame:
     )
 
 
-def hypertable_rollup(events: DataFrame) -> DataFrame:
+def hypertable_rollup(events: DataFrame, sort: bool = True) -> DataFrame:
     """Three-level continuous aggregate over the events hypertable:
-    minute ← raw, hour ← minute, day ← hour (union-tagged by level)."""
+    minute ← raw, hour ← minute, day ← hour (union-tagged by level).
+
+    ``sort=False`` skips the presentation orderBy for callers that feed the
+    result into another aggregation/merge (the incremental refresh), where
+    a global sort is pure waste."""
     minute = _leaf_rollup(events, "minute")
     hour = reaggregate(minute, "hour")
     day = reaggregate(hour, "day")
     tag = lambda df, lvl: df.select(F.lit(lvl).alias("level"), "*")  # noqa: E731
-    return (
+    out = (
         tag(minute, "minute")
         .unionByName(tag(hour, "hour"))
         .unionByName(tag(day, "day"))
-        .orderBy("level", "bucket_ts")
     )
+    return out.orderBy("level", "bucket_ts") if sort else out
 
 
 _ROLLUP_LEVEL_SQL = """
@@ -384,19 +381,25 @@ def maintain_rollup(events_tbl, rollup) -> int:
     if from_v >= to_v:
         return rollup.version()
     delta = events_tbl.read_appended(from_v, to_v)
-    d = hypertable_rollup(delta)
-    keys = F.broadcast(d.select("level", "bucket_ts").distinct())
-    current = rollup.read(buckets=rollup.buckets_for(d)).join(
-        keys, ["level", "bucket_ts"], "left_semi"
-    )
-    combined = (
-        current.unionByName(d)
-        .groupBy("level", "bucket_ts")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value_milli").alias("sum_value_milli"),
-            F.min("min_value_milli").alias("min_value_milli"),
-            F.max("max_value_milli").alias("max_value_milli"),
+    # cache: the delta rollup is consumed THREE times (buckets_for collect,
+    # the broadcast-keys collect, and the union below) — without it each
+    # consumer re-scans the delta files and re-runs the 3-level aggregation
+    d = hypertable_rollup(delta, sort=False).cache()
+    try:
+        keys = F.broadcast(d.select("level", "bucket_ts").distinct())
+        current = rollup.read(buckets=rollup.buckets_for(d)).join(
+            keys, ["level", "bucket_ts"], "left_semi"
         )
-    )
-    return rollup.merge_upsert(combined, summary={"events_version": to_v})
+        combined = (
+            current.unionByName(d)
+            .groupBy("level", "bucket_ts")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_milli").alias("sum_value_milli"),
+                F.min("min_value_milli").alias("min_value_milli"),
+                F.max("max_value_milli").alias("max_value_milli"),
+            )
+        )
+        return rollup.merge_upsert(combined, summary={"events_version": to_v})
+    finally:
+        d.unpersist(blocking=False)

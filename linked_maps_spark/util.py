@@ -32,9 +32,14 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
 
     ``cols`` (optional) hash-partitions by those columns so downstream
     per-key work stays co-located; otherwise round-robin.
+
+    Streaming DataFrames pass through untouched — ``df.rdd`` would raise on
+    them, and micro-batch partitioning is the source's business.
     """
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(target, 8):
+    if df.rdd.getNumPartitions() >= target:
         return df
     from pyspark.sql import functions as F  # local: util stays import-light
 
@@ -129,3 +134,27 @@ def balanced_part_col(value_col, modulus: int, n_parts: int):
     return F.element_at(
         arr, F.pmod(value_col.cast("long"), F.lit(n_parts)).cast("int") + F.lit(1)
     )
+
+
+def make_query_registry():
+    """(QUERIES, ORACLES, query) triple — the driver-contract registry every
+    query module keeps (relational/temporal/sketch).  One definition so a
+    change to oracle registration can't silently miss a copy."""
+    queries: dict = {}
+    oracles: dict[str, str] = {}
+
+    def query(name: str, sql: str | None = None):
+        def deco(fn):
+            queries[name] = fn
+            if sql is not None:
+                oracles[name] = sql
+            return fn
+
+        return deco
+
+    return queries, oracles, query
+
+
+def load_table(spark, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver-provided parquet table (shared by the query modules)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

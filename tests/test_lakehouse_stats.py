@@ -239,3 +239,39 @@ def test_cluster_files_tightens_range_pruning(spark, tbl):
     )
     # layout-only: the change feed across the rewrite is empty
     assert tbl.changes(v0, tbl.version()).count() == 0
+
+
+def test_bloom_rendering_unifies_numeric_types():
+    """str(value) alone would make an int probe of a double column a false
+    NEGATIVE (file wrongly pruned -> silently empty result).  Numerically
+    equal int/float/Decimal/bool must collapse to one rendering; strings
+    never alias numbers."""
+    import decimal
+
+    from linked_maps_spark.lakehouse import _bloom_build, _bloom_may_contain
+
+    bl = _bloom_build([10.0, decimal.Decimal("7.50"), True, 42, "s"])
+    for probe in (10, 10.0, decimal.Decimal("10"), decimal.Decimal("10.0")):
+        assert _bloom_may_contain(bl, probe)
+    for probe in (7.5, decimal.Decimal("7.5")):
+        assert _bloom_may_contain(bl, probe)
+    assert _bloom_may_contain(bl, True) and _bloom_may_contain(bl, 1)
+    assert _bloom_may_contain(bl, 42) and _bloom_may_contain(bl, 42.0)
+    assert not _bloom_may_contain(bl, "10")  # the STRING '10', not the number
+    assert not _bloom_may_contain(bl, 11)
+
+
+def test_bloom_double_column_probed_with_int(spark, tmp_path):
+    """End-to-end: a DOUBLE merge key analyzed into blooms, point-probed
+    with a python int — must keep the matching file (no false-negative
+    prune) and still prune a truly absent key."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "d"), "v double, s string", key_cols=["v"], n_buckets=1
+    )
+    t.append(spark.createDataFrame([(float(i), f"r{i}") for i in range(50)],
+                                   "v double, s string"))
+    t.append(spark.createDataFrame([(1000.0, "hit")], "v double, s string"))
+    t.analyze(bloom_cols=["v"])
+    assert t.files_where([("v", "=", 1000)])  # int literal, double column
+    assert t.read_where([("v", "=", 1000)]).count() == 1
+    assert t.files_where([("v", "=", 99999)]) == []

@@ -614,3 +614,28 @@ def test_event_sessionize_boundaries(spark, tmp_path):
            for r in relational.event_sessionize(spark, str(tmp_path)).collect()}
     assert [got[i] for i in range(1, 6)] == [1, 1, 2, 3, 3]
     assert got[6] == 1
+
+
+def test_minhash_ceiling_drops_hot_bands_without_a_window(spark, docs):
+    """The hot-band ceiling must (a) actually drop over-ceiling bands and
+    (b) never be computed with a window over band_val — a window partition
+    cannot be AQE-skew-split, so the pathological band would land whole in
+    one task before its filter ran (the exact straggler the ceiling
+    defuses)."""
+    hot = spark.createDataFrame(
+        [(i, "the same hot document text repeated verbatim") for i in range(60)]
+        + [(100, "a perfectly unique snowflake sentence here"),
+           (101, "a perfectly unique snowflake sentence here")],
+        "doc_id long, text string",
+    )
+    dedup.clear_cache()
+    try:
+        # all 60 identical docs share every band -> bucket size 60 > 10:
+        # every hot band dropped, only the size-2 group survives
+        got = dedup.dedup_minhash_lsh(hot, max_bucket=10)
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+        assert pairs == {(100, 101)}
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+    finally:
+        dedup.clear_cache()

@@ -171,3 +171,21 @@ def test_hist_clamps_out_of_range(spark):
         for r in sketch.hist_sketch(df, F.col("value"), 0.0, 512.0).collect()
     }
     assert got == {0: 2, sketch.HIST_BUCKETS - 1: 2}
+
+
+def test_hist_and_cms_exclude_nulls(spark):
+    """NULLs must be excluded from both sketches: Spark's least/greatest
+    SKIP nulls (a NULL value would land in the histogram's top bucket) and
+    concat_ws skips them (a NULL key would hash as the bare row index into
+    an unrelated CMS cell) while DuckDB's || NULL-propagates — the engines
+    only agree on 'NULLs out'."""
+    vals = spark.createDataFrame([(1.0,), (None,), (300.0,)], "value double")
+    hist = sketch.hist_sketch(vals, F.col("value"), 0.0, 512.0).collect()
+    assert sum(r["cnt"] for r in hist) == 2
+    assert all(r["bucket"] != sketch.HIST_BUCKETS - 1 for r in hist)
+
+    keys = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
+    cms = sketch.cms_sketch(keys, F.col("k"))
+    assert cms.agg(F.sum("cnt")).first()[0] == 2 * sketch.CMS_D
+    est = sketch.cms_point_estimates(cms, keys, F.col("k")).collect()
+    assert {(r["v"], r["cms_count"]) for r in est} == {("a", 2)}

@@ -333,3 +333,28 @@ def test_event_sessionize_gap_is_dst_proof(spark, tmp_path):
         for r in con.execute(relational.ORACLES["event_sessionize"]).fetchall()
     }
     assert got == want == {1: 1, 2: 2}
+
+
+def test_range_join_drops_degenerate_intervals_before_explode(spark):
+    """hi <= lo matches nothing under lo <= t < hi — but without the guard,
+    sequence(start, stop) steps -1 when start > stop, so one corrupt row
+    with swapped bounds would explode to every bin down to hi (a DoS).  The
+    guard must drop such rows BEFORE the explode, visibly in the plan."""
+    import re
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 12, 0, 0))], "event_id long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            # swapped bounds spanning ~54 years of 1h bins if exploded
+            (1, dt.datetime(2024, 6, 1), dt.datetime(1970, 1, 1)),
+            # empty interval (hi == lo)
+            (2, dt.datetime(2024, 6, 1), dt.datetime(2024, 6, 1)),
+        ],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    out = temporal.range_join_binned(ev, iv, "ts", "lo", "hi")
+    assert out.count() == 0
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"hi#\d+ > lo#\d+", plan), plan
