@@ -982,6 +982,35 @@ class LakeTable:
         )
         return version
 
+    def rollback_to(self, version: int, summary: dict[str, Any] | None = None) -> int:
+        """Iceberg-style rollback: commit a NEW snapshot whose content
+        (file list, schema, bucket layout) is that of an earlier version.
+
+        Nothing is copied or rewritten — data files are shared with the old
+        snapshot, and history is preserved (the bad commits stay auditable;
+        ``changes()`` across the rollback yields the compensating events).
+        Raises ``FileNotFoundError`` if the target snapshot has been
+        expired, ``CommitConflict`` if a concurrent writer wins the next
+        version — the standard optimistic-commit rules."""
+        old = self.snapshot(version)
+        cur = self.version()
+        if cur is None:
+            raise FileNotFoundError("cannot roll back an empty table")
+        if version == cur:
+            return cur
+        new_v = cur + 1
+        self._commit_snapshot(
+            new_v,
+            StructType.fromJson(old["schema"]),
+            old["files"],
+            "rollback",
+            {**(summary or {}), "rollback_of": version},
+            key_cols=old["key_cols"],
+            n_buckets=old["n_buckets"],
+            bucket_cols=old.get("bucket_cols", old["key_cols"]),
+        )
+        return new_v
+
     def cluster_files(
         self,
         sort_cols: list[str],

@@ -415,3 +415,42 @@ def test_stream_read_tails_appends_exactly_once(spark, tmp_path):
     log.append(spark.createDataFrame([("c", 3)], "m string, i long"))
     drain()  # same checkpoint: only the new file lands
     assert sorted(out) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_rollback_restores_content_without_rewrite(spark, tbl):
+    """rollback_to commits a NEW snapshot sharing the old version's files —
+    content identical to the target, history preserved, zero data rewritten;
+    the CDC feed across the rollback yields the compensating events."""
+    tbl.append(_df(spark, [("a", 1), ("b", 2)]))
+    good = tbl.version()
+    good_digest = table_digest(tbl.read())
+    good_files = {f["path"] for f in tbl.snapshot()["files"]}
+    tbl.merge_upsert(_df(spark, [("b", 99), ("c", 3)]))  # the bad commit
+    bad = tbl.version()
+
+    v = tbl.rollback_to(good)
+    assert v == bad + 1 and tbl.version() == v  # history preserved, new head
+    assert table_digest(tbl.read()) == good_digest
+    assert {f["path"] for f in tbl.snapshot()["files"]} == good_files  # shared
+    assert tbl.snapshot()["operation"] == "rollback"
+    assert tbl.snapshot()["summary"]["rollback_of"] == good
+    # compensating CDC events across the rollback: c removed, b restored
+    ch = {(r["k"], r["_change_type"]): r["v"]
+          for r in tbl.changes(bad, v).collect()}
+    assert ch[("c", "delete")] == 3
+    assert ch[("b", "update_preimage")] == 99
+    assert ch[("b", "update_postimage")] == 2
+    # rolling back to the current head is a no-op
+    assert tbl.rollback_to(v) == v
+    # writes continue normally on the new head
+    tbl.append(_df(spark, [("d", 4)]))
+    assert tbl.read().count() == 3
+
+
+def test_rollback_to_expired_snapshot_raises(spark, tbl):
+    tbl.append(_df(spark, [("a", 1)]))
+    tbl.merge_upsert(_df(spark, [("a", 2)]))
+    tbl.merge_upsert(_df(spark, [("a", 3)]))
+    tbl.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        tbl.rollback_to(0)
