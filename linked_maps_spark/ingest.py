@@ -475,6 +475,18 @@ class CdcEngine:
         )
         return leaves, buckets
 
+    def _hot_keys(self, leaves: DataFrame) -> list[tuple[str, str]]:
+        """Exact Zipf-head count: keys whose accumulated leaf lattice crosses
+        ``salt_leaf_threshold`` (routed through the salted fold).  One Spark
+        job; callers gate it behind the manifest-row pretest."""
+        return [
+            (r["repo"], r["path"])
+            for r in leaves.groupBy("repo", "path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= self.salt_leaf_threshold)
+            .collect()
+        ]
+
     def _leaves_for(
         self,
         batch_keys: DataFrame,
@@ -816,14 +828,35 @@ class CdcEngine:
         # route them through the salted fold (leaf slices + coordinator,
         # saltfold.py), everything else through the plain partition fold.
         hot: list[tuple[str, str]] = []
+        leaves_cached = False
         if state_has_files and self.n_salts > 1 and self.salt_leaf_threshold > 0:
-            hot = [
-                (r["repo"], r["path"])
-                for r in leaves.groupBy("repo", "path")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") >= self.salt_leaf_threshold)
-                .collect()
-            ]
+            # Manifest pretest: a key's leaves all hash into ONE bucket, so
+            # no key can reach the threshold unless some touched bucket's
+            # manifest row count does (an upper bound — non-leaf/retired
+            # rows only inflate it, never hide a hot key).  In the common
+            # non-skewed steady state this skips the detection scan
+            # entirely — zero Spark jobs — while true Zipf heads still
+            # trigger the exact count below.  In-flight pipelined changes
+            # (patch_changes) aren't in the manifest yet, so their presence
+            # forces the exact path.
+            bucket_rows: dict[int, int] = {}
+            unknown_rows = patch_changes is not None
+            for f in self.segments.snapshot()["files"]:
+                if f["bucket"] in keep:
+                    if f.get("rows") is None:
+                        unknown_rows = True
+                        break
+                    bucket_rows[f["bucket"]] = bucket_rows.get(f["bucket"], 0) + f["rows"]
+            if unknown_rows or any(
+                v >= self.salt_leaf_threshold for v in bucket_rows.values()
+            ):
+                # the exact count and the fold job below both read the
+                # touched leaf state; persist across the two so the state
+                # is scanned once, not twice (released after the fold
+                # materializes, before this method returns)
+                leaves.persist()
+                leaves_cached = True
+                hot = self._hot_keys(leaves)
         mark("hot_detect")
         if not hot:
             folded = (
@@ -977,6 +1010,8 @@ class CdcEngine:
                 patch_df=changes.filter(F.col("kind") == "segment").select(*seg_cols_x),
                 release=lambda: changes.unpersist(),
             )
+        if leaves_cached:  # fold is materialized above; state blocks free
+            leaves.unpersist(blocking=False)
         batch.unpersist()
         return prep
 

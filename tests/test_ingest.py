@@ -544,3 +544,38 @@ class TestBalancedShufflePlacement:
         t0 = time.monotonic()
         balanced_part_col(F.lit(123456789), 1 << 20, 64)
         assert time.monotonic() - t0 < 1.0
+
+
+def test_hot_detection_gated_by_manifest_row_pretest(spark, tmp_path, monkeypatch):
+    """A key's leaves all hash into one bucket, so no touched bucket with
+    manifest rows < salt_leaf_threshold can hide a hot key — the exact-count
+    Spark job must be SKIPPED on such state (zero jobs in the non-skewed
+    steady state) and still run when a bucket's rows cross the threshold."""
+    eng = _engine(spark, tmp_path, "pretest")
+    wal = synth_change_log(n_keys=4, n_commits=6, seed=5)
+    eng.ingest(to_spark(spark, wal[wal["commit"] <= sorted(set(wal["commit"]))[3]]),
+               commits_per_epoch=2)
+    assert eng.segments.snapshot()["files"]  # state exists, all buckets tiny
+
+    calls = []
+    real = CdcEngine._hot_keys
+
+    def spy(self, leaves):
+        calls.append(1)
+        return real(self, leaves)
+
+    monkeypatch.setattr(CdcEngine, "_hot_keys", spy)
+    eng.ingest(to_spark(spark, wal), commits_per_epoch=2)  # remaining commits
+    assert calls == []  # pretest proved no hot key: job skipped
+
+    # positive control: threshold 1 makes every non-empty bucket "possibly
+    # hot" — the exact count must run (and the result digest is unaffected
+    # by which path ran; the broader salt tests pin bit-equality)
+    eng2 = CdcEngine(spark, str(tmp_path / "pretest2"), geom_type=G.LINE,
+                     n_buckets=4, salt_leaf_threshold=1)
+    eng2.create_tables(overwrite=True)
+    eng2.ingest(to_spark(spark, wal[wal["commit"] <= sorted(set(wal["commit"]))[3]]),
+                commits_per_epoch=2)
+    calls.clear()
+    eng2.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    assert calls  # manifest rows >= 1: exact path taken
