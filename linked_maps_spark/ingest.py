@@ -607,6 +607,7 @@ class CdcEngine:
         target_bucket_bytes: int | None = None,
         keep_snapshots: int = 4,
         max_log_files: int = 8,
+        max_files_per_bucket: int | None = 8,
     ) -> None:
         """Post-ingest table maintenance (amortized once per ingest call):
 
@@ -615,12 +616,19 @@ class CdcEngine:
           per epoch; once past ``max_log_files`` they are rewritten into a
           single file (metrics with replay-dedup applied) so the watermark
           read stays O(1) in epochs, not O(K) tiny parquet opens;
+        * **binpack compaction** — buckets the hot-key salted writes or
+          skewed epochs fragmented past ``max_files_per_bucket`` files are
+          coalesced (``LakeTable.compact_files``; O(fragmented buckets), the
+          Iceberg rewrite_data_files binpack analog; ``None`` disables);
         * **snapshot expiry** — drop snapshot metadata beyond the last
           ``keep_snapshots`` versions and GC unreferenced data files, keeping
           COW storage amplification bounded (the Iceberg
           expire_snapshots/remove_orphan_files analog).
         """
         self.maybe_rebucket(target_bucket_bytes)
+        if max_files_per_bucket is not None:
+            for tbl in (self.segments, self.relations):
+                tbl.compact_files(max_files_per_bucket=max_files_per_bucket)
         # crashed epochs can leave combined-write scratch dirs behind
         shutil.rmtree(os.path.join(self.warehouse, "_stage"), ignore_errors=True)
         # adopted (combined-write) data files enter manifests without footer

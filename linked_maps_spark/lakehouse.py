@@ -1048,6 +1048,54 @@ class LakeTable:
         )
         return version
 
+    def compact_files(
+        self,
+        max_files_per_bucket: int = 4,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        """Binpack small-file compaction (Iceberg ``rewrite_data_files``
+        binpack strategy / Delta ``OPTIMIZE``): rewrite ONLY buckets whose
+        manifest lists more than ``max_files_per_bucket`` data files,
+        coalescing each into a single file; every other bucket's files carry
+        over by manifest pointer, untouched on disk.
+
+        This is the O(fragmented) counterpart of :meth:`cluster_files`'s
+        full rewrite — at 100 TB a steady drip of small appends/merges
+        fragments a few hot buckets while the cold majority stays compact,
+        and the maintenance pass must scale with the damage, not the table.
+        Row content, bucket layout and digests are unchanged (layout-only
+        snapshot); a no-op (nothing fragmented) commits nothing and returns
+        the current version.
+        """
+        snap = self.snapshot()
+        version = self.version() + 1
+        per_bucket: dict[int, int] = {}
+        for f in snap["files"]:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        fragmented = sorted(
+            b for b, n in per_bucket.items() if n > max_files_per_bucket
+        )
+        if not fragmented:
+            return self.version()
+        df = self._align_to(self.read(buckets=fragmented), self.schema())
+        # One write task per fragmented bucket (collisions under the balanced
+        # partitioner only co-locate two buckets in one task — the dynamic-
+        # partition writer still emits exactly one file per bucket).
+        laid = df.withColumn("_bucket", self.bucket_expr(df)).repartition(
+            len(fragmented),
+            balanced_part_col(F.col("_bucket"), snap["n_buckets"], len(fragmented)),
+        )
+        new_files = self._write_data(laid, version, write_shuffle=False)
+        frag_set = set(fragmented)
+        files = [f for f in snap["files"] if f["bucket"] not in frag_set] + new_files
+        self._commit_snapshot(
+            version, self.schema(), files, "compact",
+            {**(summary or {}), "compacted_buckets": fragmented},
+            key_cols=snap["key_cols"], n_buckets=snap["n_buckets"],
+            bucket_cols=snap.get("bucket_cols", snap["key_cols"]),
+        )
+        return version
+
     def analyze(
         self,
         summary: dict[str, Any] | None = None,

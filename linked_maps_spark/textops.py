@@ -115,6 +115,64 @@ def lang_id_sql() -> str:
     """
 
 
+# hashed-classifier defaults: feature space size and weight salt.  Weights
+# are md5-derived integers in [-8, 8] so the margin is EXACT integer
+# arithmetic on both engines (a float dot product would drift in the last
+# ulp between libm implementations and break the value-hash oracle).
+QC_FEATURES = 512
+QC_SALT = "qc"
+QC_WEIGHT_SALT = "qcw"
+
+
+def _qc_weight(tok):
+    """Integer weight of one token under the hashing trick: the token hashes
+    into one of ``QC_FEATURES`` buckets, the bucket id hashes to a weight in
+    [-8, 8]."""
+    feat = F.pmod(h32(tok, QC_SALT), F.lit(QC_FEATURES))
+    return F.pmod(h32(feat.cast("string"), QC_WEIGHT_SALT), F.lit(17)) - F.lit(8)
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """Hashed-feature linear text classifier (the fastText-style quality
+    scorer every LLM-corpus pipeline runs before training — CCNet/LLaMA's
+    "keep if the model scores it above threshold" step).
+
+    Bag-of-words with the hashing trick: every token occurrence maps to one
+    of ``QC_FEATURES`` buckets (``h32`` — portable md5 arithmetic), each
+    bucket carries a deterministic integer weight, and the document's margin
+    is the plain sum.  The whole scorer is ONE per-row JVM ``aggregate``
+    expression — no shuffle, no UDF, embarrassingly parallel at 100 TB; a
+    production pipeline would swap the md5-derived weights for trained ones
+    (same plan, different literal table).  ``keep = margin > 0``.
+    """
+    toks = tokens(F.col("text"))
+    margin = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight(t)
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def quality_classifier_sql() -> str:
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    feat = f"({h32_sql('t', QC_SALT)} % {QC_FEATURES})"
+    weight = f"({h32_sql(f'CAST({feat} AS VARCHAR)', QC_WEIGHT_SALT)} % 17) - 8"
+    return f"""
+    SELECT doc_id,
+           len({toks}) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform({toks}, t -> {weight})), 0)
+                AS BIGINT) AS margin,
+           CAST(coalesce(list_sum(list_transform({toks}, t -> {weight})), 0)
+                AS BIGINT) > 0 AS keep
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
 def repetition_signals(documents: DataFrame) -> DataFrame:
     """Gopher/C4-style repetition + format quality signals per document.
 

@@ -125,6 +125,41 @@ def test_expire_snapshots(spark, tbl):
         tbl.snapshot(0)
 
 
+def test_compact_files_binpack_touches_only_fragmented_buckets(spark, tbl):
+    # 6 single-row appends land 6 files in whichever buckets the keys hash
+    # to; compaction must coalesce ONLY buckets over the threshold and carry
+    # every other bucket's files over by pointer (same manifest paths).
+    for i in range(6):
+        tbl.append(_df(spark, [(f"k{i}", i)]))
+    before = table_digest(tbl.read())
+    snap = tbl.snapshot()
+    per_bucket: dict[int, list[str]] = {}
+    for f in snap["files"]:
+        per_bucket.setdefault(f["bucket"], []).append(f["path"])
+    max_files = 1
+    fragmented = {b for b, ps in per_bucket.items() if len(ps) > max_files}
+    assert fragmented, "fixture must fragment at least one bucket"
+    compact = {b: ps for b, ps in per_bucket.items() if len(ps) <= max_files}
+
+    v = tbl.compact_files(max_files_per_bucket=max_files)
+    assert v == tbl.version()
+    after = tbl.snapshot()
+    per_after: dict[int, list[str]] = {}
+    for f in after["files"]:
+        per_after.setdefault(f["bucket"], []).append(f["path"])
+    # fragmented buckets: exactly one file now
+    for b in fragmented:
+        assert len(per_after[b]) == 1
+    # untouched buckets: identical manifest entries (no rewrite happened)
+    for b, ps in compact.items():
+        assert sorted(per_after[b]) == sorted(ps)
+    # layout-only: content digest unchanged
+    assert table_digest(tbl.read()) == before
+    # already-compact table: no-op, no new snapshot
+    assert tbl.compact_files(max_files_per_bucket=max_files) == v
+    assert tbl.version() == v
+
+
 def test_rebucket_preserves_content_and_prunes(spark, tbl):
     rows = [(f"k{i}", i) for i in range(40)]
     tbl.append(_df(spark, rows))

@@ -290,6 +290,21 @@ def test_token_stats_and_langid(docs):
     assert langs[1] == "en" and langs[4] == "de"
 
 
+def test_quality_classifier_hashed_linear(docs, spark):
+    out = {r["doc_id"]: r for r in textops.quality_classifier(docs).collect()}
+    # margin is an exact integer sum of per-token weights in [-8, 8]
+    for r in out.values():
+        assert abs(r["margin"]) <= 8 * r["n_tokens"]
+        assert r["keep"] == (r["margin"] > 0)
+    # deterministic across invocations (md5-derived weights, no RNG state)
+    again = {r["doc_id"]: r["margin"] for r in textops.quality_classifier(docs).collect()}
+    assert again == {k: r["margin"] for k, r in out.items()}
+    # a repeated token contributes its weight exactly k times (bag, not set)
+    one = spark.createDataFrame([(1, "zzq"), (2, "zzq zzq zzq")], "doc_id long, text string")
+    m = {r["doc_id"]: r["margin"] for r in textops.quality_classifier(one).collect()}
+    assert m[2] == 3 * m[1]
+
+
 def test_pack_sequences_values(spark):
     """Concatenate-and-chunk layout, per source stream, seq_len=5."""
     rows = [
