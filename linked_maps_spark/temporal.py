@@ -271,6 +271,75 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEASURES = ("n_events", "sum_value_milli", "min_value_milli", "max_value_milli")
 
 
+# --------------------------------------------------------------- SCD Type 2
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    order_cols: list[str] | None = None,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history from a change stream: every
+    change event becomes one dimension version with a ``[valid_from,
+    valid_to)`` validity interval; the key's newest version has
+    ``valid_to IS NULL`` and ``is_current = true``.
+
+    The canonical read-side shape of a CDC pipeline (Delta/Iceberg
+    APPLY CHANGES INTO … STORED AS SCD TYPE 2): downstream consumers join
+    facts to the dimension version valid at the fact's event time.  ONE
+    window shuffle on the entity key — interval assembly is lead()/
+    row_number() over the key partition, no self-join; at 10^10 events the
+    cost is exactly one hash exchange of the change stream.  Ties are
+    broken by ``order_cols`` so versioning is deterministic under replay.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        time_col, *(order_cols or [])
+    )
+    nxt = F.lead(time_col).over(w)
+    return changes.select(
+        *key_cols,
+        F.row_number().over(w).alias("version_no"),
+        *(attrs or []),
+        F.col(time_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "events_scd2_history",
+    # lead()/row_number() in DuckDB over the identical (ts, event_id)
+    # ordering — the independent derivation of the validity intervals
+    """
+    SELECT user_id,
+           ROW_NUMBER() OVER w AS version_no,
+           event_id, event_type AS state, value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version_no
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream read as SCD2 upserts of per-user state: each event
+    opens a new dimension version and closes the previous one."""
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("event_type").alias("state"), "value", "ts"
+    )
+    out = scd2_history(
+        ev,
+        key_cols=["user_id"],
+        time_col="ts",
+        order_cols=["event_id"],
+        attrs=["event_id", "state", "value"],
+    )
+    return out.orderBy("user_id", "version_no")
+
+
 def _leaf_rollup(events: DataFrame, level: str) -> DataFrame:
     milli = F.floor(F.col("value") * 1000).cast("long")
     return events.groupBy(

@@ -200,6 +200,41 @@ def test_rollup_incremental_merge(spark):
     assert merged.orderBy("bucket_ts").collect() == full.orderBy("bucket_ts").collect()
 
 
+def test_scd2_history_interval_chain(spark):
+    """Per key: versions are 1..n, intervals chain exactly (valid_to ==
+    next valid_from), exactly ONE current version, and a point-in-time
+    lookup at any event time hits exactly one version."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    hist = temporal.scd2_history(
+        ev.select("user_id", "event_id", "event_type", "value", "ts"),
+        key_cols=["user_id"],
+        time_col="ts",
+        order_cols=["event_id"],
+        attrs=["event_id", "event_type"],
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert len(hist) == ev.count()
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r["version_no"])
+        assert [r["version_no"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+    # point-in-time: the version valid at each row's own valid_from is itself
+    some = by_key[next(iter(by_key))]
+    for probe in some:
+        hits = [
+            r for r in some
+            if r["valid_from"] <= probe["valid_from"]
+            and (r["valid_to"] is None or probe["valid_from"] < r["valid_to"])
+        ]
+        assert [h["version_no"] for h in hits] == [probe["version_no"]]
+
+
 def test_temporal_driver_queries_match_duckdb(spark):
     import hashlib
 
