@@ -472,3 +472,110 @@ def maintain_rollup(events_tbl, rollup) -> int:
         return rollup.merge_upsert(combined, summary={"events_version": to_v})
     finally:
         d.unpersist(blocking=False)
+
+
+# ------------------------------------------- lake-maintained SCD2 dimension
+
+SCD2_SCHEMA = (
+    "user_id long, version_no int, event_id long, state string, "
+    "value double, valid_from timestamp, valid_to timestamp, "
+    "is_current boolean"
+)
+
+
+def create_scd2_table(spark: SparkSession, path: str, n_buckets: int = 8):
+    """The persisted SCD Type-2 dimension maintained by
+    :func:`maintain_scd2`.  MERGE identity is ``(user_id, version_no)``
+    (a maintenance pass updates the closed current row and inserts new
+    versions); files bucket by ``user_id`` alone so a refresh prunes to the
+    touched keys' buckets."""
+    from .lakehouse import LakeTable
+
+    return LakeTable.create(
+        spark, path, SCD2_SCHEMA, key_cols=["user_id", "version_no"],
+        bucket_cols=["user_id"], n_buckets=n_buckets,
+    )
+
+
+def maintain_scd2(events_tbl, dim) -> int:
+    """Incrementally extend the SCD2 dimension with the events appended to
+    ``events_tbl`` since the last refresh — the north rule's
+    "incrementally, not by full rebuild": O(delta + touched keys' current
+    rows), never a re-scan of change history.
+
+    Same cursor discipline as :func:`maintain_rollup` (events-table version
+    in the dimension's commit summary → idempotent, crash-safe).  Per
+    touched key, the delta's events become versions ``base+1..base+n`` and
+    the previously-current row closes at the delta's first ``valid_from``;
+    untouched keys are never read.  Requires batches append in event-time
+    order per key (the WAL contract); a delta event older than its key's
+    open interval raises rather than silently corrupting history."""
+    to_v = events_tbl.version()
+    from_v = dim.latest_summary_value("events_version")
+    if from_v is None:
+        from_v = 0
+    if from_v >= to_v:
+        return dim.version()
+    delta = (
+        events_tbl.read_appended(from_v, to_v)
+        .select(
+            "user_id", "event_id", F.col("event_type").alias("state"),
+            "value", "ts",
+        )
+        .cache()
+    )
+    try:
+        keys = F.broadcast(delta.select("user_id").distinct())
+        touched = dim.read(buckets=dim.buckets_for(delta)).join(
+            keys, ["user_id"], "left_semi"
+        )
+        open_rows = touched.filter(F.col("is_current"))
+        late = (
+            delta.join(
+                open_rows.select("user_id", F.col("valid_from").alias("cur_from")),
+                "user_id",
+            )
+            .filter(F.col("ts") < F.col("cur_from"))
+            .limit(1)
+            .count()
+        )
+        if late:
+            raise ValueError(
+                "maintain_scd2: delta contains events older than an open "
+                "dimension interval (batches must append in per-key event-"
+                "time order)"
+            )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        base = open_rows.select("user_id", F.col("version_no").alias("base_no"))
+        nxt = F.lead("ts").over(w)
+        new_rows = (
+            delta.join(F.broadcast(base), "user_id", "left")
+            .select(
+                "user_id",
+                (F.coalesce(F.col("base_no"), F.lit(0)) + F.row_number().over(w))
+                .cast("int")
+                .alias("version_no"),
+                "event_id", "state", "value",
+                F.col("ts").alias("valid_from"),
+                nxt.alias("valid_to"),
+                nxt.isNull().alias("is_current"),
+            )
+        )
+        first_new = delta.groupBy("user_id").agg(F.min("ts").alias("new_from"))
+        closed = (
+            open_rows.drop("valid_to", "is_current")
+            .join(F.broadcast(first_new), "user_id")
+            .select(
+                "user_id", "version_no", "event_id", "state", "value",
+                "valid_from",
+                F.col("new_from").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+        return dim.merge_upsert(
+            closed.unionByName(new_rows),
+            summary={"events_version": to_v},
+            assume_unique=True,  # (user_id, version_no) unique by construction
+        )
+    finally:
+        delta.unpersist(blocking=False)

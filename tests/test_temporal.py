@@ -289,6 +289,55 @@ def test_continuous_rollup_incremental_refresh(spark, tmp_path):
     assert rollup.version() == v
 
 
+def test_scd2_incremental_maintenance_equals_from_scratch(spark, tmp_path):
+    """Lake-maintained SCD2: time-ordered change batches applied
+    incrementally always equal the from-scratch history over everything
+    seen; replayed refreshes are no-ops; out-of-order batches raise."""
+    from linked_maps_spark.lakehouse import LakeTable
+    from linked_maps_spark.util import table_digest
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events_tbl = LakeTable.create(
+        spark, str(tmp_path / "ev"), ev_schema, key_cols=[], n_buckets=1
+    )
+    dim = temporal.create_scd2_table(spark, str(tmp_path / "dim"), n_buckets=4)
+    full = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .orderBy("ts", "event_id")
+        .limit(300)
+        .collect()
+    )
+    cuts = [0, 100, 180, 300]  # time-ordered batches of uneven width
+    seen: list = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = spark.createDataFrame(full[lo:hi], ev_schema)
+        events_tbl.append(batch.select(*events_tbl.schema().names))
+        v = temporal.maintain_scd2(events_tbl, dim)
+        seen.extend(full[lo:hi])
+        want = temporal.scd2_history(
+            spark.createDataFrame(seen, ev_schema).select(
+                "user_id", "event_id", F.col("event_type").alias("state"),
+                "value", "ts",
+            ),
+            key_cols=["user_id"],
+            time_col="ts",
+            order_cols=["event_id"],
+            attrs=["event_id", "state", "value"],
+        ).select(*dim.schema().names)
+        assert table_digest(dim.read()) == table_digest(want)
+    # idempotent: no new events → no version bump
+    assert temporal.maintain_scd2(events_tbl, dim) == v
+    assert dim.version() == v
+    # out-of-order batch (older than open intervals) must raise, not corrupt
+    stale = spark.createDataFrame(full[:5], ev_schema)
+    events_tbl.append(stale.select(*events_tbl.schema().names))
+    with pytest.raises(ValueError, match="event-\\s*time order|event-"):
+        temporal.maintain_scd2(events_tbl, dim)
+
+
 def test_range_join_binned_is_dst_proof(spark):
     """Bin arithmetic must be tz-free: under a DST session timezone an
     LTZ-cast epoch is non-injective (a point at a nonexistent spring-forward
