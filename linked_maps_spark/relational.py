@@ -270,6 +270,83 @@ def event_sequencing(spark, sf_dir):
 
 
 @query(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+                   AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def top_orders_per_priority(spark, sf_dir):
+    """Grouped top-k: the 3 highest-value orders inside every priority
+    class — the per-key-top-N shape (row_number window + rank filter).
+    Spark plans a WindowGroupLimit below the exchange (each map task keeps
+    only its local top-3 per group before shuffling), so the sort never
+    materializes whole groups — the property that keeps per-key top-N
+    viable when one key holds 10^8 rows.  Deterministic under ties via the
+    unique orderkey tie-break."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+@query(
+    "priority_price_median",
+    # DuckDB derives the median with its NATIVE quantile_disc aggregate —
+    # an independent implementation of the same lower-median-of-the-sorted-
+    # multiset rule as the Spark window selection
+    """
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS median_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def priority_price_median(spark, sf_dir):
+    """EXACT per-group median (discrete: the lower-median ELEMENT of the
+    sorted multiset, never an interpolated value — so doubles stay
+    bit-identical to the oracle's quantile_disc).  One window shuffle on
+    the group key; at 100-TB group sizes the approximate histogram sketch
+    (sketch.py) is the first pass and this the exact refinement."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cnt = Window.partitionBy("o_orderpriority")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(cnt).alias("n_orders"),
+        )
+        .filter(F.col("__rn") == F.floor((F.col("n_orders") + 1) / 2))
+        .select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("median_price"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "event_sessionize",
     """
     WITH t AS (

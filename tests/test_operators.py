@@ -290,6 +290,26 @@ def test_token_stats_and_langid(docs):
     assert langs[1] == "en" and langs[4] == "de"
 
 
+def test_grouped_topk_plans_window_group_limit(spark):
+    """Per-group top-N must push the rank limit below the exchange
+    (WindowGroupLimit): map tasks keep only their local top-3 per group, so
+    no group is ever materialized whole — the scale property the docstring
+    promises."""
+    from linked_maps_spark import relational
+
+    df = relational.QUERIES["top_orders_per_priority"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    out = df.collect()
+    # 5 priorities × top 3, ranks dense from 1
+    by_p: dict[str, list[int]] = {}
+    for r in out:
+        by_p.setdefault(r["o_orderpriority"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_p.values())
+
+
 def test_quality_classifier_hashed_linear(docs, spark):
     out = {r["doc_id"]: r for r in textops.quality_classifier(docs).collect()}
     # margin is an exact integer sum of per-token weights in [-8, 8]
