@@ -156,6 +156,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_pii"] = _doc()(
         lambda d: textops.pii_scan(d.withColumn("text", pii_fix()))
     )
+
+    # URL density: the fixture corpus carries no URLs, so inject them
+    # deterministically from doc_id (the text_pii convention)
+    def url_fix():
+        return F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" http://site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit(" https://cdn"), (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".example.net/a?x="), F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+
+    q["text_url_stats"] = _doc()(
+        lambda d: textops.url_stats(d.withColumn("text", url_fix()))
+    )
     # multimodal plumbing
     q["multimodal_metadata"] = _doc()(
         lambda d: multimodal.media_metadata(multimodal.synth_media(d))
@@ -238,6 +263,13 @@ def oracle_sql() -> dict[str, str]:
         " || CASE WHEN doc_id % 4 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
         " || '.7' ELSE '' END"
         " || CASE WHEN doc_id % 5 = 0 THEN ' 555-867-5309' ELSE '' END"
+    )
+    o["text_url_stats"] = textops.url_stats_sql(
+        "text"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' http://site' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 6 = 0 THEN ' https://cdn' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.example.net/a?x=' || CAST(doc_id AS VARCHAR) ELSE '' END"
     )
     o["text_repetition"] = textops.repetition_signals_sql(
         "replace(text, ' a ', chr(10))"

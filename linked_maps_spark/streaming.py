@@ -56,6 +56,49 @@ def stream_ingest(
     return q
 
 
+def stream_scd2(
+    spark: SparkSession,
+    events_dir: str,
+    events_tbl,
+    dim,
+    checkpoint_dir: str,
+    schema: str = EVENTS_SCHEMA,
+):
+    """Streaming SCD2 maintenance: tail an events landing directory and keep
+    a persisted Type-2 dimension current, micro-batch by micro-batch.
+
+    Each batch (a) appends to the events log table — idempotently: the
+    source ``batch_id`` rides the append's commit summary, and a replayed
+    batch after a checkpoint-recovery crash is skipped instead of
+    double-appended (the canonical foreachBatch idempotent-sink pattern) —
+    and (b) runs :func:`temporal.maintain_scd2`, whose own cursor makes the
+    dimension refresh idempotent.  Together the two cursors give
+    exactly-once dimension maintenance under at-least-once micro-batch
+    delivery.  ``availableNow`` drains and stops; the same call with a live
+    trigger tails indefinitely."""
+    from .temporal import maintain_scd2
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        last = events_tbl.latest_summary_value("stream_batch_id")
+        if last is None or batch_id > last:
+            events_tbl.append(
+                batch_df.select(*events_tbl.schema().names),
+                summary={"stream_batch_id": batch_id},
+            )
+        maintain_scd2(events_tbl, dim)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_path: str,

@@ -479,6 +479,62 @@ def pii_scan_sql(text_expr: str = "text") -> str:
     """
 
 
+# C4-style URL density signals.  One regex, identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+URL_PATTERN = r"https?://[^\s]+"
+URL_DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def url_stats(documents: DataFrame) -> DataFrame:
+    """C4-style URL density signals per document: URL count, fraction of
+    characters inside URLs, distinct-domain count and the lexicographically
+    first domain (deterministic, never "most frequent" — tie-free).
+
+    Boilerplate/link-farm pages carry high URL character density; corpus
+    builders drop above a threshold.  Stateless JVM regex per row, no
+    shuffle — same scan shape as :func:`pii_scan`."""
+    urls = F.regexp_extract_all("text", F.lit(URL_PATTERN), 0)
+    doms = F.transform(
+        urls, lambda u: F.regexp_extract(u, URL_DOMAIN_PATTERN, 1)
+    )
+    n_urls = F.size(urls)
+    url_chars = F.aggregate(
+        urls, F.lit(0).cast("long"), lambda a, u: a + F.length(u)
+    )
+    return documents.select(
+        "doc_id",
+        n_urls.alias("n_urls"),
+        url_chars.alias("url_chars"),
+        F.round(url_chars / F.length("text"), 6).alias("url_char_ratio"),
+        F.size(F.array_distinct(doms)).alias("n_domains"),
+        F.array_min(doms).alias("first_domain"),
+    ).orderBy("doc_id")
+
+
+def url_stats_sql(text_expr: str = "text") -> str:
+    urls = f"regexp_extract_all({text_expr}, '{URL_PATTERN}')"
+    doms = (
+        f"list_transform({urls}, "
+        f"u -> regexp_extract(u, '{URL_DOMAIN_PATTERN}', 1))"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {text_expr} AS txt, {urls} AS urls, {doms} AS doms
+        FROM documents
+    )
+    SELECT doc_id,
+           len(urls) AS n_urls,
+           CAST(coalesce(list_sum(list_transform(urls, u -> length(u))), 0)
+                AS BIGINT) AS url_chars,
+           ROUND(CAST(coalesce(list_sum(list_transform(urls, u -> length(u))), 0)
+                      AS BIGINT) / length(txt), 6) AS url_char_ratio,
+           len(list_distinct(doms)) AS n_domains,
+           list_min(doms) AS first_domain
+    FROM t
+    ORDER BY doc_id
+    """
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: min portable hash over word shingles (the
     winnowing 'rolling hash → min' scheme, oracle-exact)."""

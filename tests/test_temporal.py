@@ -338,6 +338,60 @@ def test_scd2_incremental_maintenance_equals_from_scratch(spark, tmp_path):
         temporal.maintain_scd2(events_tbl, dim)
 
 
+def test_stream_scd2_equals_batch_and_survives_restart(spark, tmp_path):
+    """Streaming SCD2 maintenance over a landing directory: drain, land
+    more files, drain again — the dimension always equals the from-scratch
+    history; a restart with nothing new is a no-op (both cursors hold)."""
+    import os
+
+    from linked_maps_spark import streaming, temporal as T
+    from linked_maps_spark.lakehouse import LakeTable
+    from linked_maps_spark.util import table_digest
+
+    ev_schema = streaming.EVENTS_SCHEMA
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    ckpt = str(tmp_path / "ckpt")
+    events_tbl = LakeTable.create(
+        spark, str(tmp_path / "ev"), ev_schema, key_cols=[], n_buckets=1
+    )
+    dim = temporal.create_scd2_table(spark, str(tmp_path / "dim"), n_buckets=4)
+
+    full = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(240)
+        .collect()
+    )
+
+    def land_slice(lo, hi, name):
+        spark.createDataFrame(full[lo:hi], ev_schema).coalesce(1).write.parquet(
+            os.path.join(land, name)
+        )
+
+    seen = 0
+    for i, hi in enumerate((90, 240)):
+        land_slice(seen, hi, f"s{i}")
+        streaming.stream_scd2(spark, land + "/*", events_tbl, dim, ckpt)
+        seen = hi
+        want = T.scd2_history(
+            spark.createDataFrame(full[:hi], ev_schema).select(
+                "user_id", "event_id", F.col("event_type").alias("state"),
+                "value", "ts",
+            ),
+            key_cols=["user_id"],
+            time_col="ts",
+            order_cols=["event_id"],
+            attrs=["event_id", "state", "value"],
+        ).select(*dim.schema().names)
+        assert table_digest(dim.read()) == table_digest(want)
+    # restart with no new files: no appends, no dim version bump
+    ev_v, dim_v = events_tbl.version(), dim.version()
+    streaming.stream_scd2(spark, land + "/*", events_tbl, dim, ckpt)
+    assert (events_tbl.version(), dim.version()) == (ev_v, dim_v)
+
+
 def test_range_join_binned_is_dst_proof(spark):
     """Bin arithmetic must be tz-free: under a DST session timezone an
     LTZ-cast epoch is non-injective (a point at a nonexistent spring-forward
