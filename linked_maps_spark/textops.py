@@ -432,10 +432,25 @@ def curation_columns() -> dict:
     """The shared stateless curation expressions — content hash, token
     count, total PII hits — used identically by the batch curate CLI and
     ``streaming.stream_curate`` (stream ≡ batch by construction)."""
+    toks = tokens(F.col("text"))
     return {
         "content_md5": F.md5("text"),
-        "n_tokens": F.size(tokens(F.col("text"))).cast("long"),
+        "n_tokens": F.size(toks).cast("long"),
         "n_pii": pii_exprs()["n_pii"],
+        # classifier margin + URL density ride along so downstream keep/drop
+        # thresholds need no second scan of the corpus
+        "qc_margin": F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight(t)
+        ),
+        "url_char_ratio": F.round(
+            F.aggregate(
+                F.regexp_extract_all("text", F.lit(URL_PATTERN), 0),
+                F.lit(0).cast("long"),
+                lambda a, u: a + F.length(u),
+            )
+            / F.length("text"),
+            6,
+        ),
     }
 
 
