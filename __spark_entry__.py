@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _doc()(dedup.dedup_exact)
     q["dedup_ngram_jaccard"] = _doc()(lambda d: dedup.dedup_ngram_jaccard(d, threshold=0.5))
     q["dedup_clusters"] = _doc()(lambda d: dedup.dedup_clusters(d, threshold=0.5))
+    q["dedup_apply"] = _doc()(lambda d: dedup.dedup_apply(d, threshold=0.5))
     q["dedup_minhash_lsh"] = _doc()(dedup.dedup_minhash_lsh)
     # production cadence: new batch deduped AGAINST the persisted corpus
     # index (signatures read from a LakeTable, batch-only shingle explode)
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = dedup.DEDUP_EXACT_SQL
     o["dedup_ngram_jaccard"] = dedup.dedup_ngram_jaccard_sql(threshold=0.5)
     o["dedup_clusters"] = dedup.dedup_clusters_sql(threshold=0.5)
+    o["dedup_apply"] = dedup.dedup_apply_sql(threshold=0.5)
     o["dedup_minhash_lsh"] = dedup.dedup_minhash_lsh_sql()
     o["dedup_minhash_incremental"] = dedup_index.dedup_minhash_incremental_sql()
     o["dedup_simhash"] = dedup.simhash_sql()

@@ -276,6 +276,43 @@ def dedup_clusters_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
     """
 
 
+def dedup_apply(
+    documents: DataFrame, threshold: float = 0.5, max_df: int = MAX_KEY_DF
+) -> DataFrame:
+    """The keeper-selection APPLY step of near-dup removal: within every
+    :func:`dedup_clusters` cluster keep exactly one document (the minimum
+    doc_id — which IS the cluster label, so no second aggregation is
+    needed) and emit each dropped document with its keeper.  The kept
+    corpus is ``documents`` anti-joined on this result; emitting the drop
+    list keeps the operator's output verifiable row-for-row."""
+    labs = dedup_clusters(documents, threshold, max_df)
+    return (
+        labs.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.col("cluster_id").alias("keeper_id"))
+        .orderBy("doc_id")
+    )
+
+
+def dedup_apply_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(threshold, max_df)},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src AS doc_id, src AS r FROM edges
+        UNION
+        SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id AS keeper_id
+    FROM lab WHERE doc_id <> cluster_id
+    ORDER BY doc_id
+    """
+
+
 def decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,
