@@ -305,7 +305,10 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     eng = _open_engine(args)
     eng.maintain(keep_snapshots=args.keep_snapshots,
                  max_log_files=args.max_log_files,
-                 max_files_per_bucket=args.max_files_per_bucket)
+                 max_files_per_bucket=(
+                     args.max_files_per_bucket
+                     if args.max_files_per_bucket > 0 else None
+                 ))
     if getattr(args, "cluster_by", None):
         eng.segments.cluster_files([args.cluster_by])
         print(f"maintain: segments clustered by {args.cluster_by}")
@@ -471,7 +474,8 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--max-log-files", type=int, default=8)
     mp.add_argument("--max-files-per-bucket", type=int, default=8,
                     help="binpack-compact data buckets fragmented past this "
-                         "many files (rewrite_data_files binpack analog)")
+                         "many files (rewrite_data_files binpack analog); "
+                         "0 disables compaction")
     mp.add_argument("--n-buckets", type=int, default=8)
     mp.add_argument("--bloom-keys", action="store_true",
                     help="build per-file bloom filters on the merge key "

@@ -1050,7 +1050,7 @@ class LakeTable:
 
     def compact_files(
         self,
-        max_files_per_bucket: int = 4,
+        max_files_per_bucket: int = 8,  # one default, shared with maintain()
         summary: dict[str, Any] | None = None,
     ) -> int:
         """Binpack small-file compaction (Iceberg ``rewrite_data_files``
@@ -1067,6 +1067,11 @@ class LakeTable:
         snapshot); a no-op (nothing fragmented) commits nothing and returns
         the current version.
         """
+        if max_files_per_bucket < 1:
+            # 0 would mark EVERY non-empty bucket fragmented — a full-table
+            # rewrite nobody asks for by that spelling; "off" is the
+            # caller's job (maintain()/CLI pass None / omit the call)
+            raise ValueError("max_files_per_bucket must be >= 1")
         snap = self.snapshot()
         version = self.version() + 1
         per_bucket: dict[int, int] = {}

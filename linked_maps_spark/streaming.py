@@ -82,11 +82,22 @@ def stream_scd2(
 
     def apply_batch(batch_df, batch_id: int) -> None:
         last = events_tbl.latest_summary_value("stream_batch_id")
+        if last is not None and batch_id < last:
+            # a fresh/foreign checkpoint restarts batch numbering at 0;
+            # silently skipping would drop genuinely new rows forever —
+            # surface the mismatch instead (resume with the ORIGINAL
+            # checkpoint, or point a new one at a new events table)
+            raise ValueError(
+                f"stream_scd2: batch_id {batch_id} regressed below the "
+                f"events table's recorded {last} — checkpoint does not "
+                "match this table"
+            )
         if last is None or batch_id > last:
             events_tbl.append(
                 batch_df.select(*events_tbl.schema().names),
                 summary={"stream_batch_id": batch_id},
             )
+        # batch_id == last: checkpoint-replayed batch — append skipped
         maintain_scd2(events_tbl, dim)
 
     q = (

@@ -524,26 +524,42 @@ def maintain_scd2(events_tbl, dim) -> int:
         )
         .cache()
     )
+    open_rows = None
     try:
         keys = F.broadcast(delta.select("user_id").distinct())
         touched = dim.read(buckets=dim.buckets_for(delta)).join(
             keys, ["user_id"], "left_semi"
         )
-        open_rows = touched.filter(F.col("is_current"))
+        # consumed three times (late guard, version base, closed rows) —
+        # cache like delta so the dim buckets are scanned once
+        open_rows = touched.filter(F.col("is_current")).cache()
+        # the ordering contract is the (ts, event_id) TUPLE — scd2_history's
+        # window order — so a delta event tying the open interval's ts with
+        # a smaller event_id is just as out-of-order as an older ts
         late = (
             delta.join(
-                open_rows.select("user_id", F.col("valid_from").alias("cur_from")),
+                open_rows.select(
+                    "user_id",
+                    F.col("valid_from").alias("cur_from"),
+                    F.col("event_id").alias("cur_eid"),
+                ),
                 "user_id",
             )
-            .filter(F.col("ts") < F.col("cur_from"))
+            .filter(
+                (F.col("ts") < F.col("cur_from"))
+                | (
+                    (F.col("ts") == F.col("cur_from"))
+                    & (F.col("event_id") <= F.col("cur_eid"))
+                )
+            )
             .limit(1)
             .count()
         )
         if late:
             raise ValueError(
-                "maintain_scd2: delta contains events older than an open "
-                "dimension interval (batches must append in per-key event-"
-                "time order)"
+                "maintain_scd2: delta contains events at or before an open "
+                "dimension interval's (ts, event_id) position (batches must "
+                "append in per-key event-time order)"
             )
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         base = open_rows.select("user_id", F.col("version_no").alias("base_no"))
@@ -579,3 +595,5 @@ def maintain_scd2(events_tbl, dim) -> int:
         )
     finally:
         delta.unpersist(blocking=False)
+        if open_rows is not None:
+            open_rows.unpersist(blocking=False)

@@ -146,9 +146,7 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
     (same plan, different literal table).  ``keep = margin > 0``.
     """
     toks = tokens(F.col("text"))
-    margin = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight(t)
-    )
+    margin = _qc_margin_expr()
     return documents.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -432,25 +430,15 @@ def curation_columns() -> dict:
     """The shared stateless curation expressions — content hash, token
     count, total PII hits — used identically by the batch curate CLI and
     ``streaming.stream_curate`` (stream ≡ batch by construction)."""
-    toks = tokens(F.col("text"))
     return {
         "content_md5": F.md5("text"),
-        "n_tokens": F.size(toks).cast("long"),
+        "n_tokens": F.size(tokens(F.col("text"))).cast("long"),
         "n_pii": pii_exprs()["n_pii"],
         # classifier margin + URL density ride along so downstream keep/drop
-        # thresholds need no second scan of the corpus
-        "qc_margin": F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight(t)
-        ),
-        "url_char_ratio": F.round(
-            F.aggregate(
-                F.regexp_extract_all("text", F.lit(URL_PATTERN), 0),
-                F.lit(0).cast("long"),
-                lambda a, u: a + F.length(u),
-            )
-            / F.length("text"),
-            6,
-        ),
+        # thresholds need no second scan; the exprs are the SAME definitions
+        # the oracled operators use (no drift by construction)
+        "qc_margin": _qc_margin_expr(),
+        "url_char_ratio": _url_char_ratio_expr(),
     }
 
 
@@ -495,9 +483,32 @@ def pii_scan_sql(text_expr: str = "text") -> str:
 
 
 # C4-style URL density signals.  One regex, identical semantics in Java
-# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
-URL_PATTERN = r"https?://[^\s]+"
-URL_DOMAIN_PATTERN = r"https?://([^/\s]+)"
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround — and an
+# EXPLICIT whitespace class instead of \s, whose definition differs between
+# the engines (Java's \s includes \x0B vertical tab, RE2's does not).
+_WS = r" \t\n\r\f\x0B"
+URL_PATTERN = rf"https?://[^{_WS}]+"
+URL_DOMAIN_PATTERN = rf"https?://([^/{_WS}]+)"
+
+
+def _qc_margin_expr():
+    """The classifier margin over a ``text`` column — ONE definition shared
+    by :func:`quality_classifier` and :func:`curation_columns` so the curate
+    scan can never drift from the oracle-verified operator."""
+    return F.aggregate(
+        tokens(F.col("text")), F.lit(0).cast("long"),
+        lambda acc, t: acc + _qc_weight(t),
+    )
+
+
+def _url_char_ratio_expr():
+    """URL-character fraction of a ``text`` column — shared by
+    :func:`url_stats` and :func:`curation_columns` (same drift argument)."""
+    urls = F.regexp_extract_all("text", F.lit(URL_PATTERN), 0)
+    url_chars = F.aggregate(
+        urls, F.lit(0).cast("long"), lambda a, u: a + F.length(u)
+    )
+    return F.round(url_chars / F.length("text"), 6)
 
 
 def url_stats(documents: DataFrame) -> DataFrame:
@@ -520,7 +531,7 @@ def url_stats(documents: DataFrame) -> DataFrame:
         "doc_id",
         n_urls.alias("n_urls"),
         url_chars.alias("url_chars"),
-        F.round(url_chars / F.length("text"), 6).alias("url_char_ratio"),
+        _url_char_ratio_expr().alias("url_char_ratio"),
         F.size(F.array_distinct(doms)).alias("n_domains"),
         F.array_min(doms).alias("first_domain"),
     ).orderBy("doc_id")

@@ -338,6 +338,60 @@ def test_scd2_incremental_maintenance_equals_from_scratch(spark, tmp_path):
         temporal.maintain_scd2(events_tbl, dim)
 
 
+def test_scd2_maintenance_rejects_ts_tie_with_smaller_event_id(spark, tmp_path):
+    """The ordering contract is the (ts, event_id) tuple: an event tying the
+    open interval's ts but carrying a SMALLER event_id would be ordered
+    before it by scd2_history — incremental apply must raise, not silently
+    produce a version order from-scratch can never yield."""
+    import datetime as dt
+
+    from linked_maps_spark.lakehouse import LakeTable
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    events_tbl = LakeTable.create(
+        spark, str(tmp_path / "ev"), ev_schema, key_cols=[], n_buckets=1
+    )
+    dim = temporal.create_scd2_table(spark, str(tmp_path / "dim"), n_buckets=2)
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events_tbl.append(
+        spark.createDataFrame([(10, t, 1, "signup", 1.0, "{}")], ev_schema)
+    )
+    temporal.maintain_scd2(events_tbl, dim)
+    # same ts, smaller event_id → ordered BEFORE the open version
+    events_tbl.append(
+        spark.createDataFrame([(5, t, 1, "error", 2.0, "{}")], ev_schema)
+    )
+    with pytest.raises(ValueError, match="event-time order"):
+        temporal.maintain_scd2(events_tbl, dim)
+    # but same ts with a LARGER event_id is legal (zero-width interval,
+    # exactly what from-scratch produces) and must still match it
+    from linked_maps_spark.util import table_digest
+
+    dim2 = temporal.create_scd2_table(spark, str(tmp_path / "dim2"), n_buckets=2)
+    ev2 = LakeTable.create(
+        spark, str(tmp_path / "ev2"), ev_schema, key_cols=[], n_buckets=1
+    )
+    ev2.append(spark.createDataFrame([(10, t, 1, "signup", 1.0, "{}")], ev_schema))
+    temporal.maintain_scd2(ev2, dim2)
+    ev2.append(spark.createDataFrame([(11, t, 1, "error", 2.0, "{}")], ev_schema))
+    temporal.maintain_scd2(ev2, dim2)
+    want = temporal.scd2_history(
+        spark.createDataFrame(
+            [(10, t, 1, "signup", 1.0, "{}"), (11, t, 1, "error", 2.0, "{}")],
+            ev_schema,
+        ).select(
+            "user_id", "event_id", F.col("event_type").alias("state"),
+            "value", "ts",
+        ),
+        key_cols=["user_id"], time_col="ts", order_cols=["event_id"],
+        attrs=["event_id", "state", "value"],
+    ).select(*dim2.schema().names)
+    assert table_digest(dim2.read()) == table_digest(want)
+
+
 def test_stream_scd2_equals_batch_and_survives_restart(spark, tmp_path):
     """Streaming SCD2 maintenance over a landing directory: drain, land
     more files, drain again — the dimension always equals the from-scratch
@@ -389,6 +443,18 @@ def test_stream_scd2_equals_batch_and_survives_restart(spark, tmp_path):
     # restart with no new files: no appends, no dim version bump
     ev_v, dim_v = events_tbl.version(), dim.version()
     streaming.stream_scd2(spark, land + "/*", events_tbl, dim, ckpt)
+    assert (events_tbl.version(), dim.version()) == (ev_v, dim_v)
+    # a FRESH checkpoint against the same table restarts batch numbering:
+    # must raise (checkpoint/table mismatch), never silently drop batches
+    import pyspark.errors
+
+    with pytest.raises(
+        (ValueError, pyspark.errors.exceptions.base.PySparkException),
+        match="regressed|STREAM_FAILED|FOREACH",
+    ):
+        streaming.stream_scd2(
+            spark, land + "/*", events_tbl, dim, str(tmp_path / "ckpt2")
+        )
     assert (events_tbl.version(), dim.version()) == (ev_v, dim_v)
 
 
