@@ -271,6 +271,115 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEASURES = ("n_events", "sum_value_milli", "min_value_milli", "max_value_milli")
 
 
+# --------------------------------------------------- gap-fill + LOCF
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key: str = "user_id",
+    time_col: str = "ts",
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """Time-bucket gap-filling with last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` pair, Spark-first.
+
+    Per key: every ``bucket_seconds`` bucket between the key's first and
+    last event exists in the output (``sequence`` + explode — generated,
+    never joined against a calendar table), carrying the event count (0 in
+    gaps) and the latest observed ``value`` at-or-before the bucket (one
+    ``last(ignorenulls)`` running window).  Bucket arithmetic is tz-free
+    integer math (the sessionize convention); the in-bucket "latest" tie
+    rule is the portable zero-padded (micros, event_id) string, identical
+    on both engines.  Cost: one groupBy shuffle + one window over the same
+    key partitioning — Spark reuses the exchange; the explode output is
+    bounded by time-span/bucket, not event count."""
+    micros = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({time_col} AS TIMESTAMP_NTZ))"
+    )
+    bkt = F.floor(F.floor(micros / 1_000_000) / bucket_seconds)
+    ord_key = F.concat(
+        F.lpad(micros.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        events.select(
+            F.col(key), bkt.alias("bucket_no"), ord_key.alias("__ord"), "value",
+            "event_id",
+        )
+        .groupBy(key, "bucket_no")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max_by("value", F.col("__ord")).alias("__last"),
+        )
+    )
+    series = (
+        agg.groupBy(key)
+        .agg(F.min("bucket_no").alias("__lo"), F.max("bucket_no").alias("__hi"))
+        .select(
+            key,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket_no"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        series.join(agg, [key, "bucket_no"], "left")
+        .select(
+            key,
+            "bucket_no",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_events"),
+            F.last("__last", ignorenulls=True).over(w).alias("value_locf"),
+        )
+        .orderBy(key, "bucket_no")
+    )
+
+
+@query(
+    "events_gapfill_locf",
+    # DuckDB derives the same series with its native generate_series +
+    # arg_max + IGNORE NULLS window — an independent gapfill implementation
+    """
+    WITH e AS (
+        SELECT user_id, event_id, value, ts,
+               date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                   // 21600 AS bkt,
+               lpad(CAST(date_diff('microsecond',
+                         TIMESTAMP '1970-01-01 00:00:00', ts) AS VARCHAR),
+                    20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id, bkt, COUNT(*) AS n_events,
+               arg_max(value, ord_key) AS last_in_bucket
+        FROM e GROUP BY user_id, bkt
+    ),
+    bounds AS (
+        SELECT user_id, MIN(bkt) AS lo, MAX(bkt) AS hi FROM agg GROUP BY user_id
+    ),
+    series AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS bkt FROM bounds
+    )
+    SELECT s.user_id, s.bkt AS bucket_no,
+           COALESCE(a.n_events, 0) AS n_events,
+           last_value(a.last_in_bucket IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.bkt
+                     ROWS UNBOUNDED PRECEDING) AS value_locf
+    FROM series s LEFT JOIN agg a ON a.user_id = s.user_id AND a.bkt = s.bkt
+    ORDER BY s.user_id, bucket_no
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour buckets per user with gaps filled and the last observed value
+    carried forward — the dashboard-resampling query every hypertable
+    serves."""
+    return gapfill_locf(_load(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------- SCD Type 2
 
 

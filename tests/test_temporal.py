@@ -200,6 +200,29 @@ def test_rollup_incremental_merge(spark):
     assert merged.orderBy("bucket_ts").collect() == full.orderBy("bucket_ts").collect()
 
 
+def test_gapfill_locf_values(spark):
+    """Hand fixture: buckets 0,1,4 observed → 2,3 generated with n_events=0
+    and the bucket-1 value carried forward; in-bucket 'latest' follows the
+    (ts, event_id) rule."""
+    rows = [
+        (1, _ts(1, 0, 5), 7, "a", 10.0),    # bucket 0 (6h buckets)
+        (2, _ts(1, 7, 0), 7, "a", 20.0),    # bucket 1
+        (3, _ts(1, 7, 0), 7, "a", 25.0),    # bucket 1, same ts, higher id wins
+        (4, _ts(2, 1, 0), 7, "a", 99.0),    # bucket 4 (25h = bucket 4)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = temporal.gapfill_locf(ev).collect()
+    by_b = {r["bucket_no"] - got[0]["bucket_no"]: r for r in got}
+    assert sorted(by_b) == [0, 1, 2, 3, 4]
+    assert by_b[2]["n_events"] == 0 and by_b[3]["n_events"] == 0
+    assert by_b[1]["value_locf"] == 25.0          # same-ts tie → max event_id
+    assert by_b[2]["value_locf"] == 25.0 == by_b[3]["value_locf"]  # locf
+    assert by_b[4]["value_locf"] == 99.0
+    assert by_b[0]["value_locf"] == 10.0
+
+
 def test_scd2_history_interval_chain(spark):
     """Per key: versions are 1..n, intervals chain exactly (valid_to ==
     next valid_from), exactly ONE current version, and a point-in-time
