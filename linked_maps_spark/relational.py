@@ -548,6 +548,77 @@ def priority_status_pivot(spark, sf_dir):
 
 
 @query(
+    "priority_status_unpivot",
+    # the inverse reshaping: DuckDB's native UNPIVOT over the pivoted CTE —
+    # an independent melt implementation vs Spark's stack()
+    """
+    WITH p AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status_col, n
+    FROM p UNPIVOT (n FOR status_col IN (n_f, n_o, n_p))
+    ORDER BY o_orderpriority, status_col
+    """,
+)
+def priority_status_unpivot(spark, sf_dir):
+    """UNPIVOT / melt: wide pivoted counts back to long form via
+    ``stack()`` — the wide-to-long reshaping half the pivot family needs.
+    Narrow-side expression only (3 literals per row), no extra shuffle
+    beyond the pivot's own aggregation."""
+    wide = priority_status_pivot(spark, sf_dir)
+    return (
+        wide.select(
+            "o_orderpriority",
+            F.expr(
+                "stack(3, 'n_f', n_f, 'n_o', n_o, 'n_p', n_p) "
+                "AS (status_col, n)"
+            ),
+        )
+        .orderBy("o_orderpriority", "status_col")
+    )
+
+
+@query(
+    "events_props_extract",
+    # semi-structured path parity: DuckDB json_extract_string vs Spark
+    # get_json_object over the same JSON column
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_extract(spark, sf_dir):
+    """Semi-structured column handling: JSON path extraction out of the
+    events ``props`` payload (``get_json_object``, JVM-side — the JSON scan
+    never leaves the executor) feeding exact integer aggregates.  At scale
+    the lesson is to extract ONCE into typed columns at ingest; this is the
+    query-side fallback for payloads that stayed raw."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "order_priority_timeline",
     """
     SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
