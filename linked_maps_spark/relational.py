@@ -619,6 +619,55 @@ def events_props_extract(spark, sf_dir):
 
 
 @query(
+    "events_rolling_hour",
+    # RANGE frame over integer epoch-seconds: DuckDB's native RANGE BETWEEN
+    # is the independent sliding-window implementation
+    """
+    WITH e AS (
+        SELECT event_id, user_id,
+               date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM e
+    ORDER BY user_id, event_id
+    """,
+)
+def events_rolling_hour(spark, sf_dir):
+    """Sliding event-time window (RANGE frame): per event, how many of the
+    same user's events fall in the trailing hour — the rate-limit /
+    burst-detection query.  The frame is VALUE-based (3600 seconds), not
+    row-based, over tz-free integer epoch seconds; one window shuffle on
+    the user key.  Counts only — exact on both engines."""
+    e = load(spark, sf_dir, "events")
+    sec = F.floor(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        )
+        / F.lit(1_000_000)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.withColumn("__sec", sec)
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "order_priority_timeline",
     """
     SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
