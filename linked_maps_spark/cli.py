@@ -312,6 +312,10 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     if getattr(args, "cluster_by", None):
         eng.segments.cluster_files([args.cluster_by])
         print(f"maintain: segments clustered by {args.cluster_by}")
+    if getattr(args, "zorder_by", None):
+        cols = [c.strip() for c in args.zorder_by.split(",")]
+        eng.segments.cluster_files(cols, zorder=True)
+        print(f"maintain: segments z-order clustered by {cols}")
     if getattr(args, "bloom_keys", False):
         for tbl in (eng.segments, eng.relations):
             tbl.analyze(bloom_cols=tbl.snapshot()["key_cols"])
@@ -483,6 +487,10 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--cluster-by", default=None,
                     help="rewrite segments range-clustered by this column "
                          "(rewrite_data_files sort strategy)")
+    mp.add_argument("--zorder-by", default=None,
+                    help="two comma-separated integer columns: rewrite "
+                         "segments along the Morton curve (OPTIMIZE ZORDER "
+                         "analog) so both columns' file stats prune")
     mp.set_defaults(fn=cmd_maintain)
     return ap
 

@@ -38,7 +38,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
-from .util import balanced_part_col
+from .util import balanced_part_col, zvalue_col
 
 _SNAP_DIR = "_snapshots"
 
@@ -1016,6 +1016,8 @@ class LakeTable:
         sort_cols: list[str],
         files_per_bucket: int = 4,
         summary: dict[str, Any] | None = None,
+        zorder: bool = False,
+        z_bits: int = 16,
     ) -> int:
         """Rewrite the table's data files range-clustered by ``sort_cols``
         within each bucket (Iceberg ``rewrite_data_files`` with a sort
@@ -1030,15 +1032,34 @@ class LakeTable:
         ``sortWithinPartitions`` feeding the dynamic-partition writer — the
         range exchange is the only shuffle.  Layout-only like
         :meth:`rebucket`: one atomic snapshot commit, crash leaves only
-        orphan files under the new version dir."""
+        orphan files under the new version dir.
+
+        ``zorder=True`` (exactly two integer sort columns) clusters along
+        the Morton curve instead of lexicographically — the Delta
+        ``OPTIMIZE ZORDER`` analog: each file then holds a narrow range of
+        BOTH columns, so the manifest's per-column min/max bounds prune
+        files for predicates on either dimension, where a lexicographic
+        sort only serves the leading column.  The z value orders the
+        write; it is never stored."""
         snap = self.snapshot()
         version = self.version() + 1
         df = self._align_to(self.read(), self.schema())
         bucketed = df.withColumn("_bucket", self.bucket_expr(df))
         n_parts = max(1, snap["n_buckets"] * files_per_bucket)
-        laid = bucketed.repartitionByRange(
-            n_parts, F.col("_bucket"), *[F.col(c) for c in sort_cols]
-        ).sortWithinPartitions("_bucket", *sort_cols)
+        if zorder:
+            if len(sort_cols) != 2:
+                raise ValueError("zorder clustering takes exactly 2 columns")
+            z = zvalue_col(F.col(sort_cols[0]), F.col(sort_cols[1]), z_bits)
+            laid = (
+                bucketed.withColumn("_z", z)
+                .repartitionByRange(n_parts, F.col("_bucket"), F.col("_z"))
+                .sortWithinPartitions("_bucket", "_z")
+                .drop("_z")  # projection after the sort: order survives
+            )
+        else:
+            laid = bucketed.repartitionByRange(
+                n_parts, F.col("_bucket"), *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions("_bucket", *sort_cols)
         new_files = self._write_data(laid, version, write_shuffle=False)
         self._commit_snapshot(
             version, self.schema(), new_files, "cluster",

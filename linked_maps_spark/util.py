@@ -136,6 +136,30 @@ def balanced_part_col(value_col, modulus: int, n_parts: int):
     )
 
 
+def zvalue_col(c1, c2, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative integer columns
+    (JVM-only bitwise expressions — shift/or/and magic-mask spreading, no
+    UDF).  Sorting by the returned column clusters rows so that BOTH
+    dimensions' value ranges stay narrow within a file — the Delta
+    ``OPTIMIZE ZORDER BY (a, b)`` locality curve.  Inputs are masked to
+    ``bits`` low bits (callers quantize wider domains first)."""
+    from pyspark.sql import functions as F  # local: util stays import-light
+
+    if not 1 <= bits <= 16:
+        raise ValueError("zvalue_col supports 1..16 bits per dimension")
+
+    def spread_bits(x):
+        x = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        # each step doubles the gap between occupied bit positions
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x3333333333333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x5555555555555555))
+        return x
+
+    return spread_bits(c1).bitwiseOR(F.shiftleft(spread_bits(c2), 1))
+
+
 def make_query_registry():
     """(QUERIES, ORACLES, query) triple — the driver-contract registry every
     query module keeps (relational/temporal/sketch).  One definition so a

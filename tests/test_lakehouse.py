@@ -160,6 +160,42 @@ def test_compact_files_binpack_touches_only_fragmented_buckets(spark, tbl):
     assert tbl.version() == v
 
 
+def test_zorder_clustering_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic clustering on a 64×64 grid in ONE bucket,
+    16 files: a predicate on the TRAILING dimension alone prunes most
+    z-clustered files (each holds a ~16×16 tile, narrow in BOTH columns)
+    but zero lexicographically-clustered ones (every x-stripe file spans
+    all of y).  Content digests unchanged by either rewrite."""
+    from linked_maps_spark.util import table_digest
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "z"), "k long, x long, y long",
+        key_cols=["k"], n_buckets=1,
+    )
+    rows = [(64 * x + y, x, y) for x in range(64) for y in range(64)]
+    t.append(spark.createDataFrame(rows, "k long, x long, y long"))
+    before = table_digest(t.read())
+
+    def files_hit(preds):
+        return len(t.files_where(preds))
+
+    t.cluster_files(["x", "y"], files_per_bucket=16)
+    t.analyze()
+    lex_total = len(t.snapshot()["files"])
+    lex_y_hit = files_hit([("y", "<=", 7)])
+    assert lex_y_hit == lex_total  # x-stripes all span y: nothing prunes
+    assert table_digest(t.read()) == before
+
+    t.cluster_files(["x", "y"], files_per_bucket=16, zorder=True, z_bits=6)
+    t.analyze()
+    z_total = len(t.snapshot()["files"])
+    z_y_hit = files_hit([("y", "<=", 7)])
+    z_x_hit = files_hit([("x", "<=", 7)])
+    assert z_y_hit <= z_total // 2  # trailing dim now prunes
+    assert z_x_hit <= z_total // 2  # leading dim still prunes
+    assert table_digest(t.read()) == before
+
+
 def test_rebucket_preserves_content_and_prunes(spark, tbl):
     rows = [(f"k{i}", i) for i in range(40)]
     tbl.append(_df(spark, rows))
