@@ -308,6 +308,10 @@ class CommitConflict(RuntimeError):
     pass
 
 
+class ConstraintViolation(ValueError):
+    """A write carried a row failing one of the table's CHECK constraints."""
+
+
 def _schema_of(spark: SparkSession, schema: StructType | str) -> StructType:
     if isinstance(schema, StructType):
         return schema
@@ -333,11 +337,18 @@ class LakeTable:
         n_buckets: int = 16,
         overwrite: bool = False,
         bucket_cols: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """``key_cols`` is the MERGE identity; ``bucket_cols`` (default:
         key_cols) chooses the file-layout hash.  Splitting them lets the CDC
         tables bucket by ``(repo, path)`` — the key the ingest loop prunes
-        by — while still upserting on content-hash ``gid``."""
+        by — while still upserting on content-hash ``gid``.
+
+        ``constraints`` are named SQL CHECK expressions (Delta constraint
+        analog): every append/merge/overwrite verifies each expression IS
+        TRUE for every incoming row BEFORE any file is written — a
+        violation raises :class:`ConstraintViolation` and leaves the table
+        untouched.  NULL fails (strict)."""
         t = cls(spark, path)
         if overwrite and os.path.exists(t.path):
             shutil.rmtree(t.path)
@@ -352,6 +363,7 @@ class LakeTable:
                 key_cols=key_cols or [],
                 n_buckets=n_buckets,
                 bucket_cols=bucket_cols if bucket_cols is not None else (key_cols or []),
+                constraints=dict(constraints or {}),
             )
         return t
 
@@ -398,7 +410,7 @@ class LakeTable:
 
     def _commit_snapshot(
         self, version, schema, files, operation, summary,
-        key_cols=None, n_buckets=None, bucket_cols=None,
+        key_cols=None, n_buckets=None, bucket_cols=None, constraints=None,
     ):
         prev = None if version == 0 else self.snapshot(version - 1)
         snap = {
@@ -414,6 +426,11 @@ class LakeTable:
                 bucket_cols
                 if bucket_cols is not None
                 else prev.get("bucket_cols", prev["key_cols"]) if prev else key_cols or []
+            ),
+            "constraints": (
+                constraints
+                if constraints is not None
+                else (prev.get("constraints", {}) if prev else {})
             ),
         }
         final = os.path.join(self.path, _SNAP_DIR, f"v{version}.json")
@@ -597,6 +614,48 @@ class LakeTable:
                     f["stats"] = stats
         return files
 
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Raise :class:`ConstraintViolation` if any row fails a CHECK
+        expression (strict: NULL fails).  One delta-sized validation job
+        per constrained write, run BEFORE any file lands; tables without
+        constraints (the CDC hot path) pay nothing."""
+        cons = self.snapshot().get("constraints", {})
+        if not cons:
+            return
+        for name, expr in cons.items():
+            bad = df.filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
+            row = bad.collect()
+            if row:
+                raise ConstraintViolation(
+                    f"constraint {name!r} ({expr}) violated, e.g. by "
+                    f"{row[0].asDict()}"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT: validate the EXISTING rows, then
+        commit a metadata-only snapshot carrying the new CHECK expression
+        (files untouched).  Raises :class:`ConstraintViolation` (and
+        commits nothing) if current data already violates it."""
+        snap = self.snapshot()
+        cons = dict(snap.get("constraints", {}))
+        cons[name] = expr
+        probe = self.read().filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
+        row = probe.collect()
+        if row:
+            raise ConstraintViolation(
+                f"existing rows violate {name!r} ({expr}), e.g. "
+                f"{row[0].asDict()}"
+            )
+        version = self.version() + 1
+        self._commit_snapshot(
+            version, self.schema(), snap["files"], "add-constraint",
+            {"constraint": name},
+            key_cols=snap["key_cols"], n_buckets=snap["n_buckets"],
+            bucket_cols=snap.get("bucket_cols", snap["key_cols"]),
+            constraints=cons,
+        )
+        return version
+
     def append(
         self, df: DataFrame, summary: dict[str, Any] | None = None,
         defer_commit: bool = False,
@@ -609,6 +668,7 @@ class LakeTable:
         commit order while its write runs concurrently with the merges."""
         version = self.version() + 1
         schema, aligned = self._merged_schema(df)
+        self._check_constraints(aligned)
         new_files = self._write_data(aligned, version)
         files = self.snapshot()["files"] + new_files
 
@@ -621,6 +681,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         version = self.version() + 1
         schema, aligned = self._merged_schema(df)
+        self._check_constraints(aligned)
         files = self._write_data(aligned, version)
         self._commit_snapshot(version, schema, files, "overwrite", summary)
         return version
@@ -675,6 +736,7 @@ class LakeTable:
             # callers whose source is key-unique by construction skip this shuffle
             aligned = aligned.dropDuplicates(keys)
 
+        self._check_constraints(aligned)
         src = aligned.withColumn("_bucket", self.bucket_expr(aligned))
         touched = (
             list(touched_buckets)

@@ -196,6 +196,62 @@ def test_zorder_clustering_prunes_on_both_dimensions(spark, tmp_path):
     assert table_digest(t.read()) == before
 
 
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta CHECK analog: violations raise BEFORE anything lands (table
+    version and content unchanged); add_constraint validates existing rows
+    and is metadata-only; NULL fails (strict)."""
+    from linked_maps_spark.lakehouse import ConstraintViolation
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "c"), "k string, v long", key_cols=["k"],
+        n_buckets=2, constraints={"v_nonneg": "v >= 0"},
+    )
+    t.append(_df(spark, [("a", 1)]))
+    for op in (t.append, t.merge_upsert, t.overwrite):
+        v = t.version()
+        with pytest.raises(ConstraintViolation, match="v_nonneg"):
+            op(_df(spark, [("b", -5)]))
+        assert t.version() == v  # nothing committed
+    with pytest.raises(ConstraintViolation):  # strict: NULL fails
+        t.append(_df(spark, [("n", None)]))
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 1}
+
+    # ALTER ADD CONSTRAINT: rejected while violating data exists …
+    t.append(_df(spark, [("z", 99)]))
+    with pytest.raises(ConstraintViolation, match="v_small"):
+        t.add_constraint("v_small", "v < 50")
+    # … accepted once clean, metadata-only, then enforced
+    t.merge_upsert(_df(spark, [("z", 10)]))
+    files = {f["path"] for f in t.snapshot()["files"]}
+    t.add_constraint("v_small", "v < 50")
+    assert {f["path"] for f in t.snapshot()["files"]} == files
+    with pytest.raises(ConstraintViolation, match="v_small"):
+        t.append(_df(spark, [("w", 60)]))
+    t.append(_df(spark, [("w", 40)]))  # passes both
+
+
+def test_zvalue_col_matches_python_interleave(spark):
+    """The JVM shift/mask spreading is bit-exact vs a naive python Morton
+    interleave across the full corner/boundary set."""
+    from pyspark.sql import functions as F
+
+    from linked_maps_spark.util import zvalue_col
+
+    def morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    edge = [0, 1, 2, 3, 7, 8, 255, 256, 0x5555, 0xAAAA, 0xFFFF]
+    rows = [(a, b) for a in edge for b in edge]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", zvalue_col(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
 def test_rebucket_preserves_content_and_prunes(spark, tbl):
     rows = [(f"k{i}", i) for i in range(40)]
     tbl.append(_df(spark, rows))
