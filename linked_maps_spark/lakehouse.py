@@ -622,14 +622,22 @@ class LakeTable:
         cons = self.snapshot().get("constraints", {})
         if not cons:
             return
-        for name, expr in cons.items():
-            bad = df.filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
-            row = bad.collect()
-            if row:
-                raise ConstraintViolation(
-                    f"constraint {name!r} ({expr}) violated, e.g. by "
-                    f"{row[0].asDict()}"
-                )
+        # ONE job for all constraints: OR of the negated checks, with a
+        # CASE naming the first failing one in the example row
+        checks = {n: F.expr(e).eqNullSafe(F.lit(True)) for n, e in cons.items()}
+        any_bad = None
+        for ok in checks.values():
+            any_bad = ~ok if any_bad is None else any_bad | ~ok
+        which = F.coalesce(
+            *[F.when(~ok, F.lit(n)) for n, ok in checks.items()]
+        )
+        row = df.filter(any_bad).withColumn("__violated", which).limit(1).collect()
+        if row:
+            name = row[0]["__violated"]
+            raise ConstraintViolation(
+                f"constraint {name!r} ({cons[name]}) violated, e.g. by "
+                f"{ {k: v for k, v in row[0].asDict().items() if k != '__violated'} }"
+            )
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: validate the EXISTING rows, then
@@ -639,14 +647,19 @@ class LakeTable:
         snap = self.snapshot()
         cons = dict(snap.get("constraints", {}))
         cons[name] = expr
-        probe = self.read().filter(~F.expr(expr).eqNullSafe(F.lit(True))).limit(1)
+        probe = self.read(version=snap["version"]).filter(
+            ~F.expr(expr).eqNullSafe(F.lit(True))
+        ).limit(1)
         row = probe.collect()
         if row:
             raise ConstraintViolation(
                 f"existing rows violate {name!r} ({expr}), e.g. "
                 f"{row[0].asDict()}"
             )
-        version = self.version() + 1
+        # version pinned BEFORE the (possibly long) validation scan: a
+        # concurrent commit in the meantime makes the os.link below raise
+        # CommitConflict instead of silently dropping that commit's files
+        version = snap["version"] + 1
         self._commit_snapshot(
             version, self.schema(), snap["files"], "add-constraint",
             {"constraint": name},
@@ -792,6 +805,14 @@ class LakeTable:
         must not pay a per-file metadata read); :meth:`analyze` backfills
         them as maintenance, after which reads prune on them like any
         :meth:`_write_data`-produced file."""
+        if self.snapshot().get("constraints"):
+            # adopted files never pass through _check_constraints — refusing
+            # keeps the "validated before any file lands" contract honest
+            # (the CDC tables, the only adopt_merge users, are unconstrained)
+            raise ConstraintViolation(
+                "adopt_merge bypasses CHECK validation; constrained tables "
+                "must use merge_upsert"
+            )
         merged = StructType(list(self.schema().fields))
         names = {f.name for f in merged.fields}
         for f in schema.fields:
@@ -1070,6 +1091,10 @@ class LakeTable:
             key_cols=old["key_cols"],
             n_buckets=old["n_buckets"],
             bucket_cols=old.get("bucket_cols", old["key_cols"]),
+            # metadata reverts WITH the data: inheriting the head's
+            # constraints could record a CHECK the restored rows were
+            # never validated against
+            constraints=old.get("constraints", {}),
         )
         return new_v
 
@@ -1111,7 +1136,32 @@ class LakeTable:
         if zorder:
             if len(sort_cols) != 2:
                 raise ValueError("zorder clustering takes exactly 2 columns")
-            z = zvalue_col(F.col(sort_cols[0]), F.col(sort_cols[1]), z_bits)
+            c0, c1 = sort_cols
+            # auto-quantize wide domains: zvalue_col masks to z_bits low
+            # bits, so a column wider than 2^z_bits (epoch seconds, byte
+            # sizes) would otherwise interleave only its noise bits and
+            # cluster WORSE than a plain sort.  Right-shifting to fit keeps
+            # the curve's locality at coarser granularity.  One tiny agg
+            # job against a rewrite that reads everything anyway.
+            b = df.agg(
+                F.min(c0), F.max(c0), F.min(c1), F.max(c1)
+            ).collect()[0]
+            if (b[0] is not None and b[0] < 0) or (b[2] is not None and b[2] < 0):
+                raise ValueError("zorder columns must be non-negative")
+            # normalize to the RANGE, not the magnitude: epoch-second
+            # columns have a huge constant offset but a modest span —
+            # shifting by magnitude would collapse the whole span to one
+            # quantum.  z is computed over (col - min) >> shift.
+            mins = [int(b[0] or 0), int(b[2] or 0)]
+            shifts = [
+                max(0, int((b[i] or 0) - mins[j]).bit_length() - z_bits)
+                for j, i in enumerate((1, 3))
+            ]
+            z = zvalue_col(
+                F.shiftright(F.col(c0).cast("long") - F.lit(mins[0]), shifts[0]),
+                F.shiftright(F.col(c1).cast("long") - F.lit(mins[1]), shifts[1]),
+                z_bits,
+            )
             laid = (
                 bucketed.withColumn("_z", z)
                 .repartitionByRange(n_parts, F.col("_bucket"), F.col("_z"))
@@ -1125,7 +1175,11 @@ class LakeTable:
         new_files = self._write_data(laid, version, write_shuffle=False)
         self._commit_snapshot(
             version, self.schema(), new_files, "cluster",
-            {**(summary or {}), "cluster_by": list(sort_cols)},
+            {
+                **(summary or {}),
+                "cluster_by": list(sort_cols),
+                **({"zorder": True, "z_shifts": shifts} if zorder else {}),
+            },
             key_cols=snap["key_cols"], n_buckets=snap["n_buckets"],
             bucket_cols=snap.get("bucket_cols", snap["key_cols"]),
         )

@@ -586,14 +586,23 @@ def priority_status_unpivot(spark, sf_dir):
     "events_props_extract",
     # semi-structured path parity: DuckDB json_extract_string vs Spark
     # get_json_object over the same JSON column
+    # json_valid + TRY_CAST reproduce get_json_object's null-on-failure
+    # semantics (a malformed payload or non-numeric k must yield NULL on
+    # both engines, never abort the oracle)
     """
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM e
     GROUP BY event_type
     ORDER BY event_type
     """,

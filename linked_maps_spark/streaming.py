@@ -15,6 +15,8 @@ continuous trigger tails new files as they land.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -80,24 +82,28 @@ def stream_scd2(
 
     stream = spark.readStream.schema(schema).parquet(events_dir)
 
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def apply_batch(batch_df, batch_id: int) -> None:
+        last_id = events_tbl.latest_summary_value("stream_id")
         last = events_tbl.latest_summary_value("stream_batch_id")
-        if last is not None and batch_id < last:
-            # a fresh/foreign checkpoint restarts batch numbering at 0;
-            # silently skipping would drop genuinely new rows forever —
-            # surface the mismatch instead (resume with the ORIGINAL
-            # checkpoint, or point a new one at a new events table)
+        if last_id is not None and last_id != stream_id:
+            # the idempotency key is (checkpoint, batch_id): a DIFFERENT
+            # checkpoint restarts batch numbering, so its ids are
+            # incomparable — bare-batch_id comparison would silently drop
+            # new rows (e.g. fresh batch 0 vs recorded batch 0).  Surface
+            # the mismatch: resume with the ORIGINAL checkpoint, or point
+            # the new one at a new events table.
             raise ValueError(
-                f"stream_scd2: batch_id {batch_id} regressed below the "
-                f"events table's recorded {last} — checkpoint does not "
-                "match this table"
+                f"stream_scd2: events table was fed by checkpoint "
+                f"{last_id!r}; refusing batches from {stream_id!r}"
             )
         if last is None or batch_id > last:
             events_tbl.append(
                 batch_df.select(*events_tbl.schema().names),
-                summary={"stream_batch_id": batch_id},
+                summary={"stream_id": stream_id, "stream_batch_id": batch_id},
             )
-        # batch_id == last: checkpoint-replayed batch — append skipped
+        # batch_id <= last under the SAME checkpoint: replayed batch — skip
         maintain_scd2(events_tbl, dim)
 
     q = (

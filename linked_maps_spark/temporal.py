@@ -279,6 +279,8 @@ def gapfill_locf(
     key: str = "user_id",
     time_col: str = "ts",
     bucket_seconds: int = 21600,
+    value_col: str = "value",
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Time-bucket gap-filling with last-observation-carried-forward — the
     TimescaleDB ``time_bucket_gapfill`` + ``locf`` pair, Spark-first.
@@ -300,17 +302,22 @@ def gapfill_locf(
     bkt = F.floor(F.floor(micros / 1_000_000) / bucket_seconds)
     ord_key = F.concat(
         F.lpad(micros.cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col(order_col).cast("string"), 12, "0"),
     )
     agg = (
         events.select(
-            F.col(key), bkt.alias("bucket_no"), ord_key.alias("__ord"), "value",
-            "event_id",
+            F.col(key), bkt.alias("bucket_no"),
+            # NULL-valued observations are invisible to LOCF on BOTH engines
+            # (DuckDB's arg_max skips NULL args; nulling the ordering key
+            # makes max_by skip them identically) — they still count in
+            # n_events
+            F.when(F.col(value_col).isNotNull(), ord_key).alias("__ord"),
+            F.col(value_col).alias("__v"),
         )
         .groupBy(key, "bucket_no")
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.max_by("value", F.col("__ord")).alias("__last"),
+            F.max_by("__v", F.col("__ord")).alias("__last"),
         )
     )
     series = (

@@ -196,6 +196,44 @@ def test_zorder_clustering_prunes_on_both_dimensions(spark, tmp_path):
     assert table_digest(t.read()) == before
 
 
+def test_zorder_autoquantizes_wide_domains(spark, tmp_path):
+    """Columns wider than 2^z_bits are right-shifted to fit (recorded in
+    the commit summary), so the curve keeps real locality instead of
+    interleaving masked noise bits; negative values are rejected."""
+    from linked_maps_spark.util import table_digest
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "w"), "k long, ts_sec long, size long",
+        key_cols=["k"], n_buckets=1,
+    )
+    base = 1_700_000_000  # epoch-seconds scale >> 2^16
+    rows = [
+        (64 * x + y, base + 3600 * x, 1_000_000 + 17_000 * y)
+        for x in range(64)
+        for y in range(64)
+    ]
+    t.append(spark.createDataFrame(rows, "k long, ts_sec long, size long"))
+    before = table_digest(t.read())
+    t.cluster_files(["ts_sec", "size"], files_per_bucket=16, zorder=True)
+    t.analyze()
+    assert t.snapshot()["summary"]["z_shifts"] != [0, 0]
+    # both dimensions prune despite the wide domains
+    total = len(t.snapshot()["files"])
+    hit_ts = len(t.files_where([("ts_sec", "<=", base + 3600 * 7)]))
+    hit_sz = len(t.files_where([("size", "<=", 1_000_000 + 17_000 * 7)]))
+    assert hit_ts <= total // 2 and hit_sz <= total // 2
+    assert table_digest(t.read()) == before
+    import pytest as _pytest
+
+    neg = LakeTable.create(
+        spark, str(tmp_path / "n"), "k long, a long, b long",
+        key_cols=["k"], n_buckets=1,
+    )
+    neg.append(spark.createDataFrame([(1, -3, 4)], "k long, a long, b long"))
+    with _pytest.raises(ValueError, match="non-negative"):
+        neg.cluster_files(["a", "b"], zorder=True)
+
+
 def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     """Delta CHECK analog: violations raise BEFORE anything lands (table
     version and content unchanged); add_constraint validates existing rows

@@ -208,6 +208,8 @@ def test_gapfill_locf_values(spark):
         (1, _ts(1, 0, 5), 7, "a", 10.0),    # bucket 0 (6h buckets)
         (2, _ts(1, 7, 0), 7, "a", 20.0),    # bucket 1
         (3, _ts(1, 7, 0), 7, "a", 25.0),    # bucket 1, same ts, higher id wins
+        (5, _ts(1, 7, 30), 7, "a", None),   # bucket 1, latest but NULL value:
+                                            # counted, invisible to LOCF
         (4, _ts(2, 1, 0), 7, "a", 99.0),    # bucket 4 (25h = bucket 4)
     ]
     ev = spark.createDataFrame(
@@ -217,7 +219,9 @@ def test_gapfill_locf_values(spark):
     by_b = {r["bucket_no"] - got[0]["bucket_no"]: r for r in got}
     assert sorted(by_b) == [0, 1, 2, 3, 4]
     assert by_b[2]["n_events"] == 0 and by_b[3]["n_events"] == 0
-    assert by_b[1]["value_locf"] == 25.0          # same-ts tie → max event_id
+    assert by_b[1]["n_events"] == 3               # NULL observation counted
+    assert by_b[1]["value_locf"] == 25.0          # …but invisible to LOCF;
+                                                  # same-ts tie → max event_id
     assert by_b[2]["value_locf"] == 25.0 == by_b[3]["value_locf"]  # locf
     assert by_b[4]["value_locf"] == 99.0
     assert by_b[0]["value_locf"] == 10.0
@@ -473,7 +477,7 @@ def test_stream_scd2_equals_batch_and_survives_restart(spark, tmp_path):
 
     with pytest.raises(
         (ValueError, pyspark.errors.exceptions.base.PySparkException),
-        match="regressed|STREAM_FAILED|FOREACH",
+        match="refusing batches|STREAM_FAILED|FOREACH",
     ):
         streaming.stream_scd2(
             spark, land + "/*", events_tbl, dim, str(tmp_path / "ckpt2")
