@@ -76,3 +76,53 @@ def test_pack_sequences_random_vs_prefix_sums(spark, seed):
         assert r["seq_first"] == start // seq_len
         assert r["seq_last"] == (start + n - 1) // seq_len
         assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_scd2_incremental_random_splits_equal_from_scratch(spark, seed, tmp_path):
+    """Randomized SCD2 maintenance invariant: ANY time-ordered batch split
+    of a random event stream, applied incrementally, yields a dimension
+    digest-equal to the from-scratch history — including same-timestamp
+    runs (ties broken by event_id) and keys absent from early batches."""
+    import datetime as dt
+
+    from linked_maps_spark import temporal
+    from linked_maps_spark.lakehouse import LakeTable
+    from linked_maps_spark.util import table_digest
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    t = 0
+    for i in range(rng.randint(30, 80)):
+        # ~1 in 4 events repeats the previous timestamp (tie pressure)
+        t += 0 if (rng.random() < 0.25 and t) else rng.randint(1, 900)
+        rows.append(
+            (i, base + dt.timedelta(seconds=t), rng.randrange(6),
+             rng.choice(["a", "b", "c"]), round(rng.uniform(0, 100), 2), "{}")
+        )
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # random time-ordered cut points
+    cuts = sorted(rng.sample(range(1, len(rows)), rng.randint(1, 4)))
+    cuts = [0] + cuts + [len(rows)]
+
+    events_tbl = LakeTable.create(
+        spark, str(tmp_path / "ev"), ev_schema, key_cols=[], n_buckets=1
+    )
+    dim = temporal.create_scd2_table(spark, str(tmp_path / "dim"), n_buckets=4)
+    for lo, hi in zip(cuts, cuts[1:]):
+        events_tbl.append(spark.createDataFrame(rows[lo:hi], ev_schema))
+        temporal.maintain_scd2(events_tbl, dim)
+    want = temporal.scd2_history(
+        spark.createDataFrame(rows, ev_schema).select(
+            "user_id", "event_id", F.col("event_type").alias("state"),
+            "value", "ts",
+        ),
+        key_cols=["user_id"], time_col="ts", order_cols=["event_id"],
+        attrs=["event_id", "state", "value"],
+    ).select(*dim.schema().names)
+    assert table_digest(dim.read()) == table_digest(want)
