@@ -53,7 +53,7 @@ def cmd_segment(args: argparse.Namespace) -> int:
     from .ingest import CdcEngine
     from .jsonlines import export_jl
     from .shapefile import shp_dir_change_log
-    from .snap import derive_origins, load_origins, save_origins, snap_change_log
+    from .snap import ensure_origins, snap_change_log
 
     cfg = {}
     if args.config_file:
@@ -73,20 +73,7 @@ def cmd_segment(args: argparse.Namespace) -> int:
     if fresh:
         eng.create_tables(overwrite=True)
 
-    origins_path = os.path.join(warehouse, "origins.json")
-    origins = load_origins(origins_path) if (
-        os.path.exists(origins_path) and not fresh
-    ) else {}
-    new_keys = (
-        set(r["path"] for r in wal.select("path").distinct().collect())
-        - origins.keys()
-    )
-    if new_keys:
-        # persisted keys keep their origin (re-deriving could shift it and
-        # fork grid ids); only keys never seen by this warehouse get one
-        derived = derive_origins(wal, pitch=args.pitch, origin_key="path")
-        origins.update({k: v for k, v in derived.items() if k in new_keys})
-        save_origins(origins, origins_path)
+    origins = ensure_origins(wal, warehouse, pitch=args.pitch, fresh=fresh)
 
     eng.ingest(
         snap_change_log(
@@ -100,7 +87,10 @@ def cmd_segment(args: argparse.Namespace) -> int:
     export_jl(seg, rel, args.output_file)
     if args.debug_prints:
         print(f"warehouse: {warehouse} (geom_type={geom_type})")
-        print(f"origins: {len(origins)} region tile(s) -> {origins_path}")
+        print(
+            f"origins: {len(origins)} region tile(s) -> "
+            f"{os.path.join(warehouse, 'origins.json')}"
+        )
     print(
         f"segment: {seg.count()} segments, {rel.count()} relations "
         f"-> {args.output_file}.{{geom,seg,rel}}.jl"
@@ -252,7 +242,7 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     (``--stream``: readStream + foreachBatch with source checkpointing —
     redelivered micro-batches are deduplicated by the commit-log watermark,
     so the pair is exactly-once at the table level)."""
-    from .snap import derive_origins, load_origins, save_origins, snap_change_log
+    from .snap import ensure_origins, snap_change_log
 
     if args.snap and args.stream:
         raise SystemExit("--snap with --stream is not supported; snap the WAL "
@@ -270,23 +260,11 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     else:
         wal = eng.spark.read.parquet(args.wal)
         if args.snap:
-            # honor the warehouse's persisted snap state — snapping with a
-            # different origin than earlier ingests would silently fork the
-            # grid ids of existing keys (same contract as cmd_segment)
-            origins_path = os.path.join(warehouse, "origins.json")
-            origins = load_origins(origins_path) if (
-                os.path.exists(origins_path) and not fresh
-            ) else {}
-            new_keys = (
-                set(r["path"] for r in wal.select("path").distinct().collect())
-                - origins.keys()
+            # honor the warehouse's persisted snap state (ensure_origins:
+            # existing keys keep their origin, new keys derive one)
+            origins = ensure_origins(
+                wal, warehouse, pitch=args.pitch, fresh=fresh
             )
-            if new_keys:
-                derived = derive_origins(wal, pitch=args.pitch, origin_key="path")
-                origins.update(
-                    {k: v for k, v in derived.items() if k in new_keys}
-                )
-                save_origins(origins, origins_path)
             wal = snap_change_log(
                 wal, geom_type=eng.geom_type, pitch=args.pitch,
                 origins=origins, origin_key="path",

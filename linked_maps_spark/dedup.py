@@ -197,11 +197,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     ``limit(1).count``.
 
     Returns (doc_id, cluster_id, cluster_size) for docs with ≥ 1 pair."""
+    # symmetrize with ONE explode, not a two-branch union: the pair plan
+    # (shingle explode + inverted-index self-join) is the expensive part
+    # and a union would evaluate it once per branch
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -253,11 +265,9 @@ def dedup_clusters(
     return connected_components(dedup_ngram_jaccard(documents, threshold, max_df))
 
 
-def dedup_clusters_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
-    """DuckDB oracle for :func:`dedup_clusters`: the same pair CTEs, then the
-    transitive closure as a recursive CTE (min reachable id per node)."""
-    return f"""
-    WITH RECURSIVE {_jaccard_pairs_ctes(threshold, max_df)},
+# shared transitive-closure CTE chain (edges symmetrize → recursive reach →
+# min-label): ONE definition so the clusters and apply oracles cannot drift
+_CLOSURE_CTES = """
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
@@ -269,6 +279,15 @@ def dedup_clusters_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
         SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
     ),
     lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+"""
+
+
+def dedup_clusters_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
+    """DuckDB oracle for :func:`dedup_clusters`: the same pair CTEs, then the
+    transitive closure as a recursive CTE (min reachable id per node)."""
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(threshold, max_df)},
+    {_CLOSURE_CTES}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM lab
@@ -296,17 +315,7 @@ def dedup_apply(
 def dedup_apply_sql(threshold: float = 0.5, max_df: int = MAX_KEY_DF) -> str:
     return f"""
     WITH RECURSIVE {_jaccard_pairs_ctes(threshold, max_df)},
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION
-        SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    reach AS (
-        SELECT src AS doc_id, src AS r FROM edges
-        UNION
-        SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON e.src = reach.r
-    ),
-    lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    {_CLOSURE_CTES}
     SELECT doc_id, cluster_id AS keeper_id
     FROM lab WHERE doc_id <> cluster_id
     ORDER BY doc_id

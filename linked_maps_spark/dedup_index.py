@@ -119,7 +119,10 @@ def dedup_minhash_incremental(
     restricted to pairs touching the batch (tested)."""
     perms = index.latest_summary_value("perms") or MINHASH_PERMS
     bands = index.latest_summary_value("bands") or LSH_BANDS
-    fresh = _sig_with_bands(new_docs, perms, bands)
+    # the batch signature plan feeds BOTH the band union and the signature
+    # re-join; lazy localCheckpoint materializes the shingle explode + min
+    # aggregation once instead of once per consumer (batch-sized blocks)
+    fresh = _sig_with_bands(new_docs, perms, bands).localCheckpoint(eager=False)
     both = (
         index.read().select("doc_id", "sig", F.explode("bands").alias("band_val"))
         .withColumn("is_new", F.lit(False))

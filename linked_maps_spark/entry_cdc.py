@@ -469,7 +469,7 @@ def cdc_table_changes_sql() -> str:
         UNION ALL
         SELECT * FROM s1 WHERE user_id NOT IN (SELECT user_id FROM s2u)
     ),
-    s3 AS (SELECT * FROM s2 WHERE NOT ({_CDF_DELETE}))
+    s3 AS (SELECT * FROM s2 WHERE NOT COALESCE(({_CDF_DELETE}), FALSE))
     SELECT s3.*, 'insert' AS _change_type FROM s3
         WHERE user_id NOT IN (SELECT user_id FROM s1)
     UNION ALL

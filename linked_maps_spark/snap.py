@@ -289,3 +289,30 @@ def load_origins(path: str) -> dict[str, tuple[float, float]]:
 
     with open(path) as fh:
         return {k: tuple(v) for k, v in json.load(fh).items()}
+
+
+def ensure_origins(
+    wal, warehouse: str, pitch: float, fresh: bool, origin_key: str = "path"
+) -> dict[str, tuple[float, float]]:
+    """The warehouse's persisted snap-origin contract, in one place: keys
+    already assigned an origin KEEP it (re-deriving could shift the origin
+    and silently fork the grid ids of existing geometries); only keys this
+    warehouse has never seen get one derived from the WAL.  Updates
+    ``<warehouse>/origins.json`` and returns the full mapping."""
+    import os
+
+    origins_path = os.path.join(warehouse, "origins.json")
+    origins = (
+        load_origins(origins_path)
+        if os.path.exists(origins_path) and not fresh
+        else {}
+    )
+    new_keys = (
+        set(r[origin_key] for r in wal.select(origin_key).distinct().collect())
+        - origins.keys()
+    )
+    if new_keys:
+        derived = derive_origins(wal, pitch=pitch, origin_key=origin_key)
+        origins.update({k: v for k, v in derived.items() if k in new_keys})
+        save_origins(origins, origins_path)
+    return origins

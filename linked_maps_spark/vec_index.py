@@ -200,6 +200,20 @@ def build_vec_index(
         # schema evolution NULL-fills the codes column for old rows)
         params["pq_m"] = t.latest_summary_value("pq_m") or pq_m
         params["pq_ksub"] = t.latest_summary_value("pq_ksub") or pq_ksub
+        # a delta-merge MUST use the stored quantizer: silently accepting a
+        # different geometry (or trained=True against an untrained index)
+        # would mix incompatible cell/band/code spaces in one table
+        asked = {"n_cells": n_cells, "n_planes": n_planes,
+                 "n_bands": n_bands, "dim": dim}
+        drift = {k: (v, params[k]) for k, v in asked.items()
+                 if params[k] is not None and params[k] != v}
+        if trained and cents is None:
+            drift["trained"] = (True, False)
+        if drift:
+            raise ValueError(
+                f"vec_index at {path} was built with different parameters "
+                f"({drift}); pass overwrite=True to rebuild the index"
+            )
     else:
         t = LakeTable.create(
             spark, path, VEC_INDEX_SCHEMA, key_cols=["vec_id"],

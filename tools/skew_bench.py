@@ -89,10 +89,13 @@ def main() -> None:
     grid = int(os.environ.get("SKEW_GRID", "900"))
     cpe = int(os.environ.get("SKEW_CPE", "12"))
     repeats = int(os.environ.get("SKEW_REPEATS", "2"))
-    plains = [run(1, cores, cold_keys, commits, hot_walks, grid, cpe)
-              for _ in range(repeats)]
-    salteds = [run(8, cores, cold_keys, commits, hot_walks, grid, cpe)
-               for _ in range(repeats)]
+    # legs ALTERNATED (plain, salted, plain, salted, …) so both modes
+    # sample the same background-load windows — the bench_scaling lesson:
+    # sequential phases let hypervisor load drift bias the ratio
+    plains, salteds = [], []
+    for _ in range(repeats):
+        plains.append(run(1, cores, cold_keys, commits, hot_walks, grid, cpe))
+        salteds.append(run(8, cores, cold_keys, commits, hot_walks, grid, cpe))
     plain = min(plains, key=lambda r: r["sec"])
     salted = min(salteds, key=lambda r: r["sec"])
     assert plain["digest"] == salted["digest"], "salted fold changed the state!"
