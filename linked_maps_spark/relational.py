@@ -628,6 +628,45 @@ def events_props_extract(spark, sf_dir):
 
 
 @query(
+    "priority_status_cube",
+    # full CUBE with explicit GROUPING flags (engine-portable, unlike the
+    # engines' differing grouping_id bit orders); NULLS FIRST pinned on
+    # both sides since ASC-NULLS defaults differ between Spark and DuckDB
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY g_pri, g_status,
+             o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def priority_status_cube(spark, sf_dir):
+    """CUBE: all four grouping-set combinations in one pass (Spark plans a
+    single expand + aggregate — each input row fans to its grouping sets
+    map-side, one shuffle total, vs four separate groupBys)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "g_pri", "g_status", "n_orders"
+        )
+        .orderBy(
+            "g_pri", "g_status",
+            F.asc_nulls_first("o_orderpriority"),
+            F.asc_nulls_first("o_orderstatus"),
+        )
+    )
+
+
+@query(
     "events_rolling_hour",
     # RANGE frame over integer epoch-seconds: DuckDB's native RANGE BETWEEN
     # is the independent sliding-window implementation
