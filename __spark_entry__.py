@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = _doc()(textops.lang_id)
     q["text_fingerprint"] = _doc()(textops.doc_fingerprint)
     q["text_quality_classifier"] = _doc()(textops.quality_classifier)
+    q["text_top_words"] = _doc()(textops.top_words)
     # BPE tokenizer: distributed merge training + corpus encode; the two
     # entries share one training via bpe's plain-python memo
     q["text_bpe_merges"] = _doc()(bpe.bpe_merges)
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["text_quality_classifier"] = textops.quality_classifier_sql()
+    o["text_top_words"] = textops.top_words_sql()
     o["text_packing"] = textops.pack_sequences_sql()
     o["text_bpe_merges"] = bpe.bpe_merges_sql()
     o["text_bpe_tokens"] = bpe.bpe_tokens_sql()

@@ -628,6 +628,81 @@ def events_props_extract(spark, sf_dir):
 
 
 @query(
+    "event_session_stats",
+    # session-level rollup of the gap sessionizer: same CTE chain, then one
+    # GROUP BY (user, session) with exact integer duration
+    """
+    WITH t AS (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    f AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 21600
+                    THEN 1 ELSE 0 END AS new_session
+        FROM t
+    ),
+    s AS (
+        SELECT event_id, user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM f
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_micros
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def event_session_stats(spark, sf_dir):
+    """Session-level rollup (count, bounds, exact duration) over the gap
+    sessionizer — the per-session analytics table every event pipeline
+    materializes.  The session-id windows and the rollup share ONE user_id
+    hash partitioning, so Spark plans a single exchange end-to-end."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        )
+        / F.lit(1_000_000)
+    )
+    e = e.withColumn("__sec", sec)
+    gap = F.col("__sec") - F.lag("__sec").over(w)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(gap.isNull() | (gap > 21600), 1).otherwise(0)
+        ).over(run).cast("long").alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .withColumn(
+            "duration_micros",
+            F.expr(
+                "timestampdiff(MICROSECOND, CAST(session_start AS TIMESTAMP_NTZ), "
+                "CAST(session_end AS TIMESTAMP_NTZ))"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
     "priority_status_cube",
     # full CUBE with explicit GROUPING flags (engine-portable, unlike the
     # engines' differing grouping_id bit orders); NULLS FIRST pinned on

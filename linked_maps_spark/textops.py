@@ -561,6 +561,35 @@ def url_stats_sql(text_expr: str = "text") -> str:
     """
 
 
+def top_words(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus heavy hitters: the ``k`` most frequent tokens with exact
+    counts and a deterministic (count desc, word asc) tie-break — the
+    vocabulary/stop-word analysis pass.  One explode + map-side-combined
+    groupBy; the final top-k is a single-partition sort of the (distinct
+    words)-sized aggregate, never of the corpus."""
+    toks = tokens(F.col("text"))
+    return (
+        documents.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def top_words_sql(k: int = 20) -> str:
+    return f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT {k}
+    """
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: min portable hash over word shingles (the
     winnowing 'rolling hash → min' scheme, oracle-exact)."""
