@@ -133,6 +133,15 @@ exactly why the engine gates salting behind the leaf-count threshold
 instead of salting every key.  Deterministic slice balance (created nodes
 per slice ≤ 2× median) is pinned by tests/test_saltfold.py.
 
+Kernel-speed crossover (measured, interleaved legs): after the round-4
+fold-kernel vectorization the ORIGINAL fixture (4,000 hot walks / 900
+cells) no longer shows a wall win — plain ≈ salted ≈ 23 s, because the
+faster kernel shrank the plain straggler below the stage wall (its task
+is still 2.3× the salted one).  The win reappears exactly where the
+theory says: at 12,000 walks / 1,600 cells the plain straggler walls the
+stage again and salting wins total wall.  Faster kernels RAISE the skew
+threshold where salting pays — which the engine's leaf-count gate encodes.
+
 Reproduce: `python tools/skew_bench.py`.
 """
     with open(os.path.join(REPO, "BENCH", "skew_latest.md"), "w") as fh:
