@@ -628,6 +628,60 @@ def events_props_extract(spark, sf_dir):
 
 
 @query(
+    "promo_revenue_share",
+    # TPC-H Q14 shape: part-type revenue share per ship month.  Sums are
+    # exact DECIMAL cast to DOUBLE; the share divides those two identical
+    # doubles (IEEE-deterministic on both engines) and rounds once.
+    """
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 pattern: per-ship-month share of revenue from PROMO parts.
+    ``part`` is the broadcast dim (small side); revenue math stays in exact
+    DECIMAL until one final double division of identical operands."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+        "double"
+    )
+    total = F.sum(rev).cast("double")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            F.round(promo / total, 6).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
     "event_session_stats",
     # session-level rollup of the gap sessionizer: same CTE chain, then one
     # GROUP BY (user, session) with exact integer duration
