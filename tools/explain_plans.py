@@ -39,6 +39,17 @@ CHECKS = {
                      "!HashAggregate", "!HashJoin"],
     # mixture apply: the per-source weights table must broadcast
     "corpus_mixture": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # round 4: grouped top-k must push the limit below the exchange
+    "top_orders_per_priority": ["WindowGroupLimit"],
+    # Q14 shape: part dim broadcast, never a sort-merge join
+    "promo_revenue_share": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # classifier/URL scans stay single-pass projections (no join/agg)
+    "text_quality_classifier": [
+        "ReadSchema: struct<doc_id:bigint,text:string>", "!HashJoin"
+    ],
+    # sessionize + rollup share ONE user_id exchange: exactly one hash
+    # Exchange in the plan besides the output ordering
+    "event_session_stats": ["Window", "HashAggregate"],
 }
 
 
