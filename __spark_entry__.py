@@ -85,6 +85,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.withColumn("text", F.replace("text", F.lit(" a "), F.lit("\n")))
         )
     )
+    # exact-Jaccard pairs again, but candidates from AllPairs/PPJoin prefix
+    # filtering (the scale path that never alters similarity values)
+    q["dedup_jaccard_prefix"] = _doc()(dedup.dedup_jaccard_prefix)
+    # Lee-et-al repeated-substring removal at word granularity
+    q["dedup_substring"] = _doc()(dedup.dedup_substring)
+    # inverted-index ranked search (exact-integer tf·idf top-k)
+    q["text_search_topk"] = _doc()(
+        lambda d: textops.search_topk(d, ["data", "table", "shuffle"], k=10)
+    )
     # similarity search
     q["similarity_cosine_topk"] = _doc("embeddings")(
         lambda e: similarity.cosine_topk(e, n_queries=5, k=5)
@@ -237,6 +246,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_lines"] = dedup.dedup_lines_sql(
         text_expr="replace(text, ' a ', chr(10))"
     )
+    o["dedup_jaccard_prefix"] = dedup.dedup_jaccard_prefix_sql()
+    o["dedup_substring"] = dedup.dedup_substring_sql()
+    o["text_search_topk"] = textops.search_topk_sql(["data", "table", "shuffle"], k=10)
     o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)

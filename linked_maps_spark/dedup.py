@@ -750,3 +750,294 @@ def simhash_sql(bits: int = 32) -> str:
     FROM bitsums
     ORDER BY doc_id
     """
+
+
+# ----------------------------------- prefix-filtered Jaccard join (AllPairs)
+
+def dedup_jaccard_prefix(
+    documents: DataFrame, t_num: int = 1, t_den: int = 2
+) -> DataFrame:
+    """Near-dup pairs by word-shingle Jaccard ≥ t_num/t_den, candidates from
+    **prefix filtering** (Bayardo et al. AllPairs / PPJoin) instead of the
+    full inverted index.
+
+    Every shingle set is ordered rarest-first (global document frequency
+    asc, shingle asc tie-break) and only its *prefix* of length
+    ``|S| − ⌈t·|S|⌉ + 1`` enters the candidate self-join: J(A,B) ≥ t forces
+    ``|A∩B| ≥ ⌈t·|A|⌉`` (since ``|B| ≥ |A∩B|``, ``I(1+t) ≥ t(|A|+|B|) ≥
+    t|A| + tI``), and two sets whose overlap is ≥ α under a common total
+    order must collide within their ``(|·|−α+1)``-prefixes — so the join
+    loses no qualifying pair while candidate volume drops from
+    Σ df(shingle)² over ALL shingles to the rare-end prefixes only.  This is
+    the exact-Jaccard scale path: unlike ``dedup_ngram_jaccard``'s
+    ``max_df`` stop-shingle ceiling it never alters the similarity values —
+    ubiquitous shingles sort to the suffix and simply stop generating
+    candidates.  Verification joins candidates back to the full shingle
+    table; Jaccard arithmetic is exact-integer divided once, bit-identical
+    to the SQL oracle and to ``dedup_ngram_jaccard`` run uncapped.
+
+    Threshold is a rational ``t_num/t_den`` so the prefix length
+    ``⌈t·n⌉ = (t_num·n + t_den − 1) div t_den`` is exact integer arithmetic
+    on both engines (no float boundary).
+    """
+    from .util import spread
+
+    sh = (
+        spread(documents, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # prefix length n − ⌈t·n⌉ + 1, exact integer ceil
+    plen = F.col("sz") - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}") + F.lit(1)
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("r") <= plen)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify: exact |A∩B| for candidate pairs only
+    inter = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    thr = t_num / t_den
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= thr)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_jaccard_prefix_sql(t_num: int = 1, t_den: int = 2) -> str:
+    sh_expr = word_shingles_sql("text")
+    thr = t_num / t_den
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    ranked AS (
+        SELECT s.doc_id, s.shingle,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df ASC, s.shingle ASC) AS r
+        FROM sh s JOIN dfreq d USING (shingle)
+    ),
+    prefix AS (
+        SELECT r.doc_id, r.shingle
+        FROM ranked r JOIN sizes z USING (doc_id)
+        WHERE r.r <= z.sz - (({t_num} * z.sz + {t_den} - 1) // {t_den}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+                 JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE ROUND(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) >= {thr}
+    ORDER BY doc_a, doc_b
+    """
+
+
+# --------------------------------------- repeated-substring (span) dedup
+
+SUBSTR_K = 5
+
+
+def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Corpus-level repeated-substring removal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    policy, at word granularity): every token span of length ≥ ``k`` that
+    occurs at more than one (doc, position) site in the corpus is removed
+    from EVERY document containing it.
+
+    Distributed shape — the suffix-array step of the paper re-expressed as
+    k-gram seed matching, which is equivalent for spans ≥ k: a duplicated
+    span of length L ≥ k duplicates each of its L−k+1 k-gram seeds, and a
+    position is span-covered iff one of the k seeds overlapping it is
+    duplicated.
+
+    * seed table: one row per (doc, pos) k-gram — ``posexplode`` of the
+      token array, linear in corpus tokens (the same cost class as the
+      shingle explode the Jaccard family already pays);
+    * duplicate seeds: groupBy(gram) count > 1 — partial-agg shuffle (a
+      window ``COUNT() OVER (PARTITION BY gram)`` would put every hot
+      boilerplate gram in one task; groupBy keeps map-side combine and AQE
+      skew-split), then a left join back (AQE broadcasts the dup set when
+      small);
+    * coverage: ``MAX(flag) OVER (ORDER BY pos RANGE k-1 PRECEDING)`` per
+      doc — one window shuffle on doc_id;
+    * span starts fall out of ``lag(covered)``; the cleaned text is the
+      kept tokens re-joined in position order (md5-digested — the pipeline
+      equivalent writes the cleaned text back).
+
+    Returns one row per doc: (doc_id, n_tokens, n_removed, n_spans,
+    clean_md5), ordered by doc_id.  Docs shorter than ``k`` tokens are
+    never removed-from; within-doc repeats count as duplication (two sites
+    in one doc remove both — the paper's "remove all copies" variant).
+    """
+    from .util import spread
+
+    toks = tokens(F.col("text"))
+    pos_tbl = (
+        spread(documents, "doc_id")
+        .select("doc_id", F.posexplode(toks).alias("pos0", "token"),
+                F.size(toks).alias("n"))
+        .withColumn("pos", F.col("pos0") + 1)
+        .drop("pos0")
+    )
+    grams = (
+        spread(documents, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(
+                # docs shorter than k have NO grams: sequence(1, 0) in Spark
+                # counts DOWN, so gate on n ≥ k instead (posexplode of the
+                # empty array emits no rows — same as DuckDB's range(1, 1))
+                F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - k + 1),
+                        lambda p: F.concat_ws(" ", F.slice(toks, p, k)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos0", "gram"),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .drop("pos0")
+    )
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("gram", F.lit(1).alias("dup"))
+    )
+    seed_flags = (
+        grams.join(dupg, "gram", "left")
+        .select("doc_id", "pos", F.coalesce(F.col("dup"), F.lit(0)).alias("flag"))
+    )
+    w_cover = (
+        Window.partitionBy("doc_id").orderBy("pos").rangeBetween(-(k - 1), 0)
+    )
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
+    marked = (
+        pos_tbl.join(seed_flags, ["doc_id", "pos"], "left")
+        .withColumn("flag", F.coalesce(F.col("flag"), F.lit(0)))
+        .withColumn("covered", F.max("flag").over(w_cover))
+        .withColumn(
+            "span_start",
+            (
+                (F.col("covered") == 1)
+                & (F.coalesce(F.lag("covered").over(w_lag), F.lit(0)) == 0)
+            ).cast("long"),
+        )
+    )
+    kept = F.when(F.col("covered") == 0, F.struct("pos", "token"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("covered").alias("n_removed"),
+            F.sum("span_start").alias("n_spans"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)), lambda s: s.token
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_substring_sql(k: int = SUBSTR_K) -> str:
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+    WITH pos_tbl AS (
+        SELECT doc_id, UNNEST({toks}) AS token,
+               generate_subscripts({toks}, 1) AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, p AS pos,
+               array_to_string(({toks})[p:p+{k - 1}], ' ') AS gram
+        FROM documents,
+             UNNEST(range(1, greatest(len({toks}) - {k - 1}, 0) + 1)) AS t(p)
+    ),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+    seed_flags AS (
+        SELECT g.doc_id, g.pos,
+               CASE WHEN d.gram IS NULL THEN 0 ELSE 1 END AS flag
+        FROM grams g LEFT JOIN dupg d USING (gram)
+    ),
+    marked AS (
+        SELECT p.doc_id, p.pos, p.token,
+               MAX(COALESCE(s.flag, 0)) OVER (
+                   PARTITION BY p.doc_id ORDER BY p.pos
+                   RANGE BETWEEN {k - 1} PRECEDING AND CURRENT ROW
+               ) AS covered
+        FROM pos_tbl p LEFT JOIN seed_flags s USING (doc_id, pos)
+    ),
+    spans AS (
+        SELECT doc_id, pos, token, covered,
+               CASE WHEN covered = 1 AND COALESCE(
+                        LAG(covered) OVER (PARTITION BY doc_id ORDER BY pos), 0
+                    ) = 0 THEN 1 ELSE 0 END AS span_start
+        FROM marked
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(covered) AS BIGINT) AS n_removed,
+           CAST(SUM(span_start) AS BIGINT) AS n_spans,
+           md5(COALESCE(
+               string_agg(token, ' ' ORDER BY pos) FILTER (WHERE covered = 0),
+               ''
+           )) AS clean_md5
+    FROM spans
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """

@@ -611,3 +611,83 @@ def doc_fingerprint_sql() -> str:
     SELECT doc_id, MIN({h32_sql('shingle')}) AS fingerprint
     FROM sh GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# ------------------------------------------------ ranked full-text search
+
+#: integer idf scale (ppm) — keeps every scoring step exact-integer so the
+#: Spark plan and the DuckDB oracle hash-match bit-for-bit (a float BM25's
+#: ``ln`` differs across libm implementations in the last ulp).
+SEARCH_PPM = 1_000_000
+
+
+def search_topk(documents: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """Inverted-index ranked search: top-``k`` documents for a bag of query
+    terms under an exact-integer tf·idf score.
+
+    ``score = Σ_t tf(doc, t) · idf_ppm(t)`` with
+    ``idf_ppm = (SEARCH_PPM · N) div df(t)`` — the BM25 idf's rank behavior
+    (rarer term ⇒ bigger weight) in overflow-safe integer arithmetic
+    (``10^6 · 10^10 docs ≪ 2^63``), so scores are cross-engine exact instead
+    of libm-dependent.
+
+    Scale shape: the term filter lands **before** any shuffle — only the
+    query terms' postings leave the scan (at 100 TB the posting lists of a
+    handful of terms, not the corpus, are what shuffles); tf is one
+    partial-agg groupBy; df re-aggregates the (doc, term) table (never the
+    raw tokens); N and the per-term idf table are broadcast.  The global
+    top-k is ``ORDER BY … LIMIT k`` — Spark's TakeOrderedAndProject, a
+    per-partition heap + driver merge of k·partitions rows, never a full
+    sort.  Ties break on doc_id asc, so the k rows are deterministic.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_ppm", F.expr(f"({SEARCH_PPM} * n_docs) div df"))
+        .select("term", "idf_ppm")
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_ppm")).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_topk_sql(terms: list[str], k: int = 10) -> str:
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents)
+        WHERE term IN ({quoted})
+        GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               ({SEARCH_PPM} * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS idf_ppm
+        FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf * idf.idf_ppm) AS BIGINT) AS score,
+           COUNT(*) AS n_terms_hit
+    FROM tf JOIN idf USING (term)
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """

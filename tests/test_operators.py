@@ -674,3 +674,159 @@ def test_minhash_ceiling_drops_hot_bands_without_a_window(spark, docs):
         assert "Window" not in plan
     finally:
         dedup.clear_cache()
+
+
+# ------------------------------- prefix-filtered Jaccard join (AllPairs)
+
+def test_dedup_jaccard_prefix_equals_inverted_index(spark, docs):
+    """Prefix filtering must lose NO qualifying pair: at the same threshold
+    its output is identical to the uncapped inverted-index join, while its
+    candidate join is strictly smaller."""
+    import duckdb
+
+    got = [tuple(r) for r in dedup.dedup_jaccard_prefix(docs, 1, 2).collect()]
+    ref = [
+        tuple(r)
+        for r in dedup.dedup_ngram_jaccard(docs, threshold=0.5, max_df=10**9).collect()
+    ]
+    assert got == ref and len(got) >= 1  # the (1,2) exact dup at least
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck = [tuple(r) for r in con.execute(dedup.dedup_jaccard_prefix_sql(1, 2)).fetchall()]
+    assert duck == got
+
+
+def test_dedup_jaccard_prefix_candidate_reduction(spark):
+    """A corpus-wide stop shingle generates NO candidates under prefix
+    filtering (it sorts to every suffix), where the plain inverted index
+    would pair every doc with every other."""
+    rows = [
+        # every doc shares the 'common filler words' shingle; each pair's
+        # true jaccard is far below 0.5
+        (i, f"common filler words unique{i} tail{i} extra{i} more{i}")
+        for i in range(12)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.dedup_jaccard_prefix(d, 1, 2).count() == 0
+    # candidate volume: re-derive the prefix join's candidate count and
+    # compare against the full inverted index (66 pairs from the shared
+    # shingle alone)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    sh = dedup.word_shingles_sql("text")
+    n_pref = con.execute(f"""
+        WITH sh AS (SELECT doc_id, UNNEST({sh}) AS shingle FROM documents),
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        ranked AS (SELECT s.doc_id, s.shingle,
+                          ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS r
+                   FROM sh s JOIN dfreq d USING (shingle)),
+        prefix AS (SELECT r.doc_id, r.shingle FROM ranked r JOIN sizes z USING (doc_id)
+                   WHERE r.r <= z.sz - ((z.sz + 1) // 2) + 1)
+        SELECT COUNT(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id
+                              FROM prefix a JOIN prefix b
+                              ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+    """).fetchone()[0]
+    n_full = con.execute(f"""
+        WITH sh AS (SELECT doc_id, UNNEST({sh}) AS shingle FROM documents)
+        SELECT COUNT(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id
+                              FROM sh a JOIN sh b
+                              ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+    """).fetchone()[0]
+    assert n_full >= 66  # the stop shingle cross-pairs all 12 docs
+    assert n_pref == 0   # prefix filter kills them without a df ceiling
+
+
+# ---------------------------------------- repeated-substring (span) dedup
+
+def test_dedup_substring_values(spark):
+    """Hand-computable fixture: cross-doc span, within-doc repeat (both
+    copies removed), unique doc, short doc, empty doc — Spark ≡ DuckDB."""
+    import duckdb
+    import hashlib
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e z"),
+        (3, "p q r s t"),
+        (4, "a b c d e a b c d e"),
+        (5, "short doc"),
+        (6, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in dedup.dedup_substring(d, k=5).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1: 'a b c d e' (pos 1-5) is duplicated → 'f g h' kept, one span
+    assert got[1] == (8, 5, 1, md5("f g h"))
+    # doc 2: span at pos 3-7 → 'x y' + 'z' kept
+    assert got[2] == (8, 5, 1, md5("x y z"))
+    # doc 3 untouched
+    assert got[3] == (5, 0, 0, md5("p q r s t"))
+    # doc 4: within-doc repeat — ALL copies removed, one merged span
+    assert got[4] == (10, 10, 1, md5(""))
+    # docs shorter than k produce no grams and are never removed-from
+    assert got[5] == (2, 0, 0, md5("short doc"))
+    assert got[6][1] == 0
+
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    duck = {r[0]: tuple(r)[1:] for r in con.execute(dedup.dedup_substring_sql(5)).fetchall()}
+    assert duck == got
+
+
+def test_dedup_substring_two_spans_and_coverage_window(spark):
+    """Two separated duplicated spans in one doc stay two spans; a gap
+    shorter than k merges (the k-gram coverage window is RANGE k-1)."""
+    rows = [
+        (1, "s1 s2 s3 s4 s5 gapword1 gapword2 gapword3 gapword4 gapword5 t1 t2 t3 t4 t5"),
+        (2, "s1 s2 s3 s4 s5 q z w m n o p r u v t1 t2 t3 t4 t5"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_removed"], r["n_spans"]) for r in
+           dedup.dedup_substring(d, k=5).collect()}
+    assert got[1] == (10, 2)  # both seeds dup'd, 5-word unique gaps survive
+    assert got[2] == (10, 2)
+
+
+# ------------------------------------------------ ranked full-text search
+
+def test_search_topk_scoring_and_ties(spark):
+    """tf·idf ranking: rarer term outweighs frequent one; ties break on
+    doc_id asc; k truncates deterministically; Spark ≡ DuckDB."""
+    import duckdb
+
+    rows = [
+        (1, "rare common common"),
+        (2, "common common common common"),
+        (3, "rare rare common"),
+        (4, "nothing relevant here"),
+        (5, "rare common common"),  # same bag as doc 1 → tie with doc 1
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in textops.search_topk(d, ["rare", "common"], k=4).collect()]
+    # N=5, idf_ppm: rare 5M//3 = 1666666, common 5M//4 = 1250000
+    # doc2 4×common = 5000000; doc3 2×rare+1×common = 4583332;
+    # docs 1,5 tie at 1×rare+2×common = 4166666 (tie-break doc_id asc)
+    assert [r[0] for r in got] == [2, 3, 1, 5]
+    assert got[0][1] == 5_000_000 and got[1][1] == 4_583_332
+    assert got[2][1:] == got[3][1:]  # identical scores for the tied pair
+
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    duck = [tuple(r) for r in
+            con.execute(textops.search_topk_sql(["rare", "common"], k=4)).fetchall()]
+    assert duck == got
+
+
+def test_search_topk_plan_is_filtered_and_broadcast(spark):
+    """The term filter must land before the first aggregation (only query
+    terms' postings shuffle) and the idf side must broadcast."""
+    rows = [(i, "alpha beta gamma") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = textops.search_topk(d, ["alpha"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
