@@ -923,8 +923,7 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     toks = tokens(F.col("text"))
     pos_tbl = (
         spread(documents, "doc_id")
-        .select("doc_id", F.posexplode(toks).alias("pos0", "token"),
-                F.size(toks).alias("n"))
+        .select("doc_id", F.posexplode(toks).alias("pos0", "token"))
         .withColumn("pos", F.col("pos0") + 1)
         .drop("pos0")
     )

@@ -79,3 +79,60 @@ def test_sha256_stability():
     w = "MULTILINESTRING ((0.00 0.00, 0.01 0.00))"
     assert G.sha256_hex(w) == G.sha256_hex(w)
     assert len(G.sha256_hex(w)) == 64
+
+
+def test_parse_cache_round_trip_and_read_only():
+    """Serialization primes the parse cache; the cached hit is value-equal
+    to a cold parse, returned read-only, and evicted under the budget."""
+    import numpy as np
+    from linked_maps_spark import geometry as G
+
+    G.clear_parse_cache()
+    a = G.parse_wkt("MULTILINESTRING ((0.00 0.00, 0.03 0.00))", G.LINE)
+    w = G.to_wkt(a, G.LINE)
+    # primed by to_wkt: the next parse is a cache hit (same object)
+    hit = G.parse_wkt(w, G.LINE)
+    assert hit is G._PARSE_CACHE[(G.LINE, w)]
+    assert np.array_equal(hit, a)
+    # read-only: in-place mutation must raise, not corrupt the shared array
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hit[0] = 0
+    # batch priming matches the per-node serializer
+    G.clear_parse_cache()
+    ids2 = G.parse_wkt("MULTILINESTRING ((0.00 0.01, 0.02 0.01))", G.LINE)
+    outs = G.to_wkt_batch([a, ids2], G.LINE)
+    assert outs[0] == w
+    assert (G.LINE, outs[1]) in G._PARSE_CACHE
+    assert np.array_equal(G.parse_wkt(outs[1], G.LINE), ids2)
+    # duplicate-bearing input is serialized but NOT cached (round-trip would
+    # return the deduped set, not the input)
+    G.clear_parse_cache()
+    dup = np.concatenate([a, a[:1]])
+    w_dup = G.to_wkt(dup, G.LINE)
+    assert (G.LINE, w_dup) not in G._PARSE_CACHE
+    assert np.array_equal(G.parse_wkt(w_dup, G.LINE), a)
+    G.clear_parse_cache()
+
+
+def test_parse_cache_budget_evicts_lru():
+    import numpy as np
+    from linked_maps_spark import geometry as G
+
+    G.clear_parse_cache()
+    old = G.PARSE_CACHE_MAX_ELEMS
+    G.PARSE_CACHE_MAX_ELEMS = 4
+    try:
+        w1 = G.to_wkt(np.array([G._pid(np.array([0]), np.array([0]))[0] * G._E
+                                + G._pid(np.array([1]), np.array([0]))[0]]), G.LINE)
+        ws = []
+        for i in range(6):
+            p = G._pid(np.array([i]), np.array([2]))[0]
+            q = G._pid(np.array([i + 1]), np.array([2]))[0]
+            ws.append(G.to_wkt(np.array([min(p, q) * G._E + max(p, q)]), G.LINE))
+        assert G._PARSE_CACHE_ELEMS <= 4
+        assert (G.LINE, w1) not in G._PARSE_CACHE  # LRU-evicted
+    finally:
+        G.PARSE_CACHE_MAX_ELEMS = old
+        G.clear_parse_cache()
