@@ -28,6 +28,7 @@ from linked_maps_spark import (
     similarity,
     sketch,
     temporal,
+    text_index,
     textops,
     vec_index,
 )
@@ -94,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_search_topk"] = _doc()(
         lambda d: textops.search_topk(d, ["data", "table", "shuffle"], k=10)
     )
+    # same query answered FROM the persisted inverted-index lake table
+    # (built incrementally in two batches; bucket+bloom-pruned scan) —
+    # value-identical to the recompute path, so it shares its oracle
+    q["text_search_indexed"] = text_index.driver_search_indexed
     # similarity search
     q["similarity_cosine_topk"] = _doc("embeddings")(
         lambda e: similarity.cosine_topk(e, n_queries=5, k=5)
@@ -249,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_jaccard_prefix"] = dedup.dedup_jaccard_prefix_sql()
     o["dedup_substring"] = dedup.dedup_substring_sql()
     o["text_search_topk"] = textops.search_topk_sql(["data", "table", "shuffle"], k=10)
+    o["text_search_indexed"] = textops.search_topk_sql(["data", "table", "shuffle"], k=10)
     o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivf"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)

@@ -648,6 +648,14 @@ def search_topk(documents: DataFrame, terms: list[str], k: int = 10) -> DataFram
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return score_topk(tf, n_docs, k)
+
+
+def score_topk(tf: DataFrame, n_docs: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of :func:`search_topk`: ``tf(doc_id, term, tf)``
+    + a 1-row ``n_docs`` frame → exact-integer tf·idf top-k.  The persisted
+    inverted index (text_index.py) reuses this so indexed and recompute
+    answers are plan-for-plan value-identical."""
     idf = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
