@@ -824,17 +824,23 @@ def dedup_jaccard_prefix(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    thr = t_num / t_den
+    # threshold test in exact integer arithmetic (J ≥ t ⟺ I·den ≥ num·U) —
+    # a rounded-float compare would drop/admit pairs within half an ulp of
+    # t, breaking the "identical to the uncapped inverted index" contract
+    # for thresholds like 1/3; the rounded jaccard column is display-only
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter") * t_den
+            >= t_num * (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
             ),
         )
-        .filter(F.col("jaccard") >= thr)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -842,7 +848,6 @@ def dedup_jaccard_prefix(
 
 def dedup_jaccard_prefix_sql(t_num: int = 1, t_den: int = 2) -> str:
     sh_expr = word_shingles_sql("text")
-    thr = t_num / t_den
     return f"""
     WITH sh AS (
         SELECT doc_id, UNNEST({sh_expr}) AS shingle FROM documents
@@ -876,7 +881,7 @@ def dedup_jaccard_prefix_sql(t_num: int = 1, t_den: int = 2) -> str:
            ROUND(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
     FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
                  JOIN sizes zb ON zb.doc_id = i.doc_b
-    WHERE ROUND(i.n_inter / (za.sz + zb.sz - i.n_inter), 6) >= {thr}
+    WHERE i.n_inter * {t_den} >= {t_num} * (za.sz + zb.sz - i.n_inter)
     ORDER BY doc_a, doc_b
     """
 

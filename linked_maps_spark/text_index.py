@@ -38,18 +38,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .dedup import tokens
 from .lakehouse import LakeTable
 from .textops import score_topk
+from .util import spread
 
 TEXT_INDEX_SCHEMA = "term string, doc_id long, tf long"
 
 
 def term_postings(documents: DataFrame) -> DataFrame:
     """(term, doc_id, tf) postings of a document batch — one explode +
-    one partial-agg groupBy, the same tokenization as ``search_topk``."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    one partial-agg groupBy, the same tokenization (``dedup.tokens``) as
+    ``search_topk`` so indexed and recompute answers stay value-equal."""
     return (
-        documents.select("doc_id", F.explode(toks).alias("term"))
+        spread(documents, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -68,18 +71,16 @@ def build_text_index(
     rewrites only the term buckets the batch touches.  ``n_docs``
     accumulates in the snapshot summary (one count job per batch —
     the batch is being scanned anyway)."""
-    try:
-        t = LakeTable.load(spark, path)
-        if overwrite:
-            raise FileNotFoundError
-        prev_n = t.latest_summary_value("n_docs") or 0
-    except FileNotFoundError:
+    t = LakeTable(spark, path)
+    if overwrite or not t.exists():
         t = LakeTable.create(
             spark, path, TEXT_INDEX_SCHEMA,
             key_cols=["term", "doc_id"], bucket_cols=["term"],
             n_buckets=n_buckets, overwrite=overwrite,
         )
         prev_n = 0
+    else:
+        prev_n = t.latest_summary_value("n_docs") or 0
     n_new = documents.count()
     t.merge_upsert(
         term_postings(documents), assume_unique=True,
@@ -101,9 +102,16 @@ def search_topk_indexed(index: LakeTable, terms: list[str], k: int = 10) -> Data
     n = index.latest_summary_value("n_docs")
     if n is None:
         raise ValueError("text index has no n_docs summary — build it first")
-    tf = index.read_where([("term", "in", list(terms))]).select(
-        "doc_id", "term", "tf"
+    # deterministic bucket pruning FIRST (pmod(xxhash64(term), n) over the
+    # query terms — a metadata-sized job), then stats/bloom file skipping
+    # inside the surviving buckets: a bloom false positive or a stats-less
+    # file can no longer open files in buckets no query term hashes to
+    term_df = index.spark.createDataFrame(
+        [(t,) for t in terms], "term string"
     )
+    tf = index.read_where(
+        [("term", "in", list(terms))], buckets=index.buckets_for(term_df)
+    ).select("doc_id", "term", "tf")
     n_docs = index.spark.range(1).select(F.lit(int(n)).alias("n_docs"))
     return score_topk(tf, n_docs, k)
 

@@ -640,9 +640,11 @@ def search_topk(documents: DataFrame, terms: list[str], k: int = 10) -> DataFram
     per-partition heap + driver merge of k·partitions rows, never a full
     sort.  Ties break on doc_id asc, so the k rows are deterministic.
     """
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    from .util import spread
+
     tf = (
-        documents.select("doc_id", F.explode(toks).alias("term"))
+        spread(documents, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

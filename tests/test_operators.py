@@ -830,3 +830,24 @@ def test_search_topk_plan_is_filtered_and_broadcast(spark):
     plan = textops.search_topk(d, ["alpha"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_dedup_jaccard_prefix_exact_rational_threshold(spark):
+    """J = 1/3 at t = 1/3 must be emitted: the threshold compare is exact
+    integer arithmetic (I·den ≥ num·U), not a rounded-float >= that drops
+    pairs within half an ulp of t (round(1/3, 6) = 0.333333 < 1/3)."""
+    import duckdb
+
+    rows = [
+        (1, "w1 w2 w3 w4"),  # shingles {w1w2w3, w2w3w4}
+        (2, "w1 w2 w3 w5"),  # shingles {w1w2w3, w2w3w5} → I=1, U=3, J=1/3
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in dedup.dedup_jaccard_prefix(d, 1, 3).collect()]
+    assert got == [(1, 2, 0.333333)]
+    con = duckdb.connect()
+    con.register("documents", d.toPandas())
+    duck = [tuple(r) for r in con.execute(dedup.dedup_jaccard_prefix_sql(1, 3)).fetchall()]
+    assert duck == got
+    # and strictly-below-threshold stays out (J = 1/3 < 1/2)
+    assert dedup.dedup_jaccard_prefix(d, 1, 2).count() == 0
