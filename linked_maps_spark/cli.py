@@ -199,6 +199,7 @@ def _open_engine(args: argparse.Namespace):
     return CdcEngine(
         spark, os.path.abspath(args.warehouse),
         geom_type=geom_type, n_buckets=args.n_buckets,
+        on_error=getattr(args, "on_error", "raise"),
     )
 
 
@@ -274,6 +275,10 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         eng.maintain()
     n = eng.current_segments().count()
     print(f"ingest: watermark={eng.watermark()}, {n} current segments in {warehouse}")
+    if eng.on_error == "quarantine":
+        nd = eng.read_dead_letter().count()
+        if nd:
+            print(f"ingest: {nd} poison event(s) quarantined to dead_letter")
     return 0
 
 
@@ -434,6 +439,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Run maintain() after the ingest.")
     ip.add_argument("--commits-per-epoch", type=int, default=8)
     ip.add_argument("--n-buckets", type=int, default=8)
+    ip.add_argument("--on-error", choices=["raise", "quarantine"], default="raise",
+                    dest="on_error",
+                    help="poison-event policy: abort the epoch (default) or "
+                         "skip the event and record it in the dead_letter "
+                         "table with the parse error")
     ip.set_defaults(fn=cmd_ingest)
 
     cp = sub.add_parser(

@@ -107,6 +107,9 @@ class FoldResult:
     relations: list[dict]
     n_events: int
     n_nodes_created: int
+    # quarantined poison events (on_error="quarantine"): one dict per
+    # skipped event with repo/path/commit/error/content
+    dead: list[dict] = field(default_factory=list)
 
 
 def leaves_from_rows(leaves_in: list[dict], geom_type: str = G.LINE) -> "list[_Node]":
@@ -200,6 +203,7 @@ def fold_key(
     events: list[dict],
     leaves_in: list[dict],
     geom_type: str = G.LINE,
+    on_error: str = "raise",
 ) -> FoldResult:
     """Fold ordered change events for one key over its current leaf state.
 
@@ -208,7 +212,20 @@ def fold_key(
     ``leaves_in``: current ``is_leaf`` rows of the ``segments`` table for this
     key (``gid, name, seq, wkt, editions``), i.e. resume state lives in the
     lake table itself, not in Spark state stores (SURVEY.md §7.3).
+
+    ``on_error``: ``"raise"`` (default — a malformed event aborts the fold,
+    the exactly-once replay contract) or ``"quarantine"`` — a poison event
+    (unparseable / off-grid / wrong-type WKT) is skipped EXACTLY as if it
+    never appeared in the WAL (the remaining fold is bit-identical to
+    folding the clean subset, tested) and reported in ``FoldResult.dead``
+    for the engine's dead-letter table.  Quarantine runs after the
+    within-batch commit dedup, so a poison replica that out-ranks a clean
+    one under last-writer-wins quarantines the commit (deterministic both
+    ways).
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    dead: list[dict] = []
     leaves: list[_Node] = leaves_from_rows(leaves_in, geom_type)
     next_seq = max((l.seq for l in leaves), default=-1) + 1
     created: list[_Node] = []
@@ -259,7 +276,16 @@ def fold_key(
             leaves = []
             continue
 
-        e_ids = G.parse_wkt(content, geom_type)
+        try:
+            e_ids = G.parse_wkt(content, geom_type)
+        except G.GeometryError as exc:
+            if on_error != "quarantine":
+                raise
+            dead.append({
+                "repo": repo, "path": path, "commit": commit,
+                "error": str(exc), "content": content[:256],
+            })
+            continue
         e_node = _new(commit, e_ids, tuple(edition_years(commit)), commit, extras)
 
         # Live leaves are pairwise DISJOINT (each round replaces an
@@ -324,4 +350,5 @@ def fold_key(
         relations=relations,
         n_events=len(events),
         n_nodes_created=n_created,
+        dead=dead,
     )

@@ -72,6 +72,10 @@ METRICS_SCHEMA = (
     "epoch long, partition_id int, n_keys long, n_segments long, "
     "n_relations long, n_events long, wall_ms double, attempt long"
 )
+DEAD_LETTER_SCHEMA = (
+    "epoch long, repo string, path string, commit string, "
+    "error string, content string, attempt long"
+)
 
 
 def _fold_output_schema(extras: list[tuple[str, str]]) -> str:
@@ -114,7 +118,7 @@ _STATE_TYPES = [
 _STATE_COLS = [c for c, _ in _STATE_TYPES]
 
 
-def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
+def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str = "raise"):
     """Partition-stream fold (``mapInPandas``): the batch's events and the
     current leaf state arrive in ONE frame flagged by ``_is_event``,
     hash-partitioned by ``(repo, path)`` so each key is wholly inside one
@@ -157,8 +161,20 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]]):
                 ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
                 st[["repo", "path", *_STATE_COLS, *extra_cols]].to_dict("records"),
                 geom_type=geom_type,
+                on_error=on_error,
             )
             rows.extend(_format_rows(res.segments, res.relations, pid, seg_cols, extra_cols))
+            # quarantined poison events ride the unified frame as kind='dead'
+            # (commit in commit_created, error in name, payload in wkt); the
+            # epoch assembly appends them to the dead_letter table
+            for d in res.dead:
+                drow = dict.fromkeys(seg_cols + extra_cols)
+                drow.update(
+                    kind="dead", _pid=pid, repo=repo, path=path,
+                    commit_created=d["commit"], name=d["error"], wkt=d["content"],
+                    parent_gid=None, child_gid=None, _wall_ms=None,
+                )
+                rows.append(drow)
             n_keys += 1
             n_segs += len(res.segments)
             n_rels += len(res.relations)
@@ -197,7 +213,38 @@ def _format_rows(segments, relations, pid, seg_cols, extra_cols) -> list[dict]:
     return rows
 
 
-def _make_slice_fn(geom_type: str, extras: list[tuple[str, str]]):
+def _split_poison(events: list[dict], geom_type: str, on_error: str):
+    """Deterministic poison split for the salted path: DEDUP FIRST (so a
+    poison replica that out-ranks a clean one under last-writer-wins
+    quarantines the commit, exactly like fold_key's in-loop handling), then
+    validate each survivor's WKT.  Every slice computes the same split from
+    the same strings; only the coordinator emits the dead rows.  The
+    validation parse primes the worker's canonical-parse cache, so the
+    fold's real parse of each clean event is a lookup — near-zero net cost.
+    """
+    from .fold import dedup_events
+
+    if on_error != "quarantine":
+        return events, []
+    clean: list[dict] = []
+    dead: list[dict] = []
+    for ev in dedup_events(events):
+        content = ev.get("content") or ""
+        if content.strip() == "":
+            clean.append(ev)  # tombstone: always valid
+            continue
+        try:
+            G.parse_wkt(content, geom_type)
+            clean.append(ev)
+        except G.GeometryError as exc:
+            dead.append({
+                "repo": ev["repo"], "path": ev["path"], "commit": ev["commit"],
+                "error": str(exc), "content": content[:256],
+            })
+    return clean, dead
+
+
+def _make_slice_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str = "raise"):
     """Phase-1 salted sub-fold: one ``(repo, path, salt)`` group = one leaf
     slice folded over the (replicated) epoch events; output is a single
     pickled payload row carrying the slice's segments/relations, its
@@ -215,10 +262,14 @@ def _make_slice_fn(geom_type: str, extras: list[tuple[str, str]]):
         is_event = pdf["_is_event"].astype(bool)
         ev = pdf[is_event]
         st = pdf[~is_event]
+        clean, _ = _split_poison(
+            ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
+            geom_type, on_error,
+        )
         res = fold_slice(
             repo,
             path,
-            ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
+            clean,
             st[["repo", "path", *_STATE_COLS, *extra_cols]].to_dict("records"),
             geom_type=geom_type,
         )
@@ -240,7 +291,7 @@ def _make_slice_fn(geom_type: str, extras: list[tuple[str, str]]):
     return fn
 
 
-def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]]):
+def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str = "raise"):
     """Phase-2 per-key coordinator: folds the edition/mu lineage with the
     slices' partials mixed in, replays the sequential seq numbering, and
     emits the combined changes rows."""
@@ -271,10 +322,14 @@ def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]]):
             pickle.loads(bytes(b)) for b in pdf[~is_event]["payload"] if b is not None
         ]
         ext = merge_partials([p["partials"] for p in payloads])
+        clean, dead = _split_poison(
+            ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
+            geom_type, on_error,
+        )
         coord = fold_coord(
             repo,
             path,
-            ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
+            clean,
             ext,
             geom_type=geom_type,
         )
@@ -286,6 +341,16 @@ def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]]):
         ]
         segments, relations = combine(slice_objs, coord)
         rows = _format_rows(segments, relations, pid, seg_cols, extra_cols)
+        # dead rows emitted ONCE per key, by the coordinator (slices drop
+        # the same events silently — deterministic from identical strings)
+        for d in dead:
+            drow = dict.fromkeys(seg_cols + extra_cols)
+            drow.update(
+                kind="dead", _pid=pid, repo=repo, path=path,
+                commit_created=d["commit"], name=d["error"], wkt=d["content"],
+                parent_gid=None, child_gid=None, _wall_ms=None,
+            )
+            rows.append(drow)
         # timing: the max slice wall (phase 1) and the coordinator wall —
         # what the skew accounting and straggler checks read
         wall = max(
@@ -339,11 +404,20 @@ class CdcEngine:
         n_buckets: int = 16,
         n_salts: int = 8,
         salt_leaf_threshold: int = 256,
+        on_error: str = "raise",
     ):
+        if on_error not in ("raise", "quarantine"):
+            raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         self.geom_type = geom_type
         self.n_buckets = n_buckets
+        # poison-event policy: "raise" aborts the epoch on a malformed WKT
+        # (the strict replay contract); "quarantine" skips the event exactly
+        # as if it never entered the WAL and appends it to the dead_letter
+        # table with the parse error (attempt-deduped like metrics, so a
+        # crashed epoch's replay fully replaces its dead rows)
+        self.on_error = on_error
         # hot-key salted fold (SURVEY §7.3): keys whose current leaf count
         # reaches the threshold are folded as n_salts leaf slices + a
         # coordinator instead of one sequential task.  Threshold 0 or
@@ -399,6 +473,14 @@ class CdcEngine:
             self.spark, self._path("metrics"), METRICS_SCHEMA,
             key_cols=[], n_buckets=1, overwrite=overwrite,
         )
+        # dead-letter queue (append-only like metrics, same attempt-dedup
+        # read): poison events quarantined under on_error="quarantine";
+        # created unconditionally so the schema exists before the first
+        # poison arrives
+        LakeTable.create(
+            self.spark, self._path("dead_letter"), DEAD_LETTER_SCHEMA,
+            key_cols=[], n_buckets=1, overwrite=overwrite,
+        )
 
     @property
     def segments(self) -> LakeTable:
@@ -415,6 +497,26 @@ class CdcEngine:
     @property
     def metrics(self) -> LakeTable:
         return LakeTable.load(self.spark, self._path("metrics"))
+
+    @property
+    def dead_letter(self) -> LakeTable:
+        return LakeTable.load(self.spark, self._path("dead_letter"))
+
+    def read_dead_letter(self) -> DataFrame:
+        """Quarantined poison events with replay dedup (the read_metrics
+        rule): append-only table, a crashed epoch's replay re-appends its
+        dead rows under a higher ``attempt`` — keep each epoch's latest."""
+        from pyspark.sql import Window
+
+        d = self.dead_letter.read().withColumn(
+            "attempt", F.coalesce(F.col("attempt"), F.lit(0).cast("long"))
+        )
+        w = Window.partitionBy("epoch")
+        return (
+            d.withColumn("_ma", F.max("attempt").over(w))
+            .filter(F.col("attempt") == F.col("_ma"))
+            .drop("_ma", "attempt")
+        )
 
     def read_metrics(self) -> DataFrame:
         """Metrics with replay dedup: the table is append-only, so a crashed
@@ -536,6 +638,15 @@ class CdcEngine:
         apply, so the fold input is bit-identical to the serial schedule
         (the epoch-size-invariance and kill/resume digest tests pin this).
         """
+        if self.on_error == "quarantine":
+            # warehouses created before the dead-letter table existed get it
+            # lazily (metadata-only, idempotent)
+            dl = LakeTable(self.spark, self._path("dead_letter"))
+            if not dl.exists():
+                LakeTable.create(
+                    self.spark, self._path("dead_letter"), DEAD_LETTER_SCHEMA,
+                    key_cols=[], n_buckets=1,
+                )
         wm = self.watermark()
         pending = (
             change_log.select("commit").distinct()
@@ -637,9 +748,13 @@ class CdcEngine:
         # stats-pruned leaf reads get sharper every maintenance pass
         for tbl in (self.segments, self.relations):
             tbl.analyze()
-        for tbl, dedup in ((self.commit_log, False), (self.metrics, True)):
+        log_tables = [(self.commit_log, None), (self.metrics, self.read_metrics)]
+        if LakeTable(self.spark, self._path("dead_letter")).exists():
+            log_tables.append((self.dead_letter, self.read_dead_letter))
+        for tbl, dedup_read in log_tables:
+            dedup = dedup_read is not None
             if len(tbl.snapshot()["files"]) > max_log_files:
-                df = self.read_metrics() if dedup else tbl.read()
+                df = dedup_read() if dedup else tbl.read()
                 summary = {"reason": "log-compaction"}
                 if dedup:
                     # compaction re-bases attempts: deduped rows all become
@@ -654,7 +769,10 @@ class CdcEngine:
                     if wm is not None:
                         summary["end_commit"] = wm
                 tbl.overwrite(df, summary=summary)
-        for tbl in (self.segments, self.relations, self.commit_log, self.metrics):
+        expire = [self.segments, self.relations, self.commit_log, self.metrics]
+        if LakeTable(self.spark, self._path("dead_letter")).exists():
+            expire.append(self.dead_letter)
+        for tbl in expire:
             tbl.expire_snapshots(keep_last=keep_snapshots)
 
     def maybe_rebucket(self, target_bucket_bytes: int | None = None) -> None:
@@ -828,7 +946,7 @@ class CdcEngine:
         fold_part = F.pmod(F.xxhash64("repo", "path"), F.lit(modulus))
         spread = balanced_part_col(fold_part, modulus, n_parts)
         shaped = ev_side.unionByName(st_side)
-        fold_fn = _make_fold_fn(self.geom_type, extras)
+        fold_fn = _make_fold_fn(self.geom_type, extras, self.on_error)
         out_schema = _fold_output_schema(extras)
 
         # Zipf-head detection: keys whose accumulated leaf lattice crosses
@@ -896,7 +1014,7 @@ class CdcEngine:
             "epoch": epoch, "start_commit": start_commit, "end_commit": end_commit,
             "n_events": n_events, "n_keys": n_keys, "t0": t0,
             "buckets": buckets, "rel_buckets": rel_buckets,
-            "trace": trace, "marks": marks,
+            "trace": trace, "marks": marks, "attempt": attempt,
         }
         seg_snap = self.segments.snapshot()
         rel_snap = self.relations.snapshot()
@@ -1072,6 +1190,19 @@ class CdcEngine:
             touched_buckets=prep["buckets"],
             write_shuffle=False,
         ))
+        if self.on_error == "quarantine":
+            drows = prep["changes"].filter(F.col("kind") == "dead").select(
+                F.lit(epoch).cast("long").alias("epoch"),
+                "repo", "path",
+                F.col("commit_created").alias("commit"),
+                F.col("name").alias("error"),
+                F.col("wkt").alias("content"),
+                F.lit(prep["attempt"]).cast("long").alias("attempt"),
+            )
+            prep["f_dead"] = pool.submit(timed(
+                "dead", self.dead_letter.append, drows,
+                summary={"epoch": epoch}, defer_commit=True,
+            ))
 
     def _start_writes_fast(self, prep: dict, pool, timed) -> None:
         """Fast-path writes: the change files already exist (combined
@@ -1137,6 +1268,23 @@ class CdcEngine:
             ))
         else:
             prep["f_met"] = pool.submit(lambda: (lambda: None))
+        dead_dir = os.path.join(scratch, "kind=dead")
+        if os.path.isdir(dead_dir):
+            drows = (
+                self.spark.read.parquet(dead_dir)
+                .select(
+                    F.lit(epoch).cast("long").alias("epoch"),
+                    "repo", "path",
+                    F.col("commit_created").alias("commit"),
+                    F.col("name").alias("error"),
+                    F.col("wkt").alias("content"),
+                    F.lit(prep["attempt"]).cast("long").alias("attempt"),
+                )
+            )
+            prep["f_dead"] = pool.submit(timed(
+                "dead", self.dead_letter.append, drows,
+                summary={"epoch": epoch}, defer_commit=True,
+            ))
 
     def _commit_epoch(self, prep: dict) -> EpochStats:
         """COMMIT order is the exactly-once contract (see module docstring):
@@ -1164,6 +1312,7 @@ class CdcEngine:
             prep["f_seg"].result()
             prep["f_rel"].result()
             commit_met = prep["f_met"].result()
+            commit_dead = prep["f_dead"].result() if "f_dead" in prep else (lambda: None)
             prep["pool"].shutdown(wait=False)
             scratch = prep["scratch"]
 
@@ -1198,9 +1347,13 @@ class CdcEngine:
             commit_rel, commit_met, commit_seg = (
                 prep["f_rel"].result(), prep["f_met"].result(), prep["f_seg"].result()
             )
+            commit_dead = prep["f_dead"].result() if "f_dead" in prep else (lambda: None)
             prep["pool"].shutdown(wait=False)
         commit_rel()
         commit_met()
+        # dead-letter commits with the replay-safe group (re-appends under a
+        # higher attempt on replay; read_dead_letter keeps the latest)
+        commit_dead()
         mark("relations+metrics")
         if self._crash_after == "relations_merge":
             raise RuntimeError("injected crash: after relations/metrics, before segments")
@@ -1246,7 +1399,7 @@ class CdcEngine:
             ev_rep.unionByName(st_s)
             .groupBy("repo", "path", "_salt")
             .applyInPandas(
-                _make_slice_fn(self.geom_type, extras),
+                _make_slice_fn(self.geom_type, extras, self.on_error),
                 "repo string, path string, _salt int, payload binary",
             )
         )
@@ -1265,7 +1418,7 @@ class CdcEngine:
         return (
             ev_side.unionByName(pay_side)
             .groupBy("repo", "path")
-            .applyInPandas(_make_coord_fn(self.geom_type, extras), out_schema)
+            .applyInPandas(_make_coord_fn(self.geom_type, extras, self.on_error), out_schema)
         )
 
     def _finish_epoch(

@@ -579,3 +579,85 @@ def test_hot_detection_gated_by_manifest_row_pretest(spark, tmp_path, monkeypatc
     calls.clear()
     eng2.ingest(to_spark(spark, wal), commits_per_epoch=2)
     assert calls  # manifest rows >= 1: exact path taken
+
+
+# ----------------------------------------------------- dead-letter queue
+
+def test_fold_key_quarantine_equals_clean_subset():
+    """A poison event under on_error='quarantine' is skipped exactly as if
+    it never entered the WAL; default mode raises."""
+    good1 = {"repo": "r", "path": "p", "commit": "1900",
+             "content": "MULTILINESTRING ((0.00 0.00, 0.02 0.00))"}
+    poison = {"repo": "r", "path": "p", "commit": "1910",
+              "content": "MULTILINESTRING ((0.005 0.00, 0.01 0.00))"}  # off-grid
+    good2 = {"repo": "r", "path": "p", "commit": "1920",
+             "content": "MULTILINESTRING ((0.01 0.00, 0.03 0.00))"}
+    with pytest.raises(G.GeometryError):
+        fold_key("r", "p", [good1, poison, good2], [])
+    res = fold_key("r", "p", [good1, poison, good2], [], on_error="quarantine")
+    clean = fold_key("r", "p", [good1, good2], [])
+    assert [(s["gid"], s["content_sha256"], s["is_leaf"]) for s in res.segments] == \
+           [(s["gid"], s["content_sha256"], s["is_leaf"]) for s in clean.segments]
+    assert res.relations == clean.relations
+    assert len(res.dead) == 1 and res.dead[0]["commit"] == "1910"
+    assert "grid" in res.dead[0]["error"]
+    # a poison replica that out-ranks a clean one under last-writer-wins
+    # quarantines the whole commit (dedup runs before the parse)
+    poison_big = dict(poison, commit="1900",
+                      content="Z" + "MULTILINESTRING ((0.00 0.00, 0.02 0.00))")
+    res2 = fold_key("r", "p", [good1, poison_big, good2], [], on_error="quarantine")
+    assert len(res2.dead) == 1 and res2.dead[0]["commit"] == "1900"
+    # the split helper (salted path) makes the same call
+    from linked_maps_spark.ingest import _split_poison
+
+    clean_ev, dead_ev = _split_poison([good1, poison_big, good2], G.LINE, "quarantine")
+    assert [e["commit"] for e in clean_ev] == ["1920"]  # 1900 quarantined
+    assert len(dead_ev) == 1 and dead_ev[0]["commit"] == "1900"
+
+
+def test_engine_quarantine_end_to_end(spark, tmp_path, wal_pdf):
+    """Poisoned WAL: quarantine engine converges to the clean WAL's exact
+    state, dead_letter carries one attempt-deduped row per poison event,
+    strict engine aborts; maintain() keeps the dead rows readable."""
+    # poison 3 events across epochs: off-grid, diagonal-invalid, garbage
+    poisoned = wal_pdf.copy()
+    bad = {
+        0: "MULTILINESTRING ((0.005 0.00, 0.01 0.00))",
+        7: "MULTILINESTRING ((0.00 0.00, 0.02 0.01))",
+        13: "this is not wkt at all (",
+    }
+    for i, c in bad.items():
+        poisoned.loc[poisoned.index[i], "content"] = c
+    clean = wal_pdf.drop(wal_pdf.index[list(bad)])
+
+    strict = _engine(spark, tmp_path, "strict")
+    with pytest.raises(Exception):
+        strict.ingest(to_spark(spark, poisoned), commits_per_epoch=2)
+
+    q = CdcEngine(spark, str(tmp_path / "quar"), geom_type=G.LINE,
+                  n_buckets=4, on_error="quarantine")
+    q.create_tables(overwrite=True)
+    q.ingest(to_spark(spark, poisoned), commits_per_epoch=2)
+    ref = _engine(spark, tmp_path, "cleanref")
+    ref.ingest(to_spark(spark, clean), commits_per_epoch=2)
+    assert _seg_digest(q) == _seg_digest(ref)
+    assert table_digest(q.relations.read()) == table_digest(ref.relations.read())
+
+    dead = q.read_dead_letter().orderBy("commit", "repo", "path").collect()
+    assert len(dead) == 3
+    want = {
+        (poisoned.iloc[i]["repo"], poisoned.iloc[i]["path"],
+         poisoned.iloc[i]["commit"], c)
+        for i, c in bad.items()
+    }
+    got = {(r["repo"], r["path"], r["commit"], r["content"]) for r in dead}
+    assert got == want
+    assert all(r["error"] for r in dead)
+
+    # replay: watermark skips everything; dead rows unchanged
+    q.ingest(to_spark(spark, poisoned), commits_per_epoch=2)
+    assert q.read_dead_letter().count() == 3
+    # maintenance keeps the dead-letter readable (compaction + expiry paths)
+    q.maintain(max_log_files=0)
+    assert q.read_dead_letter().count() == 3
+    assert _seg_digest(q) == _seg_digest(ref)

@@ -225,3 +225,46 @@ def test_salted_equals_sequential_fuzzed(raw_events, n_salts):
         fold_key_salted("r", "p", more, leaves, n_salts=n_salts),
         ("r", "p", "epoch2"),
     )
+
+
+def test_salted_quarantine_equals_plain_quarantine(spark, tmp_path):
+    """A poisoned skewed WAL under on_error='quarantine': the salted engine
+    must converge to the same state AND the same dead rows as the plain
+    engine (slices drop poison identically; the coordinator emits it once)."""
+    from linked_maps_spark.changelog import to_spark
+    from linked_maps_spark.ingest import CdcEngine
+    from linked_maps_spark.util import table_digest
+
+    wal = _skewed_wal()
+    # poison one hot-key event in a late epoch (the hot key is salted by
+    # then) and one cold-key event
+    hot_idx = wal.index[(wal["path"] == "railroads/hot")][-1]
+    cold_idx = wal.index[(wal["path"] != "railroads/hot")][-1]
+    wal.loc[hot_idx, "content"] = "MULTILINESTRING ((0.005 0.00, 0.01 0.00))"
+    wal.loc[cold_idx, "content"] = "garbage (("
+    wal_sdf = to_spark(spark, wal)
+
+    plain = CdcEngine(spark, str(tmp_path / "plainq"), n_buckets=4, n_salts=1,
+                      on_error="quarantine")
+    plain.create_tables(overwrite=True)
+    plain.ingest(wal_sdf, commits_per_epoch=2)
+
+    salted = CdcEngine(spark, str(tmp_path / "saltedq"), n_buckets=4, n_salts=4,
+                       salt_leaf_threshold=8, on_error="quarantine")
+    salted.create_tables(overwrite=True)
+    salted.ingest(wal_sdf, commits_per_epoch=2)
+
+    cols = [
+        "repo", "path", "gid", "name", "seq", "wkt", "content_sha256",
+        "editions", "is_leaf", "retired",
+    ]
+    assert table_digest(salted.current_segments(), cols) == table_digest(
+        plain.current_segments(), cols
+    )
+    # the hot key went down the salted path in the salted engine
+    assert salted.metrics.read().filter("partition_id >= 20000").count() > 0
+    dead_cols = ["repo", "path", "commit", "error", "content"]
+    assert table_digest(salted.read_dead_letter(), dead_cols) == table_digest(
+        plain.read_dead_letter(), dead_cols
+    )
+    assert salted.read_dead_letter().count() == 2
