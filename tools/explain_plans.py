@@ -50,6 +50,22 @@ CHECKS = {
     # sessionize + rollup share ONE user_id exchange: exactly one hash
     # Exchange in the plan besides the output ordering
     "event_session_stats": ["Window", "HashAggregate"],
+    # prefix-filtered jaccard: candidate generation is hash equi-joins on
+    # shingle/prefix keys — never a nested-loop/cartesian
+    "dedup_jaccard_prefix": ["HashJoin", "!CartesianProduct",
+                             "!BroadcastNestedLoopJoin"],
+    # substring dedup: dup-seed counts come from a partial-agg groupBy (a
+    # gram-partition Window would hot-spot boilerplate grams on one task);
+    # coverage/lag are the only Windows (doc_id-partitioned)
+    "dedup_substring": ["HashAggregate", "Window", "!CartesianProduct"],
+    # ranked search: term postings filtered at the scan, idf broadcast,
+    # global top-k as a heap (never a full sort)
+    "text_search_topk": ["BroadcastHashJoin", "TakeOrderedAndProject",
+                         "!SortMergeJoin"],
+    # indexed search: same scoring tail; the scan reads the INDEX parquet
+    # (term/doc_id/tf schema), not the documents table
+    "text_search_indexed": ["TakeOrderedAndProject",
+                            "ReadSchema: struct<term:string,doc_id:bigint,tf:bigint>"],
 }
 
 
