@@ -101,3 +101,61 @@ def test_unbuilt_index_raises(spark, corpus, tmp_path_factory):
                          n_buckets=2)
     with pytest.raises(ValueError, match="n_docs"):
         text_index.search_topk_indexed(t, ["x"], 3)
+
+
+def test_bm25_matches_python_recompute_and_length_norm(spark, corpus, tmp_path_factory):
+    """BM25 from the index ≡ an independent python recompute (rounded to
+    9 dp); at equal tf the longer doc scores lower (length normalization)."""
+    import math
+    from collections import Counter
+
+    path = str(tmp_path_factory.mktemp("tixb")) + "/idx"
+    t = text_index.build_text_index(spark, corpus, path, n_buckets=4, overwrite=True)
+    terms = ["rare", "common"]
+    got = [tuple(r) for r in text_index.bm25_topk(t, terms, k=8).collect()]
+
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    toks = {d: txt.strip().lower().split() for d, txt in rows.items()}
+    N = len(rows)
+    dl = {d: len(tk) for d, tk in toks.items()}
+    avgdl = sum(dl.values()) / N
+    tf = {d: Counter(tk) for d, tk in toks.items()}
+    df = {t_: sum(1 for d in rows if tf[d][t_] > 0) for t_ in terms}
+    k1, b = 1.2, 0.75
+
+    def score(d):
+        s = 0.0
+        hits = 0
+        for t_ in terms:
+            f = tf[d][t_]
+            if not f:
+                continue
+            hits += 1
+            idf = math.log(1 + (N - df[t_] + 0.5) / (df[t_] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+        return round(s, 9), hits
+
+    want = sorted(
+        ((d, *score(d)) for d in rows if score(d)[1] > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:8]
+    assert got == [tuple(w) for w in want]
+    # length norm: docs 1 and 5 have identical bags except doc 1 carries an
+    # extra token ('alpha') → longer → lower bm25 for the same rare/common tf
+    s = {d: sc for d, sc, _ in got}
+    assert s[1] < s[5]
+
+
+def test_doc_stats_incremental_build(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("tixc"))
+    one = text_index.build_text_index(
+        spark, corpus, base + "/one", n_buckets=4, overwrite=True)
+    two = text_index.build_text_index(
+        spark, corpus.filter("doc_id <= 4"), base + "/two", n_buckets=4, overwrite=True)
+    two = text_index.build_text_index(spark, corpus.filter("doc_id > 4"), base + "/two")
+    d1 = text_index.doc_stats_table(spark, base + "/one")
+    d2 = text_index.doc_stats_table(spark, base + "/two")
+    assert d1.latest_summary_value("total_dl") == d2.latest_summary_value("total_dl")
+    assert table_digest(d1.read()) == table_digest(d2.read())
+    assert [tuple(r) for r in text_index.bm25_topk(one, ["rare"], 3).collect()] == \
+           [tuple(r) for r in text_index.bm25_topk(two, ["rare"], 3).collect()]
