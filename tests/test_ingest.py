@@ -661,3 +661,30 @@ def test_engine_quarantine_end_to_end(spark, tmp_path, wal_pdf):
     q.maintain(max_log_files=0)
     assert q.read_dead_letter().count() == 3
     assert _seg_digest(q) == _seg_digest(ref)
+
+
+def test_stream_quarantine_equals_batch(spark, tmp_path, wal_pdf):
+    """Streaming drain (foreachBatch → engine.ingest) with quarantine:
+    identical state AND dead rows to the batch quarantine ingest."""
+    from linked_maps_spark.streaming import stream_ingest
+
+    poisoned = wal_pdf.copy()
+    poisoned.loc[poisoned.index[4], "content"] = "MULTILINESTRING ((0.005 0.00, 0.01 0.00))"
+    wal_dir = str(tmp_path / "walq")
+    to_spark(spark, poisoned).coalesce(2).write.parquet(wal_dir)
+
+    batch = CdcEngine(spark, str(tmp_path / "bq"), geom_type=G.LINE,
+                      n_buckets=4, on_error="quarantine")
+    batch.create_tables(overwrite=True)
+    batch.ingest(to_spark(spark, poisoned), commits_per_epoch=2)
+
+    streamed = CdcEngine(spark, str(tmp_path / "sq"), geom_type=G.LINE,
+                         n_buckets=4, on_error="quarantine")
+    streamed.create_tables(overwrite=True)
+    stream_ingest(streamed, wal_dir, str(tmp_path / "ckq"), commits_per_epoch=2)
+
+    assert _seg_digest(streamed) == _seg_digest(batch)
+    dead_cols = ["repo", "path", "commit", "error", "content"]
+    assert table_digest(streamed.read_dead_letter(), dead_cols) == \
+           table_digest(batch.read_dead_letter(), dead_cols)
+    assert streamed.read_dead_letter().count() == 1
