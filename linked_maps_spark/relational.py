@@ -866,3 +866,126 @@ def order_priority_timeline(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("order_year", "o_orderpriority")
     )
+
+
+@query(
+    "late_order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def late_order_priority_counts(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated semi-join feeding an aggregate —
+    orders with at least one lineitem shipped > 60 days after order date,
+    counted per priority.  The semi-join hashes on the order key with the
+    date comparison as a residual condition (never re-multiplies orders by
+    their matching lineitems, so the count needs no DISTINCT); date
+    arithmetic is exact timestamps on both engines."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 350)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate → HAVING → join back to the dims.  The
+    big-order keys are found with ONE partial-agg pass over lineitem; the
+    tiny surviving key set left-semi-joins (AQE broadcasts it) to restrict
+    orders/customer/lineitem BEFORE the re-aggregation, so the second pass
+    touches only qualifying orders' rows — never re-aggregates the fact
+    table.  Quantities sum in DECIMAL (exact cross-engine)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 350)
+        .select("l_orderkey")
+    )
+    lk = l.join(big, "l_orderkey", "left_semi")
+    return (
+        lk.join(o, lk.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "important_parts",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name,
+           CAST(pr.v AS DOUBLE) AS revenue
+    FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE pr.v * 1500 > (SELECT SUM(v) FROM pr)
+    ORDER BY revenue DESC, p_partkey
+    """,
+)
+def important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-group value filtered against a fraction of the
+    GLOBAL total (parts whose revenue exceeds 1/1500 of all revenue).  The
+    global total is a one-row aggregate cross-joined (broadcast) onto the
+    per-part aggregates; the threshold compare stays in DECIMAL
+    (``v · 1500 > total``) so the cut is exact integer arithmetic on both
+    engines — no float-boundary row flips.  Per-part aggregation reuses
+    the same shuffle for both the value and the filter."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    pr = (
+        l.groupBy(F.col("l_partkey"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).alias("v")
+        )
+    )
+    total = pr.agg(F.sum("v").alias("t"))
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 1500 > F.col("t"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", F.col("v").cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    )

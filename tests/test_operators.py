@@ -851,3 +851,30 @@ def test_dedup_jaccard_prefix_exact_rational_threshold(spark):
     assert duck == got
     # and strictly-below-threshold stays out (J = 1/3 < 1/2)
     assert dedup.dedup_jaccard_prefix(d, 1, 2).count() == 0
+
+
+def test_tpch_shape_queries_semantics(spark):
+    """Q4/Q18/Q11-shape invariants at sf0.001 (values are gate-oracled at
+    sf0.01; these pin the semantic contracts)."""
+    from linked_maps_spark import relational
+
+    sf = "/root/testdata/sf0.001"
+    late = relational.QUERIES["late_order_priority_counts"](spark, sf).collect()
+    n_orders = relational.load(spark, sf, "orders").count()
+    assert 0 < sum(r["n_late_orders"] for r in late) <= n_orders
+
+    big = relational.QUERIES["large_volume_customers"](spark, sf).collect()
+    assert all(r["sum_qty"] > 350 for r in big)
+    prices = [r["o_totalprice"] for r in big]
+    assert prices == sorted(prices, reverse=True)
+
+    imp = relational.QUERIES["important_parts"](spark, sf).collect()
+    total = (
+        relational.load(spark, sf, "lineitem")
+        .selectExpr(
+            "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS t"
+        )
+        .collect()[0]["t"]
+    )
+    assert imp and all(r["revenue"] * 1500 > float(total) * 0.999999 for r in imp)

@@ -66,6 +66,16 @@ CHECKS = {
     # (term/doc_id/tf schema), not the documents table
     "text_search_indexed": ["TakeOrderedAndProject",
                             "ReadSchema: struct<term:string,doc_id:bigint,tf:bigint>"],
+    # Q4 shape: EXISTS as a hash LeftSemi (residual date condition), one agg
+    "late_order_priority_counts": ["LeftSemi", "HashAggregate",
+                                   "!CartesianProduct"],
+    # Q18 shape: HAVING keys semi-restrict the fact BEFORE re-aggregation;
+    # global top-20 is a heap, never a full sort
+    "large_volume_customers": ["LeftSemi", "TakeOrderedAndProject",
+                               "BroadcastHashJoin"],
+    # Q11 shape: the global total joins back as a broadcast single row
+    "important_parts": ["BroadcastNestedLoopJoin", "HashAggregate",
+                        "!SortMergeJoin"],
 }
 
 
