@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard_prefix"] = _doc()(dedup.dedup_jaccard_prefix)
     # Lee-et-al repeated-substring removal at word granularity
     q["dedup_substring"] = _doc()(dedup.dedup_substring)
+    # the APPLY step: the cleaned corpus itself (kept tokens re-joined)
+    q["dedup_substring_apply"] = _doc()(
+        lambda d: dedup.dedup_substring(d, emit="text")
+    )
     # inverted-index ranked search (exact-integer tf·idf top-k)
     q["text_search_topk"] = _doc()(
         lambda d: textops.search_topk(d, ["data", "table", "shuffle"], k=10)
@@ -253,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_jaccard_prefix"] = dedup.dedup_jaccard_prefix_sql()
     o["dedup_substring"] = dedup.dedup_substring_sql()
+    o["dedup_substring_apply"] = dedup.dedup_substring_sql(emit="text")
     o["text_search_topk"] = textops.search_topk_sql(["data", "table", "shuffle"], k=10)
     o["text_search_indexed"] = textops.search_topk_sql(["data", "table", "shuffle"], k=10)
     o["similarity_cosine_topk"] = similarity.cosine_topk_sql(n_queries=5, k=5)

@@ -891,7 +891,9 @@ def dedup_jaccard_prefix_sql(t_num: int = 1, t_den: int = 2) -> str:
 SUBSTR_K = 5
 
 
-def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+def dedup_substring(
+    documents: DataFrame, k: int = SUBSTR_K, emit: str = "md5"
+) -> DataFrame:
     """Corpus-level repeated-substring removal (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" ExactSubstr
     policy, at word granularity): every token span of length ≥ ``k`` that
@@ -979,27 +981,36 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         )
     )
     kept = F.when(F.col("covered") == 0, F.struct("pos", "token"))
+    clean = F.array_join(
+        F.transform(F.array_sort(F.collect_list(kept)), lambda s: s.token), " "
+    )
+    # emit="md5" keeps the driver row small (digest of the cleaned text);
+    # emit="text" is the APPLY step — the cleaned corpus itself, the frame a
+    # curation pipeline writes back
+    out = (
+        F.md5(clean).alias("clean_md5") if emit == "md5"
+        else clean.alias("text_clean")
+    )
     return (
         marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("covered").alias("n_removed"),
             F.sum("span_start").alias("n_spans"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept)), lambda s: s.token
-                    ),
-                    " ",
-                )
-            ).alias("clean_md5"),
+            out,
         )
         .orderBy("doc_id")
     )
 
 
-def dedup_substring_sql(k: int = SUBSTR_K) -> str:
+def dedup_substring_sql(k: int = SUBSTR_K, emit: str = "md5") -> str:
     toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    clean = ("COALESCE(string_agg(token, ' ' ORDER BY pos) "
+             "FILTER (WHERE covered = 0), '')")
+    emit_expr = (
+        f"md5({clean}) AS clean_md5" if emit == "md5"
+        else f"{clean} AS text_clean"
+    )
     return f"""
     WITH pos_tbl AS (
         SELECT doc_id, UNNEST({toks}) AS token,
@@ -1037,10 +1048,7 @@ def dedup_substring_sql(k: int = SUBSTR_K) -> str:
            COUNT(*) AS n_tokens,
            CAST(SUM(covered) AS BIGINT) AS n_removed,
            CAST(SUM(span_start) AS BIGINT) AS n_spans,
-           md5(COALESCE(
-               string_agg(token, ' ' ORDER BY pos) FILTER (WHERE covered = 0),
-               ''
-           )) AS clean_md5
+           {emit_expr}
     FROM spans
     GROUP BY doc_id
     ORDER BY doc_id
