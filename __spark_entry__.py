@@ -132,12 +132,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0.4 exercises the candidate+verify path on real pair mass
         lambda e: similarity.dedup_embedding_cosine(e, threshold=0.4)
     )
+    # SemDeDup (Abbas et al. 2023): near-dup candidates restricted to the
+    # SAME coarse IVF cell (single-membership — no band fan-out, no
+    # dropDuplicates), then exact-cosine verify / transitive-closure keeper
+    q["dedup_semantic_pairs"] = _doc("embeddings")(
+        lambda e: similarity.semantic_pairs(e, threshold=0.4)
+    )
+    q["dedup_semantic"] = _doc("embeddings")(
+        lambda e: similarity.dedup_semantic(e, threshold=0.4)
+    )
     # text analysis
     q["text_token_stats"] = _doc()(textops.token_stats)
     q["text_lang_id"] = _doc()(textops.lang_id)
     q["text_fingerprint"] = _doc()(textops.doc_fingerprint)
     q["text_quality_classifier"] = _doc()(textops.quality_classifier)
     q["text_top_words"] = _doc()(textops.top_words)
+    # CCNet-style unigram-LM perplexity proxy (exact-integer micro-nats)
+    q["text_unigram_logprob"] = _doc()(textops.unigram_logprob)
     # BPE tokenizer: distributed merge training + corpus encode; the two
     # entries share one training via bpe's plain-python memo
     q["text_bpe_merges"] = _doc()(bpe.bpe_merges)
@@ -271,6 +282,9 @@ def oracle_sql() -> dict[str, str]:
     o["similarity_pq_codes"] = similarity.pq_codes_sql()
     o["similarity_ann_pq"] = similarity.ann_pq_topk_sql(n_queries=5, k=5)
     o["dedup_embedding_cosine"] = similarity.dedup_embedding_cosine_sql(threshold=0.4)
+    o["dedup_semantic_pairs"] = similarity.semantic_pairs_sql(threshold=0.4)
+    o["dedup_semantic"] = similarity.dedup_semantic_sql(threshold=0.4)
+    o["text_unigram_logprob"] = textops.unigram_logprob_sql()
     o["text_token_stats"] = textops.token_stats_sql()
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()

@@ -315,14 +315,10 @@ def ann_ivf_topk(
     return _exact_rerank(cand, embeddings, n_queries, k)
 
 
-def ann_ivf_topk_sql(
-    n_queries: int = 5,
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    dim: int = 64,
-) -> str:
-    """DuckDB oracle for :func:`ann_ivf_topk` (same md5-derived centroids)."""
+def _ivf_cells_ctes(n_cells: int, dim: int) -> str:
+    """Shared DuckDB CTE chain ``base → simmed → cells`` re-deriving
+    :func:`ivf_cells` (md5 centroids, argmax/first-match tie-break) — one
+    definition so the ANN and SemDeDup oracles cannot drift."""
 
     def cent(c: int) -> str:
         return (
@@ -337,7 +333,7 @@ def ann_ivf_topk_sql(
         for c in range(n_cells)
     )
     return f"""
-    WITH base AS (
+    base AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings
@@ -345,7 +341,19 @@ def ann_ivf_topk_sql(
     simmed AS (SELECT vec_id, v, nrm, [{sims}] AS sims FROM base),
     cells AS (
         SELECT vec_id, list_position(sims, list_max(sims)) AS cell FROM simmed
-    ),
+    )"""
+
+
+def ann_ivf_topk_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`ann_ivf_topk` (same md5-derived centroids)."""
+    return f"""
+    WITH {_ivf_cells_ctes(n_cells, dim)},
     qexp AS (
         SELECT s.vec_id AS query_id, t.c + 1 AS cell, s.sims[t.c + 1] AS sim
         FROM simmed s, range(0, {n_cells}) AS t(c)
@@ -506,6 +514,146 @@ def dedup_embedding_cosine_sql(
     SELECT vec_a, vec_b, cosine FROM scored
     WHERE cosine >= {threshold}
     ORDER BY vec_a, vec_b
+    """
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+def semantic_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    dim: int = 64,
+    max_cell: int = MAX_KEY_DF,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    embedding near-duplicates searched ONLY within the same coarse-quantizer
+    cell — the paper clusters with k-means and compares pairs inside each
+    cluster; here the cells are the SAME deterministic IVF quantizer the ANN
+    path uses (:func:`ivf_cells`), so at 100 TB the assignment is read from
+    the persisted ``vec_index`` table (pass ``cells=``) instead of recomputed.
+
+    Scale shape: each vector belongs to exactly ONE cell, so the self-join
+    emits every qualifying pair exactly once — no band-OR fan-out, no
+    ``dropDuplicates`` shuffle (the advantage over the LSH-banded
+    :func:`dedup_embedding_cosine`); cells larger than ``max_cell`` are
+    dropped on both engines before the join (the ``dedup.py`` ceiling
+    pattern), so candidates stay ≤ N·max_cell — linear in N.  The contract
+    is candidate-restricted like the paper's: a pair is reported iff it
+    shares a cell AND exact cosine ≥ ``threshold``."""
+    if cells is None:
+        cells = ivf_cells(embeddings, n_cells, dim)
+    hot = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cell)
+        .select("cell")
+    )
+    small = cells.join(hot, "cell", "left_anti")
+    a, c = small.alias("a"), small.alias("c")
+    cand = a.join(
+        c, (F.col("a.cell") == F.col("c.cell")) & (F.col("a.vec_id") < F.col("c.vec_id"))
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+    vecs = with_norm(embeddings).select("vec_id", "_v", "_norm")
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def dedup_semantic(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    dim: int = 64,
+    max_cell: int = MAX_KEY_DF,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """The SemDeDup APPLY step: within every connected component of the
+    :func:`semantic_pairs` graph keep exactly one vector (the minimum
+    vec_id — transitive closure, because A~B and B~C must collapse to ONE
+    keeper even when A~C was never emitted) and emit each dropped vector
+    with its keeper.  Component labels come from the shared
+    :func:`dedup.connected_components` min-label/pointer-jumping loop —
+    label table bounded by *paired* vectors, ≪ corpus."""
+    from .dedup import connected_components
+
+    pairs = semantic_pairs(embeddings, threshold, n_cells, dim, max_cell, cells).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labs = connected_components(pairs)
+    return (
+        labs.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("keeper_id"))
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_pairs_ctes(
+    threshold: float, n_cells: int, dim: int, max_cell: int
+) -> str:
+    """``… → pairs(doc_a, doc_b, cosine)`` CTE chain shared by the SemDeDup
+    oracles (column names chosen to plug into ``dedup._CLOSURE_CTES``)."""
+    return f"""{_ivf_cells_ctes(n_cells, dim)},
+    small AS (
+        SELECT cell FROM cells GROUP BY cell HAVING COUNT(*) <= {max_cell}
+    ),
+    cc AS (SELECT cl.* FROM cells cl JOIN small USING (cell)),
+    scored AS (
+        SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+               ROUND(list_dot_product(ba.v, bb.v) / (ba.nrm * bb.nrm), 6) AS cosine
+        FROM cc a JOIN cc c ON a.cell = c.cell AND a.vec_id < c.vec_id
+                  JOIN base ba ON ba.vec_id = a.vec_id
+                  JOIN base bb ON bb.vec_id = c.vec_id
+    ),
+    pairs AS (SELECT * FROM scored WHERE cosine >= {threshold})"""
+
+
+def semantic_pairs_sql(
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    dim: int = 64,
+    max_cell: int = MAX_KEY_DF,
+) -> str:
+    """DuckDB oracle for :func:`semantic_pairs` — same md5 quantizer cells,
+    same ceiling, same exact-cosine verify."""
+    return f"""
+    WITH {_semantic_pairs_ctes(threshold, n_cells, dim, max_cell)}
+    SELECT doc_a AS vec_a, doc_b AS vec_b, cosine
+    FROM pairs ORDER BY vec_a, vec_b
+    """
+
+
+def dedup_semantic_sql(
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    dim: int = 64,
+    max_cell: int = MAX_KEY_DF,
+) -> str:
+    """DuckDB oracle for :func:`dedup_semantic`: the same pair CTEs, then the
+    shared transitive-closure chain (``dedup._CLOSURE_CTES``)."""
+    from .dedup import _CLOSURE_CTES
+
+    return f"""
+    WITH RECURSIVE {_semantic_pairs_ctes(threshold, n_cells, dim, max_cell)},
+    {_CLOSURE_CTES}
+    SELECT doc_id AS vec_id, cluster_id AS keeper_id
+    FROM lab WHERE doc_id <> cluster_id
+    ORDER BY vec_id
     """
 
 

@@ -613,6 +613,84 @@ def doc_fingerprint_sql() -> str:
     """
 
 
+# ------------------------------------------ unigram-LM quality (perplexity)
+
+#: fixed-point scale for per-token negative log-probability (micro-nats)
+NLL_MICRO = 1_000_000
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020): each
+    document's mean negative log-probability under a unigram LM trained on
+    the corpus itself — the perplexity-proxy filter a pretraining pipeline
+    runs to rank/cut documents (high mean NLL = improbable token mix).
+
+    Exactness contract: the ONLY floating-point step is one ``ln(cnt/total)``
+    per *distinct vocabulary term*, snapped immediately to integer micro-nats
+    (``round(-ln(p)·10⁶)``); every aggregation after that is exact-integer
+    (sum / count / integer div), so results are independent of Spark's
+    partial-aggregation order and hash-match the DuckDB oracle.  (A raw
+    double SUM would be addition-order-dependent; ``ln`` itself can differ
+    across libm implementations only in the last ulp ≈ 1e-16 relative, which
+    moves the micro-nat rounding only if the true value sits within ~1e-9 of
+    a .5 boundary — negligible, and a mismatch would surface at the gate.)
+
+    Scale shape: token explode → vocab count (map-side combined — vocab ≪
+    corpus); total via a 1-row agg crossJoin (broadcast by construction);
+    the token→vocab scoring join shuffles on the token key (AQE broadcasts
+    the vocab side when it fits); final per-doc agg partial-combines.  No
+    UDFs, no collect."""
+    toks = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log(F.col("cnt") / F.col("total")) * NLL_MICRO, 0)
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_micro").alias("nll_micro_total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micro_total",
+            F.expr("nll_micro_total div n_tokens").alias("nll_micro_mean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob_sql() -> str:
+    """DuckDB oracle for :func:`unigram_logprob` — same tokenization, same
+    micro-nat snap before any sum, same truncating integer mean."""
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({toks}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lp AS (
+        SELECT tok,
+               CAST(ROUND(-ln(cnt / total) * {NLL_MICRO}, 0) AS BIGINT) AS nll_micro
+        FROM vocab, tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_total,
+           CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS nll_micro_mean
+    FROM toks JOIN lp USING (tok)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
 # ------------------------------------------------ ranked full-text search
 
 #: integer idf scale (ppm) — keeps every scoring step exact-integer so the

@@ -251,6 +251,114 @@ def test_dedup_embedding_cosine(spark):
     assert all(a < b for a, b in got)
 
 
+def test_dedup_semantic_closure_ceiling_and_duckdb(spark):
+    """SemDeDup: (1) a 3-chain a~b, b~c with a~c BELOW threshold must still
+    collapse to one keeper (transitive closure, pairs alone under-delete);
+    (2) a hot cell larger than max_cell is dropped entirely (the ceiling);
+    (3) Spark pairs and apply output ≡ the DuckDB oracle on the same data."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    def f32(v):
+        return [float(np.float32(x)) for x in v]
+
+    # chain: rotations of u toward w by θ, 2θ with cos θ = 0.9999 —
+    # cos(a,b) = cos(b,c) = 0.9999 ≥ τ, cos(a,c) = cos 2θ ≈ 0.99960 < τ
+    theta = math.acos(0.9999)
+    u = np.zeros(8); u[0] = 1.0
+    w = np.zeros(8); w[1] = 1.0
+    rows = []
+    for i, ang in enumerate((0.0, theta, 2 * theta)):
+        rows.append((10 + i, f32(math.cos(ang) * u + math.sin(ang) * w)))
+    # hot cell: one identical vector 40× (> max_cell=20) — must vanish.
+    # seed 0 lands in md5-quantizer cell 3, away from the chain's cell 1,
+    # so the ceiling can't collaterally drop the chain
+    dense = f32(np.random.default_rng(0).normal(size=8))
+    rng = np.random.default_rng(3)
+    for i in range(40):
+        rows.append((100 + i, dense))
+    # background spread
+    for i in range(200, 215):
+        rows.append((i, f32(rng.normal(size=8))))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(threshold=0.9998, n_cells=4, dim=8, max_cell=20)
+    pairs = similarity.semantic_pairs(emb, **kw).collect()
+    got_pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in pairs}
+    assert (10, 11) in got_pairs and (11, 12) in got_pairs
+    assert (10, 12) not in got_pairs          # below threshold
+    assert all(a >= 200 or a < 100 for a, _ in got_pairs)  # hot cell dropped
+
+    drops = {r["vec_id"]: r["keeper_id"] for r in
+             similarity.dedup_semantic(emb, **kw).collect()}
+    assert drops[11] == 10 and drops[12] == 10  # closure: ONE keeper
+    assert not any(100 <= v < 140 for v in drops)
+
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    duck_pairs = {
+        (a, b): c
+        for a, b, c in con.execute(
+            similarity.semantic_pairs_sql(0.9998, n_cells=4, dim=8, max_cell=20)
+        ).fetchall()
+    }
+    assert duck_pairs == got_pairs
+    duck_drops = dict(con.execute(
+        similarity.dedup_semantic_sql(0.9998, n_cells=4, dim=8, max_cell=20)
+    ).fetchall())
+    assert duck_drops == drops
+
+
+def test_semantic_pairs_single_membership_no_distinct(spark):
+    """Each vector lives in exactly ONE cell, so the pair plan needs no
+    dropDuplicates — assert the physical plan has no aggregate/distinct
+    between the self-join and the cosine filter (the documented advantage
+    over the band-OR LSH path, which must dedup band collisions)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = similarity.semantic_pairs(
+        emb, threshold=0.4, n_cells=4, dim=8
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # one Deduplicate/Distinct would appear as an extra Aggregate keyed by
+    # (vec_a, vec_b); the only aggregates allowed are the hot-cell count
+    assert "Deduplicate" not in plan
+
+
+def test_unigram_logprob_values(spark):
+    """Hand-computable corpus: per-token micro-nat NLLs snapped before any
+    sum, exact-integer totals/means, Spark ≡ python recompute ≡ DuckDB."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "a")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in textops.unigram_logprob(d).collect()}
+
+    # python recompute: counts a=3 b=2 c=1, total=6
+    nll = {t: round(-math.log(c / 6) * 1_000_000) for t, c in
+           {"a": 3, "b": 2, "c": 1}.items()}
+    exp = {
+        1: (3, 2 * nll["a"] + nll["b"], (2 * nll["a"] + nll["b"]) // 3),
+        2: (2, nll["b"] + nll["c"], (nll["b"] + nll["c"]) // 2),
+        3: (1, nll["a"], nll["a"]),
+    }
+    assert got == exp
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {r[0]: tuple(r)[1:] for r in
+            con.execute(textops.unigram_logprob_sql()).fetchall()}
+    assert duck == got
+
+
 def test_dedup_embedding_cosine_hot_bucket_ceiling(spark):
     """The last provable quadratic: a planted dense band bucket (many
     identical vectors — they share EVERY band) must be dropped by the
