@@ -253,6 +253,17 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     fresh = args.reset_db or not os.path.exists(os.path.join(warehouse, "segments"))
     if fresh:
         eng.create_tables(overwrite=True)
+    # dead_letter is cumulative across runs; snapshot the count up front so
+    # the report below reflects THIS run's quarantines, not history (a
+    # pre-quarantine warehouse has no table yet — ingest lazily creates it)
+    from .lakehouse import LakeTable
+
+    dead_before = (
+        eng.read_dead_letter().count()
+        if eng.on_error == "quarantine"
+        and LakeTable(eng.spark, os.path.join(warehouse, "dead_letter")).exists()
+        else 0
+    )
     if args.stream:
         from .streaming import stream_ingest
 
@@ -276,7 +287,7 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     n = eng.current_segments().count()
     print(f"ingest: watermark={eng.watermark()}, {n} current segments in {warehouse}")
     if eng.on_error == "quarantine":
-        nd = eng.read_dead_letter().count()
+        nd = eng.read_dead_letter().count() - dead_before
         if nd:
             print(f"ingest: {nd} poison event(s) quarantined to dead_letter")
     return 0

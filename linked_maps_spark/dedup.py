@@ -927,6 +927,8 @@ def dedup_substring(
     """
     from .util import spread
 
+    if emit not in ("md5", "text"):
+        raise ValueError(f"emit must be 'md5' or 'text', got {emit!r}")
     toks = tokens(F.col("text"))
     pos_tbl = (
         spread(documents, "doc_id")
@@ -1004,6 +1006,8 @@ def dedup_substring(
 
 
 def dedup_substring_sql(k: int = SUBSTR_K, emit: str = "md5") -> str:
+    if emit not in ("md5", "text"):
+        raise ValueError(f"emit must be 'md5' or 'text', got {emit!r}")
     toks = "string_split_regex(trim(lower(text)), '\\s+')"
     clean = ("COALESCE(string_agg(token, ' ' ORDER BY pos) "
              "FILTER (WHERE covered = 0), '')")

@@ -168,13 +168,9 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
             # (commit in commit_created, error in name, payload in wkt); the
             # epoch assembly appends them to the dead_letter table
             for d in res.dead:
-                drow = dict.fromkeys(seg_cols + extra_cols)
-                drow.update(
-                    kind="dead", _pid=pid, repo=repo, path=path,
-                    commit_created=d["commit"], name=d["error"], wkt=d["content"],
-                    parent_gid=None, child_gid=None, _wall_ms=None,
+                rows.append(
+                    _dead_changes_row(seg_cols, extra_cols, pid, repo, path, d)
                 )
-                rows.append(drow)
             n_keys += 1
             n_segs += len(res.segments)
             n_rels += len(res.relations)
@@ -189,6 +185,34 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
         yield pd.DataFrame(rows, columns=out_cols)
 
     return fn
+
+
+def _dead_changes_row(seg_cols, extra_cols, pid, repo, path, d) -> dict:
+    """kind='dead' row for the unified change frame — THE definition of the
+    column-smuggling encoding (commit rides in commit_created, the parse
+    error in name, the raw payload in wkt), shared by the plain fold and the
+    salted coordinator so the two paths cannot drift."""
+    drow = dict.fromkeys(seg_cols + extra_cols)
+    drow.update(
+        kind="dead", _pid=pid, repo=repo, path=path,
+        commit_created=d["commit"], name=d["error"], wkt=d["content"],
+        parent_gid=None, child_gid=None, _wall_ms=None,
+    )
+    return drow
+
+
+def _dead_letter_select(df: DataFrame, epoch: int, attempt: int) -> DataFrame:
+    """Decode kind='dead' change rows into dead_letter's schema — the single
+    inverse of :func:`_dead_changes_row`, shared by the slow and fast write
+    paths."""
+    return df.select(
+        F.lit(epoch).cast("long").alias("epoch"),
+        "repo", "path",
+        F.col("commit_created").alias("commit"),
+        F.col("name").alias("error"),
+        F.col("wkt").alias("content"),
+        F.lit(attempt).cast("long").alias("attempt"),
+    )
 
 
 def _format_rows(segments, relations, pid, seg_cols, extra_cols) -> list[dict]:
@@ -344,13 +368,7 @@ def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str 
         # dead rows emitted ONCE per key, by the coordinator (slices drop
         # the same events silently — deterministic from identical strings)
         for d in dead:
-            drow = dict.fromkeys(seg_cols + extra_cols)
-            drow.update(
-                kind="dead", _pid=pid, repo=repo, path=path,
-                commit_created=d["commit"], name=d["error"], wkt=d["content"],
-                parent_gid=None, child_gid=None, _wall_ms=None,
-            )
-            rows.append(drow)
+            rows.append(_dead_changes_row(seg_cols, extra_cols, pid, repo, path, d))
         # timing: the max slice wall (phase 1) and the coordinator wall —
         # what the skew accounting and straggler checks read
         wall = max(
@@ -502,13 +520,16 @@ class CdcEngine:
     def dead_letter(self) -> LakeTable:
         return LakeTable.load(self.spark, self._path("dead_letter"))
 
-    def read_dead_letter(self) -> DataFrame:
-        """Quarantined poison events with replay dedup (the read_metrics
-        rule): append-only table, a crashed epoch's replay re-appends its
-        dead rows under a higher ``attempt`` — keep each epoch's latest."""
+    def _read_latest_attempt(self, table: LakeTable) -> DataFrame:
+        """Replay dedup shared by the append-only accounting tables
+        (metrics, dead_letter): a crashed epoch's replay re-appends its rows
+        under a higher ``attempt`` — keep only each epoch's latest (stale
+        partial accounting from the crashed attempt is fully replaced).
+        Rows written before the attempt column existed read as NULL; they
+        must dedup as attempt 0, not vanish from a NULL comparison."""
         from pyspark.sql import Window
 
-        d = self.dead_letter.read().withColumn(
+        d = table.read().withColumn(
             "attempt", F.coalesce(F.col("attempt"), F.lit(0).cast("long"))
         )
         w = Window.partitionBy("epoch")
@@ -518,25 +539,14 @@ class CdcEngine:
             .drop("_ma", "attempt")
         )
 
-    def read_metrics(self) -> DataFrame:
-        """Metrics with replay dedup: the table is append-only, so a crashed
-        epoch's replay re-appends its rows under a higher ``attempt``; keep
-        only each epoch's latest attempt (stale partial accounting from the
-        crashed attempt — possibly under different task partition ids — is
-        fully replaced)."""
-        from pyspark.sql import Window
+    def read_dead_letter(self) -> DataFrame:
+        """Quarantined poison events with replay dedup (the read_metrics
+        rule — one shared implementation, so the two reads cannot drift)."""
+        return self._read_latest_attempt(self.dead_letter)
 
-        # rows written before the attempt column existed read as NULL; they
-        # must dedup as attempt 0, not vanish from a NULL comparison
-        m = self.metrics.read().withColumn(
-            "attempt", F.coalesce(F.col("attempt"), F.lit(0).cast("long"))
-        )
-        w = Window.partitionBy("epoch")
-        return (
-            m.withColumn("_ma", F.max("attempt").over(w))
-            .filter(F.col("attempt") == F.col("_ma"))
-            .drop("_ma", "attempt")
-        )
+    def read_metrics(self) -> DataFrame:
+        """Metrics with replay dedup (see :meth:`_read_latest_attempt`)."""
+        return self._read_latest_attempt(self.metrics)
 
     # ----------------------------------------------------------------- state
 
@@ -748,8 +758,9 @@ class CdcEngine:
         # stats-pruned leaf reads get sharper every maintenance pass
         for tbl in (self.segments, self.relations):
             tbl.analyze()
+        has_dead = LakeTable(self.spark, self._path("dead_letter")).exists()
         log_tables = [(self.commit_log, None), (self.metrics, self.read_metrics)]
-        if LakeTable(self.spark, self._path("dead_letter")).exists():
+        if has_dead:
             log_tables.append((self.dead_letter, self.read_dead_letter))
         for tbl, dedup_read in log_tables:
             dedup = dedup_read is not None
@@ -770,7 +781,7 @@ class CdcEngine:
                         summary["end_commit"] = wm
                 tbl.overwrite(df, summary=summary)
         expire = [self.segments, self.relations, self.commit_log, self.metrics]
-        if LakeTable(self.spark, self._path("dead_letter")).exists():
+        if has_dead:
             expire.append(self.dead_letter)
         for tbl in expire:
             tbl.expire_snapshots(keep_last=keep_snapshots)
@@ -1191,18 +1202,24 @@ class CdcEngine:
             write_shuffle=False,
         ))
         if self.on_error == "quarantine":
-            drows = prep["changes"].filter(F.col("kind") == "dead").select(
-                F.lit(epoch).cast("long").alias("epoch"),
-                "repo", "path",
-                F.col("commit_created").alias("commit"),
-                F.col("name").alias("error"),
-                F.col("wkt").alias("content"),
-                F.lit(prep["attempt"]).cast("long").alias("attempt"),
+            drows = _dead_letter_select(
+                prep["changes"].filter(F.col("kind") == "dead"),
+                epoch, prep["attempt"],
             )
-            prep["f_dead"] = pool.submit(timed(
-                "dead", self.dead_letter.append, drows,
-                summary={"epoch": epoch}, defer_commit=True,
-            ))
+
+            def dead_append(drows=drows, epoch=epoch):
+                # clean epochs skip the append entirely — no empty data
+                # file, no snapshot for maintain() to compact later (the
+                # slow-path analog of the fast path's isdir guard); the
+                # emptiness probe is a limit-1 scan of the already-
+                # checkpointed change frame
+                if drows.isEmpty():
+                    return lambda: None
+                return self.dead_letter.append(
+                    drows, summary={"epoch": epoch}, defer_commit=True
+                )
+
+            prep["f_dead"] = pool.submit(timed("dead", dead_append))
 
     def _start_writes_fast(self, prep: dict, pool, timed) -> None:
         """Fast-path writes: the change files already exist (combined
@@ -1270,16 +1287,8 @@ class CdcEngine:
             prep["f_met"] = pool.submit(lambda: (lambda: None))
         dead_dir = os.path.join(scratch, "kind=dead")
         if os.path.isdir(dead_dir):
-            drows = (
-                self.spark.read.parquet(dead_dir)
-                .select(
-                    F.lit(epoch).cast("long").alias("epoch"),
-                    "repo", "path",
-                    F.col("commit_created").alias("commit"),
-                    F.col("name").alias("error"),
-                    F.col("wkt").alias("content"),
-                    F.lit(prep["attempt"]).cast("long").alias("attempt"),
-                )
+            drows = _dead_letter_select(
+                self.spark.read.parquet(dead_dir), epoch, prep["attempt"]
             )
             prep["f_dead"] = pool.submit(timed(
                 "dead", self.dead_letter.append, drows,

@@ -67,6 +67,30 @@ def doc_stats_table(spark: SparkSession, path: str) -> LakeTable:
     return LakeTable.load(spark, path + "_docs")
 
 
+def _ensure_doc_stats(
+    spark: SparkSession, index: LakeTable, path: str, n_buckets: int = 16
+) -> LakeTable:
+    """Upgrade path for indexes persisted before the ``_docs`` sibling
+    existed: the postings already carry every (doc_id, tf), so the stats
+    table is backfilled from the index itself (dl = Σ tf per doc, corpus
+    token total in the summary) on first touch — one scan, once, instead
+    of a FileNotFoundError on every incremental build / BM25 query."""
+    t = LakeTable(spark, path + "_docs")
+    if t.exists():
+        return t
+    t = LakeTable.create(
+        spark, path + "_docs", DOC_STATS_SCHEMA,
+        key_cols=["doc_id"], n_buckets=max(1, n_buckets // 2),
+    )
+    stats = index.read().groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total = stats.agg(F.sum("dl")).collect()[0][0] or 0
+    t.merge_upsert(
+        stats, assume_unique=True,
+        summary={"total_dl": int(total), "op": "doc-stats-backfill"},
+    )
+    return t
+
+
 def build_text_index(
     spark: SparkSession,
     documents: DataFrame,
@@ -98,7 +122,12 @@ def build_text_index(
         prev_n, prev_dl = 0, 0
     else:
         prev_n = t.latest_summary_value("n_docs") or 0
-        prev_dl = doc_stats_table(spark, path).latest_summary_value("total_dl") or 0
+        # lazy-create (and backfill) the sibling for pre-_docs indexes
+        prev_dl = (
+            _ensure_doc_stats(spark, t, path, n_buckets)
+            .latest_summary_value("total_dl")
+            or 0
+        )
     post = term_postings(documents).localCheckpoint(eager=False)
     stats = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_new, dl_new = (
@@ -167,7 +196,7 @@ def bm25_topk(
     n = index.latest_summary_value("n_docs")
     if n is None:
         raise ValueError("text index has no n_docs summary — build it first")
-    docs_t = doc_stats_table(index.spark, index.path)
+    docs_t = _ensure_doc_stats(index.spark, index, index.path)
     total_dl = docs_t.latest_summary_value("total_dl")
     if total_dl is None:
         raise ValueError("doc-stats table has no total_dl — rebuild the index")

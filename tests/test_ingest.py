@@ -663,6 +663,20 @@ def test_engine_quarantine_end_to_end(spark, tmp_path, wal_pdf):
     assert _seg_digest(q) == _seg_digest(ref)
 
 
+def test_quarantine_clean_epochs_write_no_dead_snapshots(spark, tmp_path, wal_pdf):
+    """A quarantine-mode ingest of a fully clean WAL must not commit one
+    empty dead_letter snapshot per epoch (the slow path's per-epoch append
+    is skipped when the epoch produced zero dead rows — only maintain()
+    would otherwise have to compact the litter)."""
+    q = CdcEngine(spark, str(tmp_path / "qclean"), geom_type=G.LINE,
+                  n_buckets=4, on_error="quarantine")
+    q.create_tables(overwrite=True)
+    v0 = q.dead_letter.version()
+    q.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)  # several epochs
+    assert q.dead_letter.version() == v0          # zero dead commits
+    assert q.read_dead_letter().count() == 0
+
+
 def test_stream_quarantine_equals_batch(spark, tmp_path, wal_pdf):
     """Streaming drain (foreachBatch → engine.ingest) with quarantine:
     identical state AND dead rows to the batch quarantine ingest."""

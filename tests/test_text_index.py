@@ -159,3 +159,33 @@ def test_doc_stats_incremental_build(spark, corpus, tmp_path_factory):
     assert table_digest(d1.read()) == table_digest(d2.read())
     assert [tuple(r) for r in text_index.bm25_topk(one, ["rare"], 3).collect()] == \
            [tuple(r) for r in text_index.bm25_topk(two, ["rare"], 3).collect()]
+
+
+def test_legacy_index_without_doc_stats_is_backfilled(
+    spark, corpus, tmp_path_factory
+):
+    """An index persisted before the _docs sibling existed (simulated by
+    deleting the sibling) must NOT crash incremental builds or BM25; the
+    stats are rebuilt from the index's own postings and subsequent results
+    match a never-degraded index."""
+    import shutil
+
+    base = str(tmp_path_factory.mktemp("tixl"))
+    ref = text_index.build_text_index(
+        spark, corpus, base + "/ref", n_buckets=4, overwrite=True)
+    old = text_index.build_text_index(
+        spark, corpus.filter("doc_id <= 4"), base + "/old",
+        n_buckets=4, overwrite=True)
+    shutil.rmtree(base + "/old_docs")          # the pre-_docs on-disk state
+    # incremental build backfills from postings, then merges the new batch
+    old = text_index.build_text_index(spark, corpus.filter("doc_id > 4"),
+                                      base + "/old")
+    d_old = text_index.doc_stats_table(spark, base + "/old")
+    d_ref = text_index.doc_stats_table(spark, base + "/ref")
+    assert d_old.latest_summary_value("total_dl") == \
+           d_ref.latest_summary_value("total_dl")
+    assert table_digest(d_old.read()) == table_digest(d_ref.read())
+    # BM25 on a legacy index with no sibling at all also self-heals
+    shutil.rmtree(base + "/old_docs")
+    got = [tuple(r) for r in text_index.bm25_topk(old, ["rare"], 3).collect()]
+    assert got == [tuple(r) for r in text_index.bm25_topk(ref, ["rare"], 3).collect()]
