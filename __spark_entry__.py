@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_split"] = _doc()(sampling.corpus_split)
     q["corpus_mixture_weights"] = _doc()(sampling.mixture_weights)
     q["corpus_mixture"] = _doc()(sampling.apply_mixture)
+    # exact-size per-stratum sample (hash-ranked distributed reservoir)
+    q["corpus_topn_sample"] = _doc()(sampling.topn_per_stratum)
     # PII scrub: the corpus fixture has no PII, so both engines inject the
     # same deterministic doc_id-derived emails / IPs / phone numbers first.
     # Column construction stays inside the callable: queries() itself must
@@ -297,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_split"] = sampling.corpus_split_sql()
     o["corpus_mixture_weights"] = sampling.mixture_weights_sql()
     o["corpus_mixture"] = sampling.apply_mixture_sql()
+    o["corpus_topn_sample"] = sampling.topn_per_stratum_sql()
     o["text_pii"] = textops.pii_scan_sql(
         "text"
         " || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"

@@ -197,3 +197,46 @@ def corpus_split_sql() -> str:
     FROM t
     ORDER BY doc_id
     """
+
+
+def topn_per_stratum(documents: DataFrame, n: int = 20) -> DataFrame:
+    """Exact-size deterministic sample: the ``n`` documents per language
+    stratum with the smallest hash tickets (doc_id tie-break) — the
+    fixed-budget companion to :func:`stratified_sample`'s rate-based keep
+    (eval sets, human-review batches and per-stratum debug slices want
+    "exactly n", not "n in expectation").  Hash-ranked selection is a
+    distributed reservoir sample with none of the sequential-scan state:
+    membership depends only on (doc_id, lang), independent of cluster
+    layout, and adding new docs can only displace ticket-larger members.
+
+    Plan shape: rank = one window sort per stratum — a single hash shuffle
+    on ``lang``, map-side pre-limited by WindowGroupLimit (each task keeps
+    its local top-n per stratum before the exchange), so no stratum is ever
+    materialized whole."""
+    from pyspark.sql import Window
+
+    t = documents.select("doc_id", "lang", _ticket("topn").alias("ticket"))
+    w = Window.partitionBy("lang").orderBy(F.asc("ticket"), F.asc("doc_id"))
+    return (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("doc_id", "lang", "ticket", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+def topn_per_stratum_sql(n: int = 20) -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_ticket_sql('topn')} AS ticket FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, ticket,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY ticket ASC, doc_id ASC) AS rank
+        FROM t
+    )
+    SELECT doc_id, lang, ticket, rank FROM ranked
+    WHERE rank <= {n}
+    ORDER BY lang, rank
+    """

@@ -472,6 +472,59 @@ def test_sampling_deterministic_and_stratified(spark):
     assert sum(r["split"] == "train" for r in sp) > 250  # 98% band dominates
 
 
+def test_topn_per_stratum_exact_size_and_displacement(spark):
+    """Exactly n per stratum; membership ≡ the n smallest hash tickets
+    (layout-independent reservoir); growing the corpus only displaces
+    ticket-larger members; plan keeps the map-side WindowGroupLimit;
+    Spark ≡ DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from linked_maps_spark import sampling
+
+    rows = [(i, f"text {i}", ["en", "zh", "de"][i % 3], f"s{i % 4}")
+            for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = sampling.topn_per_stratum(docs, n=7).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "zh", "de"}
+    for lang, members in by_lang.items():
+        assert len(members) == 7
+        assert [m["rank"] for m in members] == list(range(1, 8))
+        assert all(a["ticket"] <= b["ticket"]
+                   for a, b in zip(members, members[1:]))
+    # displacement: a bigger corpus's top-7 per stratum is NOT required to
+    # contain the old one, but the smaller corpus's members can only be
+    # pushed out by smaller tickets — every old member absent from the new
+    # sample must have a ticket >= the new stratum max
+    bigger = spark.createDataFrame(
+        rows + [(1000 + i, "x", ["en", "zh", "de"][i % 3], "s0")
+                for i in range(90)],
+        "doc_id long, text string, lang string, source string")
+    new = sampling.topn_per_stratum(bigger, n=7).collect()
+    new_ids = {(r["lang"], r["doc_id"]) for r in new}
+    new_max = {}
+    for r in new:
+        new_max[r["lang"]] = max(new_max.get(r["lang"], -1), r["ticket"])
+    for r in got:
+        if (r["lang"], r["doc_id"]) not in new_ids:
+            assert r["ticket"] >= new_max[r["lang"]]
+    # map-side per-group limit stays below the exchange
+    plan = sampling.topn_per_stratum(docs, n=7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]))
+    duck = [tuple(r) for r in
+            con.execute(sampling.topn_per_stratum_sql(n=7)).fetchall()]
+    assert duck == [tuple(r) for r in got]
+
+
 def test_mixture_weights_and_apply(spark):
     """Per-source token budgeting: over-budget streams get partial ppm
     rates, under-budget streams keep everything."""
