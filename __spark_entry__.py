@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_mixture"] = _doc()(sampling.apply_mixture)
     # exact-size per-stratum sample (hash-ranked distributed reservoir)
     q["corpus_topn_sample"] = _doc()(sampling.topn_per_stratum)
+    # DSIR: hashed-ngram importance weights toward the target domain, then
+    # Gumbel-top-k proportional resampling (deterministic, cross-engine)
+    q["corpus_dsir_weights"] = _doc()(sampling.dsir_weights)
+    q["corpus_dsir_sample"] = _doc()(lambda d: sampling.dsir_resample(d, k=50))
     # PII scrub: the corpus fixture has no PII, so both engines inject the
     # same deterministic doc_id-derived emails / IPs / phone numbers first.
     # Column construction stays inside the callable: queries() itself must
@@ -300,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_mixture_weights"] = sampling.mixture_weights_sql()
     o["corpus_mixture"] = sampling.apply_mixture_sql()
     o["corpus_topn_sample"] = sampling.topn_per_stratum_sql()
+    o["corpus_dsir_weights"] = sampling.dsir_weights_sql()
+    o["corpus_dsir_sample"] = sampling.dsir_resample_sql(k=50)
     o["text_pii"] = textops.pii_scan_sql(
         "text"
         " || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"

@@ -240,3 +240,211 @@ def topn_per_stratum_sql(n: int = 20) -> str:
     WHERE rank <= {n}
     ORDER BY lang, rank
     """
+
+
+# ------------------------------------------- DSIR importance resampling
+
+#: hashed n-gram feature buckets for the DSIR importance model.  64 keeps the
+#: distribution tables broadcast-trivial (two 64-row aggregates) while still
+#: separating domains; raise for finer-grained targets — cost grows only in
+#: the tiny score table, never in the corpus passes.
+DSIR_BUCKETS = 64
+
+#: fixed-point scale for log-importance scores (micro-nats), same contract as
+#: textops.NLL_MICRO: floats are snapped to integers the moment they are
+#: produced so every downstream sum/compare is exact and cross-engine stable.
+DSIR_MICRO = 1_000_000
+
+#: strict-open-interval uniform from the 32-bit hash: (h+1)/(2^32+1) ∈ (0,1),
+#: so the Gumbel transform below never sees ln(0) even on the (certain, at
+#: 10^9 docs) hash values 0 and 2^32-1.
+_U32_P1 = 4_294_967_297
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_lang: str = "en",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by how
+    much more likely its hashed-token profile is under the *target* domain
+    (here: the ``target_lang`` slice of the corpus itself) than under the
+    raw corpus — the selection signal a pretraining pipeline uses to skim a
+    web crawl toward a high-quality target distribution.
+
+    Model: tokens hash into ``buckets`` feature buckets; the target and raw
+    unigram bucket distributions are estimated with add-one smoothing; a
+    document's log-importance weight is the sum over its token occurrences
+    of ``ln(p_target[b]/p_raw[b])``.
+
+    Exactness contract (the :func:`textops.unigram_logprob` pattern): the
+    only float step is one ``ln`` pair per *bucket* (64 values), snapped
+    immediately to integer micro-nats; per-document aggregation is then an
+    exact integer sum — partial-agg-order independent, hash-identical to
+    the DuckDB oracle.
+
+    Scale shape: one explode pass feeds BOTH distributions (a single
+    conditional aggregate on the bucket key — 64 groups, map-side combined
+    to nothing); totals via a 1-row crossJoin broadcast; scoring joins the
+    64-row table back broadcast, so the corpus is shuffled exactly once, on
+    ``doc_id`` for the final sum.  Documents with no tokens carry no
+    evidence and drop out (weight undefined, not zero)."""
+    toks = documents.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    b = toks.select(
+        "doc_id", "lang", (h32(F.col("tok"), salt="dsir") % buckets).alias("bucket")
+    )
+    dist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+        ).alias("tgt_cnt"),
+    )
+    tot = dist.agg(
+        F.sum("raw_cnt").alias("raw_tot"), F.sum("tgt_cnt").alias("tgt_tot")
+    )
+    scored = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("tgt_cnt") + 1) / (F.col("tgt_tot") + buckets))
+                - F.log((F.col("raw_cnt") + 1) / (F.col("raw_tot") + buckets))
+            )
+            * DSIR_MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return (
+        b.join(F.broadcast(scored), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("score_micro").alias("weight_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_weights_sql_cte(target_lang: str, buckets: int) -> str:
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+    toks AS (
+        SELECT doc_id, lang, tok FROM (
+            SELECT doc_id, lang, UNNEST({toks}) AS tok FROM documents
+        ) WHERE tok <> ''
+    ),
+    b AS (
+        SELECT doc_id, lang, {h32_sql('tok', 'dsir')} % {buckets} AS bucket
+        FROM toks
+    ),
+    dist AS (
+        SELECT bucket, COUNT(*) AS raw_cnt,
+               SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS tgt_cnt
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_tot,
+               CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_tot
+        FROM dist
+    ),
+    scored AS (
+        SELECT bucket,
+               CAST(ROUND((ln((tgt_cnt + 1) / (tgt_tot + {buckets}))
+                           - ln((raw_cnt + 1) / (raw_tot + {buckets})))
+                          * {DSIR_MICRO}, 0) AS BIGINT) AS score_micro
+        FROM dist, tot
+    ),
+    w AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(score_micro) AS BIGINT) AS weight_micro
+        FROM b JOIN scored USING (bucket)
+        GROUP BY doc_id
+    )"""
+
+
+def dsir_weights_sql(
+    target_lang: str = "en", buckets: int = DSIR_BUCKETS
+) -> str:
+    """DuckDB oracle for :func:`dsir_weights` — same tokenization, hash,
+    smoothing and micro-nat snap order."""
+    return f"""
+    WITH {_dsir_weights_sql_cte(target_lang, buckets)}
+    SELECT doc_id, n_tokens, weight_micro FROM w ORDER BY doc_id
+    """
+
+
+def dsir_resample(
+    documents: DataFrame,
+    target_lang: str = "en",
+    k: int = 100,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR selection step: sample ``k`` documents proportionally to their
+    importance weight ``exp(weight)`` via the Gumbel-top-k trick (Kool et
+    al. 2019) — ``key = weight + Gumbel(0,1)``, take the k largest keys.
+    The Gumbel noise comes from the portable doc_id hash (strict-interval
+    uniform → ``-ln(-ln u)``), snapped to micro-nats like the weight, so
+    the sample is a pure function of (corpus, target, k): reproducible
+    across runs, clusters and engines, yet distributionally correct
+    importance resampling rather than a deterministic top-k by weight
+    (which would collapse the sample onto near-duplicate top documents —
+    the failure mode DSIR's *sampling* explicitly avoids).
+
+    Scale shape: everything up to the key is :func:`dsir_weights` (one
+    corpus shuffle); the global top-k is ``ORDER BY … LIMIT k`` —
+    TakeOrderedAndProject, a per-partition heap + driver merge of k rows,
+    never a global sort; rank is then a window over the k survivors only."""
+    from pyspark.sql import Window
+
+    w = dsir_weights(documents, target_lang, buckets)
+    u = (h32(F.col("doc_id").cast("string"), salt="dsir-g") + 1) / F.lit(
+        float(_U32_P1)
+    )
+    keyed = w.select(
+        "doc_id",
+        "n_tokens",
+        "weight_micro",
+        (F.round(-F.log(-F.log(u)) * DSIR_MICRO, 0).cast("long")).alias(
+            "gumbel_micro"
+        ),
+    ).withColumn("key_micro", F.col("weight_micro") + F.col("gumbel_micro"))
+    top = keyed.orderBy(F.desc("key_micro"), F.asc("doc_id")).limit(k)
+    rank_w = Window.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(rank_w))
+        .select(
+            "doc_id", "n_tokens", "weight_micro", "gumbel_micro",
+            "key_micro", "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+def dsir_resample_sql(
+    target_lang: str = "en", k: int = 100, buckets: int = DSIR_BUCKETS
+) -> str:
+    """DuckDB oracle for :func:`dsir_resample`."""
+    u = f"({h32_sql('CAST(doc_id AS VARCHAR)', 'dsir-g')} + 1) / {float(_U32_P1)}"
+    return f"""
+    WITH {_dsir_weights_sql_cte(target_lang, buckets)},
+    keyed AS (
+        SELECT doc_id, n_tokens, weight_micro,
+               CAST(ROUND(-ln(-ln({u})) * {DSIR_MICRO}, 0) AS BIGINT)
+                   AS gumbel_micro
+        FROM w
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
+               weight_micro + gumbel_micro AS key_micro,
+               ROW_NUMBER() OVER (ORDER BY weight_micro + gumbel_micro DESC,
+                                  doc_id ASC) AS rank
+        FROM keyed
+    )
+    SELECT doc_id, n_tokens, weight_micro, gumbel_micro, key_micro, rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY rank
+    """

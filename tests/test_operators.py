@@ -525,6 +525,93 @@ def test_topn_per_stratum_exact_size_and_displacement(spark):
     assert duck == [tuple(r) for r in got]
 
 
+def test_dsir_weights_and_resample(spark):
+    """DSIR importance model: documents made of target-domain tokens
+    outweigh off-target documents; the weight arithmetic matches a
+    hand-rolled python recomputation; the Gumbel-top-k resample is exactly
+    k, deterministic, and ≡ DuckDB tuple-for-tuple; the score join stays
+    broadcast and the top-k stays TakeOrderedAndProject."""
+    import hashlib
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from linked_maps_spark import sampling
+
+    # two vocabularies: en docs draw from A-words, zh docs from B-words,
+    # plus a few mixed docs whose weights must land in between
+    a_words = ["alpha", "beta", "gamma", "delta"]
+    b_words = ["uno", "dos", "tres", "cuatro"]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(a_words[(i + j) % 4] for j in range(6)),
+                     "en", "s0"))
+    for i in range(40, 80):
+        rows.append((i, " ".join(b_words[(i + j) % 4] for j in range(6)),
+                     "zh", "s0"))
+    for i in range(80, 90):
+        rows.append((i, " ".join((a_words + b_words)[(i + j) % 8]
+                                 for j in range(6)), "zh", "s1"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+    got_w = [tuple(r) for r in sampling.dsir_weights(docs).collect()]
+    w_by_id = {d: w for d, _, w in got_w}
+    pure_a = [w_by_id[i] for i in range(40)]
+    pure_b = [w_by_id[i] for i in range(40, 80)]
+    mixed = [w_by_id[i] for i in range(80, 90)]
+    assert min(pure_a) > max(mixed) > min(mixed) > max(pure_b)
+
+    # hand recomputation of one document's weight (doc 0)
+    buckets = sampling.DSIR_BUCKETS
+
+    def h32py(s, salt):
+        return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:8], 16)
+
+    bucket_of = {}
+    raw_cnt, tgt_cnt = {}, {}
+    for _, text, lang, _s in rows:
+        for tok in text.strip().lower().split():
+            b = h32py(tok, "dsir") % buckets
+            bucket_of[tok] = b
+            raw_cnt[b] = raw_cnt.get(b, 0) + 1
+            if lang == "en":
+                tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    raw_tot, tgt_tot = sum(raw_cnt.values()), sum(tgt_cnt.values())
+    score = {
+        b: round(
+            (math.log((tgt_cnt.get(b, 0) + 1) / (tgt_tot + buckets))
+             - math.log((raw_cnt[b] + 1) / (raw_tot + buckets))) * 1_000_000
+        )
+        for b in raw_cnt
+    }
+    doc0 = sum(score[bucket_of[t]] for t in rows[0][1].split())
+    assert w_by_id[0] == doc0
+
+    got_s = [tuple(r) for r in sampling.dsir_resample(docs, k=15).collect()]
+    again = [tuple(r) for r in sampling.dsir_resample(docs, k=15).collect()]
+    assert got_s == again and len(got_s) == 15
+    assert [r[-1] for r in got_s] == list(range(1, 16))
+    keys = [r[-2] for r in got_s]
+    assert keys == sorted(keys, reverse=True)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]))
+    assert [tuple(r) for r in
+            con.execute(sampling.dsir_weights_sql()).fetchall()] == got_w
+    assert [tuple(r) for r in
+            con.execute(sampling.dsir_resample_sql(k=15)).fetchall()] == got_s
+
+    wplan = sampling.dsir_weights(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in wplan  # 64-row score table never shuffles
+    splan = sampling.dsir_resample(docs, k=15)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan  # global top-k, no global sort
+
+
 def test_mixture_weights_and_apply(spark):
     """Per-source token budgeting: over-budget streams get partial ppm
     rates, under-budget streams keep everything."""
