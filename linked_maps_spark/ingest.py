@@ -1152,6 +1152,50 @@ class CdcEngine:
         batch.unpersist()
         return prep
 
+    #: metric column order (must track METRICS_SCHEMA)
+    _MET_COLS = [
+        "epoch", "partition_id", "n_keys", "n_segments", "n_relations",
+        "n_events", "wall_ms", "attempt",
+    ]
+
+    def _metrics_commit_from_rows(self, rows: list[dict], epoch: int):
+        """Append per-task accounting rows driver-side (pyarrow, no Spark
+        job) and return the deferred commit callable.  The row count is
+        bounded by the epoch's fold task count, never by data size — the
+        Spark writer's two jobs (agg + dynamic-partition write) cost ~3 s of
+        epoch critical path in this runtime for ≤ a few hundred rows.
+        Falls back to the Spark append only when the warehouse's metrics
+        schema predates METRICS_SCHEMA (name mismatch ⇒ evolution needed,
+        which the arrow path deliberately does not do)."""
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("epoch", pa.int64()),
+                ("partition_id", pa.int32()),
+                ("n_keys", pa.int64()),
+                ("n_segments", pa.int64()),
+                ("n_relations", pa.int64()),
+                ("n_events", pa.int64()),
+                ("wall_ms", pa.float64()),
+                ("attempt", pa.int64()),
+            ]
+        )
+        if [f.name for f in self.metrics.schema().fields] != self._MET_COLS:
+            df = self.spark.createDataFrame(
+                [tuple(r.get(c) for c in self._MET_COLS) for r in rows],
+                METRICS_SCHEMA,
+            )
+            return self.metrics.append(
+                df, summary={"epoch": epoch}, defer_commit=True
+            )
+        tbl = pa.Table.from_pylist(
+            [{c: r.get(c) for c in self._MET_COLS} for r in rows], schema=schema
+        )
+        return self.metrics.append_arrow(
+            tbl, summary={"epoch": epoch}, defer_commit=True
+        )
+
     def _start_writes(self, prep: dict) -> None:
         """Submit the epoch's remaining WRITES (kept-row rewrites + metrics
         append on the fast path; the three full merge writes on the
@@ -1186,12 +1230,13 @@ class CdcEngine:
             touched_buckets=prep["rel_buckets"],
             write_shuffle=False,
         ))
-        prep["f_met"] = pool.submit(timed(
-            "met", self.metrics.append,
-            prep["mrows"],
-            summary={"epoch": epoch},
-            defer_commit=True,
-        ))
+        def met_slow(mrows=prep["mrows"], epoch=epoch):
+            # ONE Spark job (the tiny per-task agg collect); the file write
+            # and manifest land driver-side
+            rows = [r.asDict() for r in mrows.collect()]
+            return self._metrics_commit_from_rows(rows, epoch)
+
+        prep["f_met"] = pool.submit(timed("met", met_slow))
         prep["f_seg"] = pool.submit(timed(
             "seg", self.segments.merge_upsert,
             prep["seg_changes"],
@@ -1267,22 +1312,39 @@ class CdcEngine:
             ["parent_gid", "child_gid"], rel_schema,
         ))
         if os.path.isdir(tim_dir):
-            mrows = (
-                self.spark.read.parquet(tim_dir)
-                .groupBy("epoch", "partition_id")
-                .agg(
-                    F.sum("n_keys").alias("n_keys"),
-                    F.sum("n_segments").alias("n_segments"),
-                    F.sum("n_relations").alias("n_relations"),
-                    F.max("n_events").alias("n_events"),
-                    F.max("wall_ms").alias("wall_ms"),
-                    F.max("attempt").alias("attempt"),
+
+            def met_fast(tim_dir=tim_dir, epoch=epoch):
+                # timing rows are one-per-fold-task: read them driver-side
+                # (pyarrow) and aggregate in plain python — no Spark job at
+                # all on this leg
+                import glob
+
+                import pyarrow.parquet as pq
+
+                raw = []
+                for p in sorted(glob.glob(
+                    os.path.join(tim_dir, "**", "*.parquet"), recursive=True
+                )):
+                    raw.extend(
+                        pq.read_table(p, columns=self._MET_COLS).to_pylist()
+                    )
+                agg: dict[tuple, dict] = {}
+                for r in raw:
+                    k = (r["epoch"], r["partition_id"])
+                    a = agg.get(k)
+                    if a is None:
+                        agg[k] = dict(r)
+                        continue
+                    for c in ("n_keys", "n_segments", "n_relations"):
+                        a[c] = (a[c] or 0) + (r[c] or 0)
+                    for c in ("n_events", "wall_ms", "attempt"):
+                        if r[c] is not None and (a[c] is None or r[c] > a[c]):
+                            a[c] = r[c]
+                return self._metrics_commit_from_rows(
+                    [agg[k] for k in sorted(agg)], epoch
                 )
-            )
-            prep["f_met"] = pool.submit(timed(
-                "met", self.metrics.append, mrows,
-                summary={"epoch": epoch}, defer_commit=True,
-            ))
+
+            prep["f_met"] = pool.submit(timed("met", met_fast))
         else:
             prep["f_met"] = pool.submit(lambda: (lambda: None))
         dead_dir = os.path.join(scratch, "kind=dead")

@@ -691,6 +691,62 @@ class LakeTable:
 
         return commit if defer_commit else commit()
 
+    def append_arrow(
+        self, table, summary: dict[str, Any] | None = None,
+        defer_commit: bool = False,
+    ):
+        """Driver-side append of a METADATA-SIZED pyarrow table: one parquet
+        file written directly, no Spark job.  The scale contract is the same
+        as every other driver-side step in this engine — rows bounded by
+        task/partition counts (ingest accounting rows ≈ one per fold task),
+        never data rows.  A tiny accounting append through the Spark writer
+        costs two full jobs (agg + dynamic-partition write, ~3 s of epoch
+        critical path in this runtime); through pyarrow it is milliseconds.
+
+        The arrow schema must match the table schema exactly (names, order,
+        arrow-compatible types) — no evolution on this path — and the table
+        must be key-less (append-only accounting) and unconstrained."""
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        if snap["key_cols"]:
+            raise ValueError("append_arrow is for key-less accounting tables")
+        if snap.get("constraints"):
+            raise ValueError(
+                "append_arrow bypasses constraint validation; use append()"
+            )
+        expected = [f.name for f in self.schema().fields]
+        if list(table.schema.names) != expected:
+            raise ValueError(
+                f"arrow schema {list(table.schema.names)} != table schema "
+                f"{expected}"
+            )
+        version = snap["version"] + 1
+        vdir = os.path.join(self.path, "data", f"v{version}")
+        if os.path.exists(vdir):  # crashed previous attempt for this version
+            shutil.rmtree(vdir)
+        out_dir = os.path.join(vdir, "_bucket=0")
+        os.makedirs(out_dir)
+        fpath = os.path.join(out_dir, "part-00000-arrow.parquet")
+        pq.write_table(table, fpath)
+        entry = {
+            "path": os.path.join("data", f"v{version}", "_bucket=0",
+                                 os.path.basename(fpath)),
+            "bucket": 0,
+        }
+        rows, stats = _footer_stats(fpath)
+        if rows is not None:
+            entry["rows"] = rows
+            if stats:
+                entry["stats"] = stats
+        files = snap["files"] + [entry]
+
+        def commit() -> int:
+            self._commit_snapshot(version, self.schema(), files, "append", summary)
+            return version
+
+        return commit if defer_commit else commit()
+
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         version = self.version() + 1
         schema, aligned = self._merged_schema(df)

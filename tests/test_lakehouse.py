@@ -619,3 +619,62 @@ def test_rollback_to_expired_snapshot_raises(spark, tbl):
     tbl.expire_snapshots(keep_last=2)
     with pytest.raises(FileNotFoundError):
         tbl.rollback_to(0)
+
+
+def test_append_arrow_driver_side(spark, tmp_path):
+    """append_arrow writes accounting rows with zero Spark jobs: read-back
+    equals a normal append, time travel and footer stats work, nulls
+    round-trip, a crashed version directory is replaced, and the guards
+    (keyed table, constrained table, schema mismatch) all refuse."""
+    import pyarrow as pa
+
+    log = LakeTable.create(
+        spark, str(tmp_path / "log"), "epoch long, n long, note string",
+        key_cols=[], n_buckets=1,
+    )
+    schema = pa.schema(
+        [("epoch", pa.int64()), ("n", pa.int64()), ("note", pa.string())]
+    )
+    t1 = pa.Table.from_pylist(
+        [{"epoch": 0, "n": 5, "note": "a"}, {"epoch": 0, "n": None, "note": None}],
+        schema=schema,
+    )
+    commit = log.append_arrow(t1, summary={"epoch": 0}, defer_commit=True)
+    assert log.version() == 0  # nothing visible before commit
+    assert commit() == 1
+    got = sorted(
+        ((r["epoch"], r["n"], r["note"]) for r in log.read().collect()),
+        key=repr,
+    )
+    assert got == sorted([(0, 5, "a"), (0, None, None)], key=repr)
+    # footer stats landed in the manifest (file-skipping keeps working)
+    entry = log.snapshot()["files"][-1]
+    assert entry["rows"] == 2 and "stats" in entry
+    # mixing writers is fine: spark append on top, arrow rows still there
+    log.append(spark.createDataFrame([(1, 7, "b")], "epoch long, n long, note string"))
+    assert log.read().count() == 3
+    assert log.read(version=1).count() == 2  # time travel
+    # crashed-attempt directory for the next version is replaced, not merged
+    vdir = os.path.join(str(tmp_path / "log"), "data", "v3")
+    os.makedirs(os.path.join(vdir, "_bucket=0"))
+    open(os.path.join(vdir, "_bucket=0", "junk.parquet"), "w").close()
+    log.append_arrow(pa.Table.from_pylist([{"epoch": 2, "n": 1, "note": "c"}],
+                                          schema=schema))
+    assert log.read().count() == 4
+
+    with pytest.raises(ValueError, match="schema"):
+        log.append_arrow(pa.Table.from_pylist([{"epoch": 3}],
+                                              schema=pa.schema([("epoch", pa.int64())])))
+    keyed = LakeTable.create(
+        spark, str(tmp_path / "keyed"), "k string, v long",
+        key_cols=["k"], n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="key-less"):
+        keyed.append_arrow(t1)
+    guarded = LakeTable.create(
+        spark, str(tmp_path / "guarded"), "epoch long, n long, note string",
+        key_cols=[], n_buckets=1,
+    )
+    guarded.add_constraint("n_nonneg", "n >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        guarded.append_arrow(t1)
