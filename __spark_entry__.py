@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gumbel-top-k proportional resampling (deterministic, cross-engine)
     q["corpus_dsir_weights"] = _doc()(sampling.dsir_weights)
     q["corpus_dsir_sample"] = _doc()(lambda d: sampling.dsir_resample(d, k=50))
+    # temperature (p^alpha) language-mix reshaping, rates from the corpus
+    q["corpus_temperature_rates"] = _doc()(sampling.temperature_rates)
+    q["corpus_temperature_sample"] = _doc()(sampling.temperature_sample)
     # PII scrub: the corpus fixture has no PII, so both engines inject the
     # same deterministic doc_id-derived emails / IPs / phone numbers first.
     # Column construction stays inside the callable: queries() itself must
@@ -306,6 +309,8 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_topn_sample"] = sampling.topn_per_stratum_sql()
     o["corpus_dsir_weights"] = sampling.dsir_weights_sql()
     o["corpus_dsir_sample"] = sampling.dsir_resample_sql(k=50)
+    o["corpus_temperature_rates"] = sampling.temperature_rates_sql()
+    o["corpus_temperature_sample"] = sampling.temperature_sample_sql()
     o["text_pii"] = textops.pii_scan_sql(
         "text"
         " || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"

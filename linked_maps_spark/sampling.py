@@ -448,3 +448,105 @@ def dsir_resample_sql(
     FROM ranked WHERE rank <= {k}
     ORDER BY rank
     """
+
+
+# --------------------------------------- temperature (p^alpha) resampling
+
+def temperature_rates(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Multilingual temperature resampling rates (the ``p^alpha`` schedule
+    of multilingual-pretraining recipes, e.g. XLM-R): the resampled language
+    distribution is ``q_l ∝ p_l^alpha``, which boosts low-resource languages
+    and damps high-resource ones as ``alpha`` drops from 1 (no change)
+    toward 0 (uniform).  Expressed as a pure-downsampling keep rate —
+    ``r_l ∝ p_l^(alpha-1)`` normalized so the rarest language keeps
+    everything (rate 1) and every other language keeps the fraction that
+    reshapes the mix, with no replication.
+
+    Exactness: the only float step is one ``pow`` per LANGUAGE, snapped to
+    integer micro units on the per-lang aggregate (≤ #languages rows); the
+    ppm rate is then an exact integer ``(PPM·a) div b`` so the keep
+    threshold compares identically on both engines.
+
+    Plan: one map-side-combined per-lang count, a 1-row max broadcast back
+    — the corpus itself is scanned once and never shuffled."""
+    counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n_total"))
+    raw = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs") / F.col("n_total"), F.lit(alpha - 1.0))
+            * DSIR_MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("boost_micro"),
+    )
+    mx = raw.agg(F.max("boost_micro").alias("max_micro"))
+    return (
+        raw.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr(f"CAST({PPM} AS BIGINT) * boost_micro div max_micro")
+            .alias("keep_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _temperature_rates_sql_cte(alpha: float) -> str:
+    return f"""
+    counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+    raw AS (
+        SELECT lang, n_docs,
+               CAST(ROUND(pow(n_docs / n_total, {alpha - 1.0}) * {DSIR_MICRO},
+                          0) AS BIGINT) AS boost_micro
+        FROM counts, tot
+    ),
+    mx AS (SELECT MAX(boost_micro) AS max_micro FROM raw),
+    rates AS (
+        SELECT lang, n_docs,
+               (CAST({PPM} AS BIGINT) * boost_micro) // max_micro AS keep_ppm
+        FROM raw, mx
+    )"""
+
+
+def temperature_rates_sql(alpha: float = 0.5) -> str:
+    return f"""
+    WITH {_temperature_rates_sql_cte(alpha)}
+    SELECT lang, n_docs, keep_ppm FROM rates ORDER BY lang
+    """
+
+
+def temperature_sample(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Apply :func:`temperature_rates`: keep a doc iff its hash ticket falls
+    under its language's derived rate.  Same stateless-membership property
+    as :func:`stratified_sample` — re-running on any layout keeps the same
+    documents — but the rates come from the corpus itself, so the operator
+    is a single self-contained "reshape the language mix" step."""
+    rates = temperature_rates(documents, alpha).select("lang", "keep_ppm")
+    return (
+        documents.join(F.broadcast(rates), "lang")
+        .withColumn("ticket", _ticket("temp"))
+        .filter(F.col("ticket") < F.col("keep_ppm"))
+        .select("doc_id", "lang", "keep_ppm")
+        .orderBy("doc_id")
+    )
+
+
+def temperature_sample_sql(alpha: float = 0.5) -> str:
+    return f"""
+    WITH {_temperature_rates_sql_cte(alpha)},
+    t AS (
+        SELECT doc_id, d.lang AS lang, keep_ppm,
+               {_ticket_sql('temp')} AS ticket
+        FROM documents d JOIN rates USING (lang)
+    )
+    SELECT doc_id, lang, keep_ppm FROM t
+    WHERE ticket < keep_ppm
+    ORDER BY doc_id
+    """

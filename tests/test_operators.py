@@ -612,6 +612,57 @@ def test_dsir_weights_and_resample(spark):
     assert "TakeOrderedAndProject" in splan  # global top-k, no global sort
 
 
+def test_temperature_resampling(spark):
+    """p^alpha schedule: the rarest language keeps everything, bigger
+    languages keep progressively less; alpha=1 keeps everything everywhere;
+    lower alpha flattens harder; realized keep fractions track the derived
+    ppm rates; Spark ≡ DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from linked_maps_spark import sampling
+
+    rows = []
+    i = 0
+    for lang, n in (("en", 800), ("de", 150), ("zh", 50)):
+        for _ in range(n):
+            rows.append((i, f"text {i}", lang, "s0"))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+    rates = {r["lang"]: r["keep_ppm"]
+             for r in sampling.temperature_rates(docs, alpha=0.5).collect()}
+    assert rates["zh"] == sampling.PPM  # rarest keeps 100%
+    assert rates["zh"] > rates["de"] > rates["en"]
+    # closed form: keep_en/keep_zh = (p_en/p_zh)^(alpha-1) = 16^-0.5 = 0.25
+    assert abs(rates["en"] / sampling.PPM - 0.25) < 0.001
+    flat = {r["lang"]: r["keep_ppm"]
+            for r in sampling.temperature_rates(docs, alpha=1.0).collect()}
+    assert set(flat.values()) == {sampling.PPM}  # alpha=1: no reshaping
+    harder = {r["lang"]: r["keep_ppm"]
+              for r in sampling.temperature_rates(docs, alpha=0.2).collect()}
+    assert harder["en"] < rates["en"]  # lower alpha flattens harder
+
+    kept = sampling.temperature_sample(docs, alpha=0.5).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang["zh"] == 50
+    # Bernoulli(ppm) realized rate within a loose band of the target
+    assert abs(by_lang["en"] / 800 - 0.25) < 0.08
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]))
+    assert [tuple(r) for r in
+            con.execute(sampling.temperature_rates_sql(0.5)).fetchall()] == \
+        [tuple(r) for r in sampling.temperature_rates(docs, 0.5).collect()]
+    assert [tuple(r) for r in
+            con.execute(sampling.temperature_sample_sql(0.5)).fetchall()] == \
+        [tuple(r) for r in kept]
+
+
 def test_mixture_weights_and_apply(spark):
     """Per-source token budgeting: over-budget streams get partial ppm
     rates, under-budget streams keep everything."""
