@@ -76,6 +76,17 @@ CHECKS = {
     # Q11 shape: the global total joins back as a broadcast single row
     "important_parts": ["BroadcastNestedLoopJoin", "HashAggregate",
                         "!SortMergeJoin"],
+    # exact-size reservoir: per-stratum limit below the exchange
+    "corpus_topn_sample": ["WindowGroupLimit",
+                           "ReadSchema: struct<doc_id:bigint,lang:string>"],
+    # DSIR: the 64-row score table broadcasts back to the token stream;
+    # candidate arithmetic never cross-joins the corpus
+    "corpus_dsir_weights": ["BroadcastHashJoin", "HashAggregate",
+                            "!SortMergeJoin"],
+    # DSIR selection: global top-k is a heap, never a full sort
+    "corpus_dsir_sample": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    # temperature rates broadcast back; corpus itself never shuffles
+    "corpus_temperature_sample": ["BroadcastHashJoin", "!SortMergeJoin"],
 }
 
 
