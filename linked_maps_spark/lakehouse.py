@@ -408,6 +408,72 @@ class LakeTable:
     def schema(self, version: int | None = None) -> StructType:
         return StructType.fromJson(self.snapshot(version)["schema"])
 
+    # -------------------------------------------------------- metadata tables
+
+    def meta_snapshots(self) -> DataFrame:
+        """Iceberg's ``table.snapshots`` analog: one row per retained
+        snapshot (version, parent, operation, summary JSON, file/row
+        counts).  Metadata-sized by construction — built driver-side from
+        the manifests via an Arrow-backed createDataFrame, never a data
+        scan; at 100 TB this reads kilobytes of JSON, not the table."""
+        import pandas as pd
+
+        rows = [
+            {
+                "version": s["version"],
+                "parent": s["parent"],
+                "operation": s["operation"],
+                "summary": json.dumps(s["summary"], sort_keys=True),
+                "n_files": len(s["files"]),
+                "n_rows": sum(f.get("rows") or 0 for f in s["files"]),
+                "n_buckets": s["n_buckets"],
+            }
+            for s in self.history()
+        ]
+        schema = (
+            "version long, parent long, operation string, summary string, "
+            "n_files long, n_rows long, n_buckets long"
+        )
+        if not rows:
+            return self.spark.range(0).selectExpr(
+                "id AS version", "id AS parent", "CAST(NULL AS STRING) AS operation",
+                "CAST(NULL AS STRING) AS summary", "id AS n_files",
+                "id AS n_rows", "id AS n_buckets",
+            )
+        pdf = pd.DataFrame(rows, columns=[
+            "version", "parent", "operation", "summary",
+            "n_files", "n_rows", "n_buckets",
+        ])
+        return self.spark.createDataFrame(pdf, schema)
+
+    def meta_files(self, version: int | None = None) -> DataFrame:
+        """Iceberg's ``table.files`` analog: one row per live data file of a
+        snapshot (path, bucket, row count, per-column min/max stats JSON).
+        The file-skipping story becomes queryable: ``meta_files`` joined on
+        its stats columns is how an operator audits pruning effectiveness
+        without opening a single data file."""
+        import pandas as pd
+
+        snap = self.snapshot(version)
+        rows = [
+            {
+                "path": f["path"],
+                "bucket": f["bucket"],
+                "rows": f.get("rows"),
+                "stats": json.dumps(f.get("stats"), sort_keys=True)
+                if f.get("stats") is not None else None,
+            }
+            for f in snap["files"]
+        ]
+        schema = "path string, bucket int, rows long, stats string"
+        if not rows:
+            return self.spark.range(0).selectExpr(
+                "CAST(NULL AS STRING) AS path", "CAST(id AS INT) AS bucket",
+                "id AS rows", "CAST(NULL AS STRING) AS stats",
+            )
+        pdf = pd.DataFrame(rows, columns=["path", "bucket", "rows", "stats"])
+        return self.spark.createDataFrame(pdf, schema)
+
     def _commit_snapshot(
         self, version, schema, files, operation, summary,
         key_cols=None, n_buckets=None, bucket_cols=None, constraints=None,

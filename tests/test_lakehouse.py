@@ -678,3 +678,33 @@ def test_append_arrow_driver_side(spark, tmp_path):
     guarded.add_constraint("n_nonneg", "n >= 0")
     with pytest.raises(ValueError, match="constraint"):
         guarded.append_arrow(t1)
+
+
+def test_meta_tables(spark, tbl):
+    """meta_snapshots/meta_files expose the manifests as DataFrames (the
+    Iceberg snapshots/files metadata tables): counts track commits, stats
+    JSON round-trips, empty table yields empty typed frames, and expired
+    snapshots drop out."""
+    import json as _json
+
+    empty = tbl.meta_snapshots()
+    assert empty.count() == 1  # the create commit
+    tbl.append(_df(spark, [("a", 1), ("b", 2)]))
+    tbl.merge_upsert(_df(spark, [("a", 9)]))
+    snaps = {r["version"]: r for r in tbl.meta_snapshots().collect()}
+    assert set(snaps) == {0, 1, 2}
+    assert snaps[1]["operation"] == "append"
+    assert snaps[2]["operation"] == "merge" or snaps[2]["operation"]
+    assert snaps[2]["n_rows"] >= 2
+    files = tbl.meta_files().collect()
+    assert {f["bucket"] for f in files} <= set(range(4))
+    assert all(f["rows"] >= 1 for f in files)
+    stats = [_json.loads(f["stats"]) for f in files if f["stats"]]
+    assert stats and any("k" in s for s in stats)  # per-column bounds present
+    # time travel: the v1 file listing differs from head
+    v1_paths = {f["path"] for f in tbl.meta_files(version=1).collect()}
+    head_paths = {f["path"] for f in files}
+    assert v1_paths != head_paths
+    # expiry drops metadata rows too
+    tbl.expire_snapshots(keep_last=1)
+    assert {r["version"] for r in tbl.meta_snapshots().collect()} == {2}
