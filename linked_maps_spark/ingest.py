@@ -104,6 +104,57 @@ def _normalize_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
     return pdf
 
 
+def _rows_by_key(pdf: "pd.DataFrame", extra_cols: list[str]):
+    """Yield ``(repo, path, event_rows, state_rows)`` per key from a unified
+    partition frame — the list-based replacement for pandas
+    ``groupby``/boolean-slice/``to_dict("records")``, which profiled at ~25%
+    of the whole fold stage's CPU (11.6 s vs 0.14 s on the 4k-key bench
+    frame, identical output).  Column values are pulled to python lists
+    ONCE (NaN/NA → None, matching :func:`_normalize_pdf`'s contract), keys
+    are bucketed by first appearance (same iteration order as
+    ``groupby(sort=False)``), and row dicts are built straight from the
+    lists.  Group order never affects results — events re-order by commit
+    inside the fold and state rows by seq — but keeping it identical makes
+    old/new outputs byte-comparable."""
+    ev_cols = ("repo", "path", "commit", "content", *extra_cols)
+    st_cols = ("repo", "path", *_STATE_COLS, *extra_cols)
+    na = pd.NA
+    lists: dict[str, list] = {}
+    for c in dict.fromkeys(("repo", "path", "_is_event") + ev_cols + st_cols):
+        s = pdf[c]
+        if c == "editions":
+            v = s.tolist()
+        elif s.dtype == object:
+            v = [
+                None
+                if (x is None or x is na or (isinstance(x, float) and x != x))
+                else x
+                for x in s.tolist()
+            ]
+        elif s.isna().any():
+            v = s.astype(object).where(s.notna(), None).tolist()
+        else:
+            v = s.tolist()
+        lists[c] = v
+    groups: dict[tuple, tuple[list, list]] = {}
+    for i, (r, p, e) in enumerate(
+        zip(lists["repo"], lists["path"], lists["_is_event"])
+    ):
+        g = groups.get((r, p))
+        if g is None:
+            groups[(r, p)] = g = ([], [])
+        g[0 if e else 1].append(i)
+    for (r, p), (ei, si) in groups.items():
+        if not ei:
+            continue
+        yield (
+            r,
+            p,
+            [{c: lists[c][i] for c in ev_cols} for i in ei],
+            [{c: lists[c][i] for c in st_cols} for i in si],
+        )
+
+
 _STATE_TYPES = [
     ("gid", "string"),
     ("name", "string"),
@@ -145,21 +196,15 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         del chunks
-        pdf = _normalize_pdf(pdf)
 
         rows: list[dict] = []
         n_keys = n_segs = n_rels = 0
-        for (repo, path), grp in pdf.groupby(["repo", "path"], sort=False):
-            is_event = grp["_is_event"].astype(bool)
-            ev = grp[is_event]
-            if ev.empty:
-                continue
-            st = grp[~is_event]
+        for repo, path, ev_rows, st_rows in _rows_by_key(pdf, extra_cols):
             res = fold_key(
                 repo,
                 path,
-                ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
-                st[["repo", "path", *_STATE_COLS, *extra_cols]].to_dict("records"),
+                ev_rows,
+                st_rows,
                 geom_type=geom_type,
                 on_error=on_error,
             )

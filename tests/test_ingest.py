@@ -702,3 +702,51 @@ def test_stream_quarantine_equals_batch(spark, tmp_path, wal_pdf):
     assert table_digest(streamed.read_dead_letter(), dead_cols) == \
            table_digest(batch.read_dead_letter(), dead_cols)
     assert streamed.read_dead_letter().count() == 1
+
+
+def test_rows_by_key_normalization_and_grouping():
+    """_rows_by_key (the fold wrapper's list-based regrouping) matches the
+    pandas groupby/to_dict contract exactly: NaN/pd.NA → None, editions
+    arrays pass through untouched, scattered (non-contiguous) key rows
+    regroup completely, keys bucket in first-appearance order, and
+    event-less keys are skipped."""
+    import numpy as np
+
+    from linked_maps_spark.ingest import _STATE_COLS, _rows_by_key
+
+    cols = ["repo", "path", "commit", "content", "lang", "_is_event"] + [
+        c for c in _STATE_COLS
+    ]
+    base = {c: None for c in _STATE_COLS}
+    rows = [
+        # key A event, key B event, key A state, key B event  (interleaved)
+        {"repo": "r", "path": "a", "commit": "c1", "content": "LINESTRING (0 0, 1 0)",
+         "lang": "py", "_is_event": True, **base},
+        {"repo": "r", "path": "b", "commit": "c1", "content": "LINESTRING (0 0, 0 1)",
+         "lang": float("nan"), "_is_event": True, **base},
+        {"repo": "r", "path": "a", "commit": None, "content": None, "lang": None,
+         "_is_event": False, **{**base, "gid": "g1", "name": "n", "seq": 3,
+                                "wkt": "LINESTRING (0 0, 1 0)",
+                                "editions": np.array(["2000"], dtype=object),
+                                "is_leaf": True, "retired": False}},
+        {"repo": "r", "path": "b", "commit": "c2", "content": "LINESTRING (1 0, 1 1)",
+         "lang": pd.NA, "_is_event": True, **base},
+        # state-only key: must be skipped entirely
+        {"repo": "r", "path": "z", "commit": None, "content": None, "lang": None,
+         "_is_event": False, **{**base, "gid": "g9", "seq": 0}},
+    ]
+    pdf = pd.DataFrame(rows, columns=cols)
+    got = list(_rows_by_key(pdf, ["lang"]))
+    assert [(r, p) for r, p, _e, _s in got] == [("r", "a"), ("r", "b")]
+    (ra, pa, ev_a, st_a), (rb, pb, ev_b, st_b) = got
+    assert len(ev_a) == 1 and len(st_a) == 1 and len(ev_b) == 2 and st_b == []
+    # NaN and pd.NA both normalized to None; plain values untouched
+    assert ev_a[0]["lang"] == "py"
+    assert ev_b[0]["lang"] is None and ev_b[1]["lang"] is None
+    # seq survives as a number, editions array passes through by identity
+    assert st_a[0]["seq"] == 3
+    assert list(st_a[0]["editions"]) == ["2000"]
+    assert st_a[0]["commit_created"] is None
+    # event dicts carry exactly the event columns (repo/path/commit/content+extras)
+    assert set(ev_a[0]) == {"repo", "path", "commit", "content", "lang"}
+    assert set(st_a[0]) == {"repo", "path", "lang", *_STATE_COLS}
