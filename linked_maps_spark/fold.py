@@ -140,7 +140,14 @@ def rows_from_nodes(
     ONE vectorized pass (``to_wkt_batch``) — the per-node serializer was the
     top CPU cost of the fold after parse vectorization."""
     need = [n for n in nodes if n.wkt is None]
-    for n, w in zip(need, G.to_wkt_batch([n.ids for n in need], geom_type)):
+    wkts = G.to_wkt_batch(
+        [n.ids for n in need],
+        geom_type,
+        # only final leaves are rehydrated (parsed) next epoch — priming
+        # interior/retired nodes wastes put-time and cache budget
+        prime=[n.is_leaf and not n.retired for n in need],
+    )
+    for n, w in zip(need, wkts):
         n.wkt = w
         n.sha = G.sha256_hex(w)
     return [node_to_row(repo, path, n, geom_type) for n in nodes]

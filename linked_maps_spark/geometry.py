@@ -183,11 +183,19 @@ def _parse_cache_put(key: tuple[str, str], ids: np.ndarray) -> None:
         _PARSE_CACHE_ELEMS -= ev.size
 
 
+#: consume-once results of :func:`preparse_wkts` — separate from the LRU so
+#: a partition's batch-parsed events can never evict still-useful canonical
+#: leaf entries (and vice versa); :func:`parse_wkt` pops on first lookup, so
+#: the table self-empties as the fold consumes it
+_PREPARSED: dict[tuple[str, str], np.ndarray] = {}
+
+
 def clear_parse_cache() -> None:
     """Release the canonical-parse memo (library hook; tests use it too)."""
     global _PARSE_CACHE_ELEMS
     _PARSE_CACHE.clear()
     _PARSE_CACHE_ELEMS = 0
+    _PREPARSED.clear()
 
 
 def parse_wkt(wkt: str, geom_type: str = LINE) -> np.ndarray:
@@ -203,10 +211,147 @@ def parse_wkt(wkt: str, geom_type: str = LINE) -> np.ndarray:
     if hit is not None:
         _PARSE_CACHE.move_to_end(key)
         return hit
+    pre = _PREPARSED.pop(key, None)
+    if pre is not None:
+        return pre
     ids = _parse_wkt_impl(wkt, geom_type)
     if ids.size:
         _parse_cache_put(key, ids)
     return ids
+
+
+def preparse_wkts(wkts, geom_type: str = LINE) -> None:
+    """Vectorized batch parse of MANY LINE WKTs into the parse memo.
+
+    The fold parses every event content and every cache-missed resume leaf
+    one string at a time; at ~15 small numpy calls per string the per-call
+    dispatch dominates (profiled 10.3 s of an 18 s single-core fold for
+    32k events).  This primes the memo for a whole partition in ONE numpy
+    pass — float conversion, grid snap, unit-edge expansion and the
+    per-string sorted-unique all run globally, segmented by a string id —
+    so the fold's subsequent :func:`parse_wkt` calls are cache hits.
+
+    Best-effort by contract: any string that fails validation anywhere in
+    the batch is simply left unprimed (the fold's own per-string parse then
+    raises or quarantines with its exact error — batch priming must never
+    change error semantics).  Validation that is cheap per-string (token
+    counts, ring sizes) skips just that string; grid/alignment failures are
+    only detected globally, so they drop the whole batch to a per-string
+    fallback loop (poison events are rare by definition).  Non-LINE
+    geometries and strings already in the memo are skipped.  Results are
+    bit-identical to :func:`_parse_wkt_impl` (same ops, same order).
+    """
+    if geom_type != LINE:
+        return
+    # entries a previous batch never consumed (dropped duplicate events,
+    # crashed task) must not accumulate across batches
+    _PREPARSED.clear()
+    tok_l: list[str] = []          # every coordinate token, batch order
+    ring_tok: list[int] = []       # token count per ring
+    ring_str: list[int] = []       # owning string index per ring
+    strs: list[str] = []           # accepted (to-prime) original strings
+    for raw in wkts:
+        # arrow/pandas nulls arrive as None or NaN floats — not parseable
+        if not isinstance(raw, str):
+            continue
+        s = raw.strip()
+        if not s or s.upper().endswith("EMPTY"):
+            continue
+        key = (geom_type, raw)
+        if key in _PARSE_CACHE or key in _PREPARSED:
+            continue
+        head = s.split("(", 1)[0].strip().upper()
+        if head not in ("MULTILINESTRING", "LINESTRING"):
+            continue
+        body = s[len(s.split("(", 1)[0]):]
+        if head == "LINESTRING":
+            body = "(" + body + ")"
+        grps = _RING_RE.findall(body)
+        if not grps:
+            continue
+        toks = " ".join(g.replace(",", " ") for g in grps).split()
+        counts = [(g.count(",") + 1) * 2 for g in grps]
+        # exactly _parse_rings_flat's count check, per string: a mismatch
+        # (or a <2-point ring) leaves the string for the per-string parse
+        if sum(counts) != len(toks) or any(c < 4 for c in counts):
+            continue
+        i = len(strs)
+        strs.append(raw)
+        tok_l.extend(toks)
+        ring_tok.extend(counts)
+        ring_str.extend([i] * len(counts))
+    if not strs:
+        return
+
+    def _fallback() -> None:
+        for raw in strs:
+            try:
+                ids = _parse_wkt_impl(raw, geom_type)
+            # ValueError: the impl lets float-conversion errors propagate
+            # raw — the per-string parse will surface the same error
+            except (GeometryError, ValueError):
+                continue
+            if ids.size:
+                ids.setflags(write=False)
+                _PREPARSED[(geom_type, raw)] = ids
+
+    try:
+        vals = np.asarray(tok_l, dtype=np.float64)
+    except ValueError:
+        return _fallback()
+    iv = np.rint(vals * _SCALE).astype(np.int64)
+    if (
+        not np.all(np.abs(vals - iv * PITCH) <= 1e-9)
+        or iv.min() < 0
+        or iv.max() >= _P
+    ):
+        return _fallback()
+    xs, ys = iv[0::2], iv[1::2]
+    n_rings = len(ring_tok)
+    pts = np.asarray(ring_tok, dtype=np.int64) // 2
+    ring_id = np.repeat(np.arange(n_rings, dtype=np.int64), pts)
+    same = ring_id[:-1] == ring_id[1:]
+    dx = (xs[1:] - xs[:-1])[same]
+    dy = (ys[1:] - ys[:-1])[same]
+    x0v, y0v = xs[:-1][same], ys[:-1][same]
+    step = np.maximum(np.abs(dx), np.abs(dy))
+    if (step == 0).any():
+        return _fallback()
+    ux, uy = dx // step, dy // step
+    if ((ux * step != dx) | (uy * step != dy)).any():
+        return _fallback()
+    total = int(step.sum())
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(step) - step, step)
+    rux, ruy = np.repeat(ux, step), np.repeat(uy, step)
+    x0 = np.repeat(x0v, step) + k * rux
+    y0 = np.repeat(y0v, step) + k * ruy
+    p = _pid(x0, y0)
+    q = _pid(x0 + rux, y0 + ruy)
+    ids = np.minimum(p, q) * _E + np.maximum(p, q)
+    str_of_ring = np.asarray(ring_str, dtype=np.int64)
+    sid = np.repeat(str_of_ring[ring_id[:-1][same]], step)
+    # segmented sorted-unique == np.unique per string (lexsort is ascending)
+    order = np.lexsort((ids, sid))
+    ids_s, sid_s = ids[order], sid[order]
+    keep = np.ones(len(ids_s), dtype=bool)
+    keep[1:] = (ids_s[1:] != ids_s[:-1]) | (sid_s[1:] != sid_s[:-1])
+    ids_k, sid_k = ids_s[keep], sid_s[keep]
+    bounds = np.concatenate(
+        ([0], np.flatnonzero(sid_k[1:] != sid_k[:-1]) + 1, [len(sid_k)])
+    )
+    for j in range(len(bounds) - 1):
+        lo = int(bounds[j])
+        arr = ids_k[lo:int(bounds[j + 1])].copy()
+        arr.setflags(write=False)
+        _PREPARSED[(geom_type, strs[int(sid_k[lo])])] = arr
+
+
+def preparsed_put(wkt: str, geom_type: str, ids: np.ndarray) -> None:
+    """Re-insert a consume-once entry: a validation pass that parses ahead
+    of the fold (``ingest._split_poison``) puts its result back so the
+    fold's own parse of the same string stays a lookup."""
+    ids.setflags(write=False)
+    _PREPARSED[(geom_type, wkt or "")] = ids
 
 
 def _parse_wkt_impl(wkt: str, geom_type: str = LINE) -> np.ndarray:
@@ -315,7 +460,7 @@ def to_wkt(ids: np.ndarray, geom_type: str = LINE) -> str:
     if ids.size == 0:
         return f"{geom_type} EMPTY"
     wkt = _to_wkt_impl(ids, geom_type)
-    if ids.size == 1 or (np.diff(ids) > 0).all():  # sorted unique ⇒ cacheable
+    if ids.size == 1 or (ids[1:] > ids[:-1]).all():  # sorted unique ⇒ cacheable
         _parse_cache_put((geom_type, wkt), ids)
     return wkt
 
@@ -443,10 +588,21 @@ def _line_wkt_strings(node, px, py, qx, qy, n_nodes: int) -> list[str | None]:
     return out
 
 
-def to_wkt_batch(ids_list: list[np.ndarray], geom_type: str = LINE) -> list[str]:
+def to_wkt_batch(
+    ids_list: list[np.ndarray],
+    geom_type: str = LINE,
+    prime: "list[bool] | None" = None,
+) -> list[str]:
     """Serialize MANY id-sets in one vectorized pass — identical strings to
     per-node :func:`to_wkt` (property-tested), ~2× less per-node numpy
-    overhead; the fold emission path uses this for all created nodes."""
+    overhead; the fold emission path uses this for all created nodes.
+
+    ``prime``: per-node flags choosing which canonical strings are written
+    into the parse memo (``None`` = all, the single-node ``to_wkt``
+    behavior).  The fold passes its final-leaf flags: only
+    ``is_leaf & ~retired`` rows are ever rehydrated next epoch, so priming
+    interior nodes spends put-time AND evicts useful leaf entries from the
+    bounded cache."""
     n = len(ids_list)
     if n == 0:
         return []
@@ -456,17 +612,33 @@ def to_wkt_batch(ids_list: list[np.ndarray], geom_type: str = LINE) -> list[str]
         return out
     # np.repeat with size 0 contributes nothing, so node aligns with concat
     node = np.repeat(np.arange(n, dtype=np.int64), sizes)
-    sorted_items = {
-        i: np.sort(np.asarray(x, dtype=np.int64))
-        for i, x in enumerate(ids_list)
-        if len(x)
-    }
-    ids = np.concatenate(list(sorted_items.values()))
+    cat = np.concatenate([np.asarray(x, dtype=np.int64) for x in ids_list if len(x)])
+    # The fold's set algebra keeps every id array sorted-unique, so the
+    # common case needs NO sort at all — one vectorized check replaces a
+    # np.sort per node (the per-call numpy dispatch dominated).  The
+    # fallback is a single stable segmented lexsort: ``node`` is already
+    # grouped, so it only permutes within groups — ``ids`` is identical to
+    # the old per-node-sorted concatenation either way.
+    seg_edge = node[1:] != node[:-1]
+    if bool(((cat[1:] >= cat[:-1]) | seg_edge).all()):
+        ids = cat
+    else:
+        ids = cat[np.lexsort((cat, node))]
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    # per-node duplicate detection in one pass: a node's canonical string is
+    # cacheable only when its sorted ids are strictly increasing (unique) —
+    # the exact round-trip precondition of the memo
+    adj_dup = (ids[1:] == ids[:-1]) & ~seg_edge
+    dup_cnt = (
+        np.bincount(node[1:][adj_dup], minlength=n) if adj_dup.any() else None
+    )
 
     def _prime(i: int, wkt: str) -> None:
-        arr = sorted_items[i]
-        if arr.size == 1 or (np.diff(arr) > 0).all():
-            _parse_cache_put((geom_type, wkt), arr)
+        if (prime is not None and not prime[i]) or (
+            dup_cnt is not None and dup_cnt[i]
+        ):
+            return
+        _parse_cache_put((geom_type, wkt), ids[offs[i]:offs[i + 1]].copy())
 
     if geom_type == LINE:
         p = ids // _E

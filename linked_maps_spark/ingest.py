@@ -196,6 +196,16 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         del chunks
+        # one vectorized batch parse primes the memo for every event content
+        # and cache-missed resume leaf in the partition; the per-key parses
+        # below become lookups (poison strings stay unprimed and surface
+        # their exact error in the per-event parse)
+        m = pdf["_is_event"].astype(bool).to_numpy()
+        G.preparse_wkts(
+            pdf["content"].to_numpy()[m].tolist()
+            + pdf["wkt"].to_numpy()[~m].tolist(),
+            geom_type,
+        )
 
         rows: list[dict] = []
         n_keys = n_segs = n_rels = 0
@@ -303,7 +313,10 @@ def _split_poison(events: list[dict], geom_type: str, on_error: str):
             clean.append(ev)  # tombstone: always valid
             continue
         try:
-            G.parse_wkt(content, geom_type)
+            ids = G.parse_wkt(content, geom_type)
+            # the parse may have CONSUMED a preparsed entry — put it back so
+            # the fold's own parse of this event stays a lookup
+            G.preparsed_put(content, geom_type, ids)
             clean.append(ev)
         except G.GeometryError as exc:
             dead.append({
@@ -331,6 +344,8 @@ def _make_slice_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str 
         is_event = pdf["_is_event"].astype(bool)
         ev = pdf[is_event]
         st = pdf[~is_event]
+        # batch-prime the slice's event contents + leaf-slice geometries
+        G.preparse_wkts(ev["content"].tolist() + st["wkt"].tolist(), geom_type)
         clean, _ = _split_poison(
             ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
             geom_type, on_error,
@@ -391,6 +406,7 @@ def _make_coord_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str 
             pickle.loads(bytes(b)) for b in pdf[~is_event]["payload"] if b is not None
         ]
         ext = merge_partials([p["partials"] for p in payloads])
+        G.preparse_wkts(ev["content"].tolist(), geom_type)
         clean, dead = _split_poison(
             ev[["repo", "path", "commit", "content", *extra_cols]].to_dict("records"),
             geom_type, on_error,

@@ -136,3 +136,66 @@ def test_parse_cache_budget_evicts_lru():
     finally:
         G.PARSE_CACHE_MAX_ELEMS = old
         G.clear_parse_cache()
+
+
+def test_preparse_batch_equals_per_string():
+    """preparse_wkts primes the consume-once table with arrays bit-identical
+    to per-string parses, across MULTILINESTRING/LINESTRING forms, shared
+    substrings and duplicate inputs."""
+    wkts = [
+        "MULTILINESTRING ((0.00 0.00, 0.03 0.00), (0.05 0.05, 0.07 0.07))",
+        "LINESTRING (0.01 0.01, 0.01 0.04)",
+        "MULTILINESTRING ((0.10 0.10, 0.13 0.13))",
+        "MULTILINESTRING ((0.10 0.10, 0.13 0.13))",  # duplicate
+        "",  # tombstone
+        None,  # arrow null
+        "MULTILINESTRING EMPTY",
+    ]
+    expected = {
+        w: G._parse_wkt_impl(w, G.LINE) for w in wkts if isinstance(w, str) and w
+    }
+    G.clear_parse_cache()
+    G.preparse_wkts(wkts, G.LINE)
+    for w, exp in expected.items():
+        got = G.parse_wkt(w, G.LINE)
+        assert np.array_equal(got, exp), w
+        assert not got.flags.writeable or got.size == 0
+    # consume-once: a second parse still answers (slow path), identically
+    for w, exp in expected.items():
+        assert np.array_equal(G.parse_wkt(w, G.LINE), exp)
+
+
+def test_preparse_poison_left_for_per_string_error():
+    """A malformed / off-grid / zero-step string anywhere in the batch must
+    not change error semantics: clean strings still prime (or at worst parse
+    per-string), the poison string raises its exact GeometryError."""
+    clean = "MULTILINESTRING ((0.00 0.00, 0.02 0.00))"
+    exp = G._parse_wkt_impl(clean, G.LINE)
+    for poison in [
+        "MULTILINESTRING ((0.00 0.00, abc 0.00))",  # float conversion fails
+        "MULTILINESTRING ((0.001 0.00, 0.02 0.00))",  # off the 0.01 grid
+        "MULTILINESTRING ((0.00 0.00, 0.00 0.00))",  # zero-length segment
+        "MULTILINESTRING ((0.00 0.00, 0.03 0.01))",  # not axis-aligned/45
+        "MULTILINESTRING ((0.00 0.00))",  # <2 points
+        "POLYGON ((0.00 0.00, 0.01 0.00, 0.01 0.01, 0.00 0.01, 0.00 0.00))",
+    ]:
+        G.clear_parse_cache()
+        G.preparse_wkts([clean, poison], G.LINE)
+        assert np.array_equal(G.parse_wkt(clean, G.LINE), exp), poison
+        # float-conversion poison raises ValueError (impl behavior), the
+        # rest GeometryError — batch priming must not change either
+        with pytest.raises((G.GeometryError, ValueError)):
+            G.parse_wkt(poison, G.LINE)
+
+
+def test_preparse_batches_do_not_accumulate():
+    """Unconsumed entries from one batch are dropped by the next (the
+    crashed-task / deduped-event leak guard)."""
+    a = "MULTILINESTRING ((0.00 0.00, 0.02 0.00))"
+    b = "MULTILINESTRING ((0.05 0.05, 0.07 0.07))"
+    G.clear_parse_cache()
+    G.preparse_wkts([a], G.LINE)
+    G.preparse_wkts([b], G.LINE)
+    assert list(G._PREPARSED) == [(G.LINE, b)]
+    G.clear_parse_cache()
+    assert not G._PREPARSED
