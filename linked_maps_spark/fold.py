@@ -101,15 +101,60 @@ class _Node:
     sha: str | None = None
 
 
-@dataclass
 class FoldResult:
-    segments: list[dict]
-    relations: list[dict]
-    n_events: int
-    n_nodes_created: int
-    # quarantined poison events (on_error="quarantine"): one dict per
-    # skipped event with repo/path/commit/error/content
-    dead: list[dict] = field(default_factory=list)
+    """Fold output.  ``segments`` row dicts are built LAZILY from the node
+    objects: the Spark hot path (``ingest._make_fold_fn``) reads the nodes
+    column-wise and never pays the dict-per-row cost (``node_to_row`` +
+    re-dict in ``_format_rows`` profiled at ~30% of the fold stage), while
+    every dict consumer (tests, oracle, salted coordinator) sees the exact
+    rows it always did on first touch of ``.segments``."""
+
+    __slots__ = (
+        "_segments", "relations", "n_events", "n_nodes_created", "dead",
+        "nodes", "repo", "path", "geom_type",
+    )
+
+    def __init__(
+        self,
+        segments: "list[dict] | None" = None,
+        relations: "list[dict] | None" = None,
+        n_events: int = 0,
+        n_nodes_created: int = 0,
+        dead: "list[dict] | None" = None,
+        nodes: "list[_Node] | None" = None,
+        repo: str = "",
+        path: str = "",
+        geom_type: str = G.LINE,
+    ) -> None:
+        if segments is None and nodes is None:
+            segments = []
+        self._segments = segments
+        self.relations = relations if relations is not None else []
+        self.n_events = n_events
+        self.n_nodes_created = n_nodes_created
+        # quarantined poison events (on_error="quarantine"): one dict per
+        # skipped event with repo/path/commit/error/content
+        self.dead = dead if dead is not None else []
+        self.nodes = nodes
+        self.repo = repo
+        self.path = path
+        self.geom_type = geom_type
+
+    @property
+    def segments(self) -> list[dict]:
+        if self._segments is None:
+            self._segments = [
+                node_to_row(self.repo, self.path, n, self.geom_type)
+                for n in self.nodes
+            ]
+        return self._segments
+
+    @property
+    def n_segments(self) -> int:
+        """Row count without materializing the dicts."""
+        if self._segments is not None:
+            return len(self._segments)
+        return len(self.nodes)
 
 
 def leaves_from_rows(leaves_in: list[dict], geom_type: str = G.LINE) -> "list[_Node]":
@@ -133,12 +178,10 @@ def leaves_from_rows(leaves_in: list[dict], geom_type: str = G.LINE) -> "list[_N
     ]
 
 
-def rows_from_nodes(
-    repo: str, path: str, nodes: "list[_Node]", geom_type: str = G.LINE
-) -> list[dict]:
-    """Emit rows for many nodes, serializing every un-serialized geometry in
-    ONE vectorized pass (``to_wkt_batch``) — the per-node serializer was the
-    top CPU cost of the fold after parse vectorization."""
+def serialize_nodes(nodes: "list[_Node]", geom_type: str = G.LINE) -> None:
+    """Fill ``wkt``/``sha`` for every un-serialized node in ONE vectorized
+    pass (``to_wkt_batch``) — the per-node serializer was the top CPU cost
+    of the fold after parse vectorization."""
     need = [n for n in nodes if n.wkt is None]
     wkts = G.to_wkt_batch(
         [n.ids for n in need],
@@ -150,6 +193,13 @@ def rows_from_nodes(
     for n, w in zip(need, wkts):
         n.wkt = w
         n.sha = G.sha256_hex(w)
+
+
+def rows_from_nodes(
+    repo: str, path: str, nodes: "list[_Node]", geom_type: str = G.LINE
+) -> list[dict]:
+    """Emit row dicts for many nodes (serializing first)."""
+    serialize_nodes(nodes, geom_type)
     return [node_to_row(repo, path, n, geom_type) for n in nodes]
 
 
@@ -348,12 +398,14 @@ def fold_key(
             key=lambda n: n.seq,
         )
 
-    seg_rows = rows_from_nodes(
-        repo, path, sorted(touched.values(), key=lambda n: n.seq), geom_type
-    )
+    out_nodes = sorted(touched.values(), key=lambda n: n.seq)
+    serialize_nodes(out_nodes, geom_type)
 
     return FoldResult(
-        segments=seg_rows,
+        nodes=out_nodes,
+        repo=repo,
+        path=path,
+        geom_type=geom_type,
         relations=relations,
         n_events=len(events),
         n_nodes_created=n_created,

@@ -207,7 +207,7 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
             geom_type,
         )
 
-        rows: list[dict] = []
+        cols: dict[str, list] = {c: [] for c in out_cols}
         n_keys = n_segs = n_rels = 0
         for repo, path, ev_rows, st_rows in _rows_by_key(pdf, extra_cols):
             res = fold_key(
@@ -218,16 +218,16 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
                 geom_type=geom_type,
                 on_error=on_error,
             )
-            rows.extend(_format_rows(res.segments, res.relations, pid, seg_cols, extra_cols))
+            _append_fold_cols(cols, res, pid, extra_cols)
             # quarantined poison events ride the unified frame as kind='dead'
             # (commit in commit_created, error in name, payload in wkt); the
             # epoch assembly appends them to the dead_letter table
             for d in res.dead:
-                rows.append(
-                    _dead_changes_row(seg_cols, extra_cols, pid, repo, path, d)
+                _append_row(
+                    cols, _dead_changes_row(seg_cols, extra_cols, pid, repo, path, d)
                 )
             n_keys += 1
-            n_segs += len(res.segments)
+            n_segs += res.n_segments
             n_rels += len(res.relations)
         # per-task fold wall time + accounting (kind='timing'): the metrics
         # append reads these rows directly instead of re-aggregating the
@@ -236,8 +236,8 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
         row.update(kind="timing", _pid=pid, parent_gid=None, child_gid=None,
                    _wall_ms=(time.monotonic() - t0) * 1000.0,
                    _n_keys=n_keys, _n_segments=n_segs, _n_relations=n_rels)
-        rows.append(row)
-        yield pd.DataFrame(rows, columns=out_cols)
+        _append_row(cols, row)
+        yield pd.DataFrame(cols)
 
     return fn
 
@@ -268,6 +268,67 @@ def _dead_letter_select(df: DataFrame, epoch: int, attempt: int) -> DataFrame:
         F.col("wkt").alias("content"),
         F.lit(attempt).cast("long").alias("attempt"),
     )
+
+
+def _append_row(cols: dict, row: dict) -> None:
+    """Append one dict-shaped row (dead/timing — rare) to the column lists."""
+    for c, lst in cols.items():
+        lst.append(row.get(c))
+
+
+def _append_fold_cols(cols: dict, res, pid: int, extra_cols: list[str]) -> None:
+    """Columnar twin of :func:`_format_rows` reading the fold's node objects
+    directly — no ``node_to_row`` dict, no per-row re-dict, and the final
+    ``pd.DataFrame`` builds from ready column lists instead of inferring
+    from 100k+ row dicts (the dict path profiled at ~50% of the whole fold
+    stage: 1.3 s format + 4.3 s DataFrame-from-dicts vs 5.1 s of actual
+    fold on the 800-key bench frame).  Emission order (segments then
+    relations per key, both in creation order) and every value are
+    byte-identical to the dict path — pinned-digest suites prove it."""
+    nodes = res.nodes
+    rels = res.relations
+    if nodes is None:  # dict-shaped fallback (never hit by fold_key output)
+        for seg in res.segments:
+            row = dict(seg)
+            row.update(kind="segment", _pid=pid, parent_gid=None, child_gid=None)
+            _append_row(cols, row)
+        for r in rels:
+            row = dict(r)
+            row.update(kind="relation", _pid=pid)
+            _append_row(cols, row)
+        return
+    n, m = len(nodes), len(rels)
+    nones_n = [None] * n
+    cols["kind"].extend(["segment"] * n)
+    cols["gid"].extend([nd.gid for nd in nodes])
+    cols["name"].extend([nd.name for nd in nodes])
+    cols["seq"].extend([nd.seq for nd in nodes])
+    cols["commit_created"].extend([nd.commit_created for nd in nodes])
+    cols["wkt"].extend([nd.wkt for nd in nodes])
+    cols["content_sha256"].extend([nd.sha for nd in nodes])
+    cols["editions"].extend([list(nd.editions) for nd in nodes])
+    cols["is_leaf"].extend([nd.is_leaf for nd in nodes])
+    cols["retired"].extend([nd.retired for nd in nodes])
+    for c in extra_cols:
+        cols[c].extend([nd.extras.get(c) for nd in nodes])
+    cols["parent_gid"].extend(nones_n)
+    cols["child_gid"].extend(nones_n)
+    if m:
+        nones_m = [None] * m
+        cols["kind"].extend(["relation"] * m)
+        for c in ("gid", "name", "seq", "commit_created", "wkt",
+                  "content_sha256", "editions", "is_leaf", "retired", *extra_cols):
+            cols[c].extend(nones_m)
+        cols["parent_gid"].extend([r["parent_gid"] for r in rels])
+        cols["child_gid"].extend([r["child_gid"] for r in rels])
+    total = n + m
+    # every row of this key shares repo/path/pid; metrics/timing stay NULL
+    cols["repo"].extend([res.repo] * total)
+    cols["path"].extend([res.path] * total)
+    cols["_pid"].extend([pid] * total)
+    nones_t = [None] * total
+    for c in ("_wall_ms", "_n_keys", "_n_segments", "_n_relations"):
+        cols[c].extend(nones_t)
 
 
 def _format_rows(segments, relations, pid, seg_cols, extra_cols) -> list[dict]:
