@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from linked_maps_spark import (
     bpe,
+    chunking,
     dedup,
     dedup_index,
     entry_cdc,
@@ -156,6 +157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gopher/C4 repetition signals; the fixture is single-line, so both
     # engines first line-ize it identically (literal ' a ' → newline)
     q["text_packing"] = _doc()(textops.pack_sequences)
+    # RAG / context-window prep: overlapping word windows (map-only fan-out)
+    # + the per-document planning aggregate
+    q["text_chunk_windows"] = _doc()(
+        lambda d: chunking.chunk_windows(d, size=16, overlap=4)
+    )
+    q["text_chunk_stats"] = _doc()(
+        lambda d: chunking.chunk_stats(d, size=16, overlap=4)
+    )
     q["text_repetition"] = _doc()(
         lambda d: textops.repetition_signals(
             d.withColumn("text", F.replace("text", F.lit(" a "), F.lit("\n")))
@@ -300,6 +309,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality_classifier"] = textops.quality_classifier_sql()
     o["text_top_words"] = textops.top_words_sql()
     o["text_packing"] = textops.pack_sequences_sql()
+    o["text_chunk_windows"] = chunking.chunk_windows_sql(size=16, overlap=4)
+    o["text_chunk_stats"] = chunking.chunk_stats_sql(size=16, overlap=4)
     o["text_bpe_merges"] = bpe.bpe_merges_sql()
     o["text_bpe_tokens"] = bpe.bpe_tokens_sql()
     o["corpus_sample"] = sampling.stratified_sample_sql()

@@ -87,6 +87,12 @@ CHECKS = {
     "corpus_dsir_sample": ["TakeOrderedAndProject", "BroadcastHashJoin"],
     # temperature rates broadcast back; corpus itself never shuffles
     "corpus_temperature_sample": ["BroadcastHashJoin", "!SortMergeJoin"],
+    # chunking: a pure map-stage fan-out over a 2-column pruned scan — the
+    # only Exchange allowed is the output ORDER BY's range partitioning
+    "text_chunk_windows": ["ReadSchema: struct<doc_id:bigint,text:string>",
+                           "Generate", "!HashAggregate", "!HashJoin"],
+    # chunk planning aggregate: one partial-agg groupBy, still no join
+    "text_chunk_stats": ["HashAggregate", "!HashJoin"],
 }
 
 
