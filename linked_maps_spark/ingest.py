@@ -64,6 +64,26 @@ _FAST_RESERVED = frozenset(
      "n_events", "wall_ms", "attempt", "_bucket"}
 )
 
+# Target rows (events + resume-state leaves) per fold task for the adaptive
+# shuffle width: ~2k rows ≈ 0.5–1 s of fold kernel at measured speeds —
+# large enough that per-task python overhead amortizes, small enough that a
+# stage is many tasks wide on any real epoch.  Override only via tests.
+_FOLD_ROWS_PER_TASK = 2000
+
+
+def _fold_width(
+    n_conf: int, dp: int, n_events: int, state_rows: "int | None"
+) -> int:
+    """Adaptive fold-shuffle partition count: sized by the epoch's actual
+    row volume, floored at ``dp`` (defaultParallelism — every core still
+    gets work) and capped at ``n_conf`` (the configured shuffle partitions
+    — large epochs unchanged).  ``state_rows=None`` (unknown manifest row
+    stats) disables the shrink."""
+    if state_rows is None:
+        return n_conf
+    rows_est = n_events + state_rows
+    return min(n_conf, max(dp, -(-rows_est // _FOLD_ROWS_PER_TASK)))
+
 COMMIT_LOG_SCHEMA = (
     "epoch long, start_commit string, end_commit string, n_events long, "
     "n_keys long, wall_ms double, throughput_eps double"
@@ -1056,6 +1076,32 @@ class CdcEngine:
             F.lit(False).alias("_is_event"),
         )
         n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        # Adaptive fold width: a small epoch fanned into the full configured
+        # partition count pays per-task python overhead (worker boot, Arrow
+        # round-trip, batch preparse) for tasks holding a few hundred rows —
+        # at 32 cores / 128 partitions the 32k-event bench epoch spent more
+        # stage time on task overhead waves than on folding.  Size the fold
+        # shuffle by the epoch's actual row volume (events + a manifest
+        # upper bound on touched-bucket state rows — driver-side arithmetic,
+        # no job), floored at defaultParallelism so every core still gets
+        # work and capped at the configured count so large epochs are
+        # unchanged.  Unknown per-file row stats disable the shrink
+        # (conservative).  AQE can't do this for us: the width must be
+        # chosen BEFORE the shuffle that the bucketed COW write reuses.
+        state_rows: int | None = 0
+        touched = set(buckets)
+        for f in self.segments.snapshot()["files"]:
+            if f["bucket"] in touched:
+                if f.get("rows") is None:
+                    state_rows = None
+                    break
+                state_rows += f["rows"]
+        n_parts = _fold_width(
+            n_parts,
+            self.spark.sparkContext.defaultParallelism,
+            n_events,
+            state_rows,
+        )
         # Fold partition key REFINES both tables' bucket hashes: the fold
         # shuffles on fold_part = pmod(xxhash64(repo,path), k·n_buckets), so
         # the bucketed COW writes can skip their own exchange

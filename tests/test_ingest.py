@@ -750,3 +750,23 @@ def test_rows_by_key_normalization_and_grouping():
     # event dicts carry exactly the event columns (repo/path/commit/content+extras)
     assert set(ev_a[0]) == {"repo", "path", "commit", "content", "lang"}
     assert set(st_a[0]) == {"repo", "path", "lang", *_STATE_COLS}
+
+
+def test_fold_width_adaptive():
+    """Fold-shuffle width: volume-sized, floored at defaultParallelism,
+    capped at the configured count; unknown row stats disable the shrink."""
+    from linked_maps_spark.ingest import _FOLD_ROWS_PER_TASK, _fold_width
+
+    # small epoch at a wide config shrinks to the core floor
+    assert _fold_width(128, 32, 32_000, 0) == 32
+    # volume between floor and cap sizes by rows/task
+    rows = 60 * _FOLD_ROWS_PER_TASK
+    assert _fold_width(128, 32, rows, 0) == 60
+    # events + state both count
+    assert _fold_width(128, 32, rows // 2, rows - rows // 2) == 60
+    # large epochs are unchanged (cap)
+    assert _fold_width(128, 32, 10_000_000, 0) == 128
+    # unknown manifest stats: conservative, no shrink
+    assert _fold_width(128, 32, 100, None) == 128
+    # never below the configured count when it IS the floor (test configs)
+    assert _fold_width(4, 4, 490, 0) == 4
