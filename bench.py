@@ -55,8 +55,11 @@ def main() -> None:
 
     from linked_maps_spark import geometry as G
     from linked_maps_spark.changelog import synth_change_log, to_spark
-    from linked_maps_spark.ingest import CdcEngine
+    from linked_maps_spark.ingest import CdcEngine, prewarm_workers
 
+    # boot the python-worker pool while the driver synthesizes the WAL —
+    # session setup cost, overlapped instead of paid inside the first fold
+    prewarm_workers(spark)
     wal = synth_change_log(
         n_keys=BENCH_WAL_KEYS, n_commits=BENCH_WAL_COMMITS, seed=77, zipf_s=1.2
     )

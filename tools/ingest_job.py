@@ -38,7 +38,7 @@ def main() -> None:
 
     from linked_maps_spark import geometry as G
     from linked_maps_spark.changelog import synth_change_log, to_spark
-    from linked_maps_spark.ingest import CdcEngine
+    from linked_maps_spark.ingest import CdcEngine, prewarm_workers
     from linked_maps_spark.session import get_spark
 
     spark = get_spark(
@@ -47,6 +47,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # boot the python-worker pool while the driver synthesizes the WAL —
+    # session setup, overlapped instead of paid inside the first fold stage
+    prewarm_workers(spark)
     wal = synth_change_log(
         n_keys=args.keys, n_commits=args.commits, seed=args.seed, zipf_s=args.zipf,
         n_walks=args.walks, walk_len=args.walklen,
