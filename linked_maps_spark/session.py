@@ -58,6 +58,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    # commit + pre-touch the whole heap at startup: with only -Xmx the JVM
+    # grows the heap lazily and each growth event stalls every task in the
+    # JVM mid-stage (measured: page-fault/THP-defrag stalls turned a 4 s
+    # python-fold stage into 25 s, erratic run-to-run).  Paying the ~1 s
+    # pre-touch once at session boot removes the stalls entirely.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+    )
     if executors is not None:
         builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")
         # executors are separate JVMs + python workers: ship the package the
