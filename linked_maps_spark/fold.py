@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass, field
+from itertools import accumulate
 
 import numpy as np
 
@@ -77,12 +78,28 @@ def make_gid(repo: str, path: str, name: str) -> str:
     return hashlib.sha256(f"{repo}|{path}|{name}".encode("utf-8")).hexdigest()[:32]
 
 
+def gid_factory(repo: str, path: str):
+    """Per-key closure computing :func:`make_gid` from a COPIED sha256 state
+    pre-fed with the ``{repo}|{path}|`` prefix — incremental hashing makes
+    ``copy + update(name)`` ≡ hashing the full string, so digests are
+    identical while the prefix is hashed once per key instead of once per
+    node (the fold creates tens of nodes per key per epoch)."""
+    base = hashlib.sha256(f"{repo}|{path}|".encode("utf-8"))
+
+    def gid(name: str) -> str:
+        h = base.copy()
+        h.update(name.encode("utf-8"))
+        return h.hexdigest()[:32]
+
+    return gid
+
+
 def edition_years(name: str) -> list[str]:
     """Year-extraction rule of main.py:66-67."""
     return [name[:4]] if "_" not in name else []
 
 
-@dataclass
+@dataclass(slots=True)
 class _Node:
     seq: int
     gid: str
@@ -290,11 +307,13 @@ def fold_key(
     relations: list[dict] = []
     n_created = 0
 
+    _gid = gid_factory(repo, path)
+
     def _new(name: str, ids: np.ndarray, editions: tuple[str, ...], commit: str, extras=None) -> _Node:
         nonlocal next_seq, n_created
         node = _Node(
             seq=next_seq,
-            gid=make_gid(repo, path, name),
+            gid=_gid(name),
             name=name,
             ids=ids,
             editions=editions,
@@ -317,6 +336,7 @@ def fold_key(
             touched[parent.gid] = parent
 
     for ev in dedup_events(events):
+        n_created_before = len(created)
         commit = ev["commit"]
         content = ev.get("content") or ""
         extras = {
@@ -361,8 +381,10 @@ def fold_key(
             pos[pos == e_ids.size] = 0
             mask = e_ids[pos] == cat
             # plain slices, not np.split (array_split's per-chunk machinery
-            # was itself a profile line at deep-lattice scale)
-            offs = np.cumsum([0] + lens)
+            # was itself a profile line at deep-lattice scale); offsets via
+            # itertools.accumulate — np.cumsum on a tiny python list pays
+            # more in array conversion than the sum itself
+            offs = list(accumulate(lens, initial=0))
             leaf_masks = [mask[offs[i]:offs[i + 1]] for i in range(len(lens))]
         else:
             mask = None
@@ -390,13 +412,16 @@ def fold_key(
                 mu_node = _new(mu_name, r_ids, e_node.editions, commit)
                 _link(e_node, mu_node)
 
-        # next round's leaves, in creation (seq) order — main.py:123-131
-        pool = {n.seq: n for n in leaves}
-        pool.update({n.seq: n for n in created})
-        leaves = sorted(
-            (n for n in pool.values() if n.is_leaf and not n.retired),
-            key=lambda n: n.seq,
-        )
+        # next round's leaves, in creation (seq) order — main.py:123-131.
+        # Incremental form of the old "pool every node ever created, filter,
+        # sort" rebuild (O(nodes) per event): is_leaf/retired transitions are
+        # one-way (True→False / False→True), so a node created in an earlier
+        # round re-enters only via ``leaves`` itself; both parts are already
+        # seq-ordered and every new seq exceeds every old one, so the
+        # concatenation needs no sort.  Bit-identical (pinned-digest suites).
+        leaves = [n for n in leaves if n.is_leaf and not n.retired] + [
+            n for n in created[n_created_before:] if n.is_leaf and not n.retired
+        ]
 
     out_nodes = sorted(touched.values(), key=lambda n: n.seq)
     serialize_nodes(out_nodes, geom_type)

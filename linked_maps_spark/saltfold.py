@@ -40,8 +40,8 @@ from .fold import (
     _Node,
     dedup_events,
     edition_years,
+    gid_factory,
     leaves_from_rows,
-    make_gid,
     md5_hex,
     rows_from_nodes,
 )
@@ -80,10 +80,12 @@ def fold_slice(
     partials: list[dict] = []
     metas: list[dict] = []
 
+    _gid = gid_factory(repo, path)
+
     def _new(name, ids, editions, commit, parent_name, kind) -> _Node:
         nonlocal next_seq
         node = _Node(
-            seq=next_seq, gid=make_gid(repo, path, name), name=name,
+            seq=next_seq, gid=_gid(name), name=name,
             ids=ids, editions=editions, commit_created=commit,
         )
         next_seq += 1
@@ -102,6 +104,7 @@ def fold_slice(
             touched[parent.gid] = parent
 
     for ev in dedup_events(events):
+        n_created_before = len(created)
         commit = ev["commit"]
         content = ev.get("content") or ""
         if content.strip() == "":
@@ -113,7 +116,7 @@ def fold_slice(
             continue
 
         e_ids = G.parse_wkt(content, geom_type)
-        e_gid = make_gid(repo, path, commit)  # edition emitted by the coordinator
+        e_gid = _gid(commit)  # edition emitted by the coordinator
         e_editions = tuple(edition_years(commit))
 
         round_union: np.ndarray | None = None
@@ -146,12 +149,11 @@ def fold_slice(
                 "any_i": round_union is not None,
             }
         )
-        pool = {n.seq: n for n in leaves}
-        pool.update({n.seq: n for n in created})
-        leaves = sorted(
-            (n for n in pool.values() if n.is_leaf and not n.retired),
-            key=lambda n: n.seq,
-        )
+        # incremental next-leaves (same derivation as fold.fold_key: one-way
+        # is_leaf/retired transitions + monotonic seq ⇒ no pool, no sort)
+        leaves = [n for n in leaves if n.is_leaf and not n.retired] + [
+            n for n in created[n_created_before:] if n.is_leaf and not n.retired
+        ]
 
     segments = rows_from_nodes(
         repo, path, sorted(touched.values(), key=lambda n: n.seq), geom_type
@@ -179,10 +181,12 @@ def fold_coord(
     relations: list[dict] = []
     metas: list[dict] = []
 
+    _gid = gid_factory(repo, path)
+
     def _new(name, ids, editions, commit, parent_name, kind, extras=None) -> _Node:
         nonlocal next_seq
         node = _Node(
-            seq=next_seq, gid=make_gid(repo, path, name), name=name,
+            seq=next_seq, gid=_gid(name), name=name,
             ids=ids, editions=editions, commit_created=commit, extras=extras or {},
         )
         next_seq += 1
@@ -201,6 +205,7 @@ def fold_coord(
             touched[parent.gid] = parent
 
     for ev in dedup_events(events):
+        n_created_before = len(created)
         commit = ev["commit"]
         content = ev.get("content") or ""
         extras = {
@@ -250,12 +255,10 @@ def fold_coord(
                 mu_node = _new(mu_name, r_ids, e_node.editions, commit, None, "mu")
                 _link(e_node, mu_node)
 
-        pool = {n.seq: n for n in leaves}
-        pool.update({n.seq: n for n in created})
-        leaves = sorted(
-            (n for n in pool.values() if n.is_leaf and not n.retired),
-            key=lambda n: n.seq,
-        )
+        # incremental next-leaves (same derivation as fold.fold_key)
+        leaves = [n for n in leaves if n.is_leaf and not n.retired] + [
+            n for n in created[n_created_before:] if n.is_leaf and not n.retired
+        ]
 
     segments = rows_from_nodes(
         repo, path, sorted(touched.values(), key=lambda n: n.seq), geom_type
