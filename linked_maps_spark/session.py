@@ -58,16 +58,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
-    # commit + pre-touch the whole heap at startup: with only -Xmx the JVM
-    # grows the heap lazily and each growth event stalls every task in the
-    # JVM mid-stage (measured: page-fault/THP-defrag stalls turned a 4 s
-    # python-fold stage into 25 s, erratic run-to-run).  Paying the ~1 s
-    # pre-touch once at session boot removes the stalls entirely.
-    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
-    builder = builder.config(
-        "spark.driver.extraJavaOptions",
-        f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
-    )
+    # OPT-IN heap pre-touch (SPARK_PRETOUCH=1).  An earlier default-on
+    # -Xms24g -XX:+AlwaysPreTouch was justified by heap-growth stalls
+    # measured inside a hypervisor-steal window (BENCH/BASELINE.md
+    # addendum); interleaved A/B on an idle box showed the opposite
+    # steady-state effect — single-core ingest dropped from ~1800 to
+    # 1440-1618 ev/s with one 885 ev/s outlier (24 GB resident guest
+    # pages are hostage to host paging, and a full-size pre-touched
+    # eden turns every allocation into a cold-page DRAM miss).  The
+    # lazily-grown heap is both faster and more stable here; keep the
+    # pre-touch available for bare-metal deployments where it belongs.
+    if os.environ.get("SPARK_PRETOUCH", "") == "1":
+        driver_mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
     if executors is not None:
         builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")
         # executors are separate JVMs + python workers: ship the package the
