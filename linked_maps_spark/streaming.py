@@ -34,13 +34,27 @@ def stream_ingest(
     checkpoint_dir: str,
     commits_per_epoch: int = 8,
     schema: str = CHANGE_LOG_SCHEMA,
+    max_files_per_trigger: "int | None" = None,
 ):
     """Drain the WAL directory into the engine via Structured Streaming.
 
     Returns the finished StreamingQuery (availableNow drains and stops).
+
+    ``max_files_per_trigger`` slices the drain into multiple micro-batches
+    (availableNow honors the source option) — each micro-batch is its own
+    ``engine.ingest`` call resuming from the previous one's committed leaf
+    state, the long-running-stream shape.  CONTRACT: the landing files must
+    be commit-aligned (a commit's events never span a micro-batch boundary;
+    a real WAL is append-ordered so this holds by construction), because
+    ``ingest`` treats commits at or below its watermark as checkpoint
+    replays and skips them — a random row split would silently drop the
+    tail of a commit it has already seen the head of.
     """
     spark: SparkSession = engine.spark
-    stream = spark.readStream.schema(schema).parquet(wal_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(wal_dir)
 
     def apply_batch(batch_df, batch_id: int) -> None:
         # The commit-log watermark inside ingest() deduplicates redelivered

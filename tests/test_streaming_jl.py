@@ -200,3 +200,41 @@ def test_stream_attribution_join_equals_batch(spark, tmp_path):
     )
     exp = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert res == exp and len(res) > 0
+
+
+def _write_commit_aligned(pdf, landing: str) -> int:
+    """One parquet file per commit, mtimes ascending in commit order — the
+    append-ordered WAL shape the micro-batched drain contract requires."""
+    os.makedirs(landing, exist_ok=True)
+    commits = sorted(pdf["commit"].unique())
+    for i, c in enumerate(commits):
+        f = os.path.join(landing, f"wal_{i:04d}.parquet")
+        pdf[pdf["commit"] == c].to_parquet(f, index=False)
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    return len(commits)
+
+
+def test_stream_ingest_microbatched_equals_batch(spark, tmp_path):
+    """maxFilesPerTrigger=1 over a commit-aligned landing dir: every commit
+    is its own micro-batch → its own ingest call resuming from the previous
+    call's committed leaf state.  Final state must be bit-identical to one
+    batch ingest of the whole WAL."""
+    wal_pdf = synth_change_log(n_keys=6, n_commits=4, seed=21)
+    batch_eng = CdcEngine(spark, str(tmp_path / "batch"), geom_type=G.LINE, n_buckets=4)
+    batch_eng.create_tables(overwrite=True)
+    batch_eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+
+    landing = str(tmp_path / "landing")
+    n_files = _write_commit_aligned(wal_pdf, landing)
+    stream_eng = CdcEngine(spark, str(tmp_path / "stream"), geom_type=G.LINE, n_buckets=4)
+    stream_eng.create_tables(overwrite=True)
+    q = stream_ingest(
+        stream_eng, landing, str(tmp_path / "ckpt"), commits_per_epoch=2,
+        max_files_per_trigger=1,
+    )
+    # the drain really ran one micro-batch per commit file
+    assert q.lastProgress is not None and q.lastProgress["batchId"] + 1 == n_files
+
+    assert table_digest(stream_eng.current_segments(), SEG_COLS) == table_digest(
+        batch_eng.current_segments(), SEG_COLS
+    )

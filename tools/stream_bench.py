@@ -1,0 +1,168 @@
+"""Streaming-vs-batch ingest throughput → BENCH/streaming_latest.md.
+
+Four legs over the IDENTICAL seeded WAL, all ending in the identical final
+segment state, decomposing what continuous ingestion costs over bulk load:
+
+* ``batch_bulk``   — one ingest call, all commits in one epoch (the offline
+  bulk-load reference).
+* ``batch_epochs`` — one ingest call, one commit per epoch (the engine's own
+  sequential-epoch continuity, no streaming machinery).
+* ``stream_drain`` — Structured Streaming availableNow drain, ONE micro-batch
+  (same epochs as ``batch_epochs``); delta over it = source listing +
+  checkpoint + foreachBatch wrapper.
+* ``stream_micro`` — availableNow with ``maxFilesPerTrigger=1`` over a
+  commit-aligned landing dir: one commit per micro-batch, each its own
+  ingest call resuming from committed state — the long-running-stream
+  shape; delta over ``stream_drain`` = per-micro-batch fixed cost
+  (watermark read, planning, checkpoint commit) × #commits.
+
+Legs are interleaved round-robin and the BEST (max-throughput) sample per
+leg is reported (same weather-band estimator as tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--keys", type=int, default=16000)
+    ap.add_argument("--commits", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=77)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    from linked_maps_spark import geometry as G
+    from linked_maps_spark.changelog import synth_change_log, to_spark
+    from linked_maps_spark.ingest import CdcEngine, prewarm_workers
+    from linked_maps_spark.session import get_spark
+    from linked_maps_spark.streaming import stream_ingest
+
+    spark = get_spark(f"streambench-{args.cores}", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    prewarm_workers(spark, block=True)
+
+    wal_pdf = synth_change_log(
+        n_keys=args.keys, n_commits=args.commits, seed=args.seed, zipf_s=1.2,
+        n_walks=6, walk_len=8,
+    )
+    n_events = len(wal_pdf)
+    wal_df = to_spark(spark, wal_pdf).repartition(args.cores).cache()
+    wal_df.count()
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="lms_streambench_", dir=scratch)
+    landing_bulk = os.path.join(root, "landing_bulk")
+    wal_df.write.mode("overwrite").parquet(landing_bulk)
+    landing_commits = os.path.join(root, "landing_commits")
+    os.makedirs(landing_commits, exist_ok=True)
+    for i, c in enumerate(sorted(wal_pdf["commit"].unique())):
+        f = os.path.join(landing_commits, f"wal_{i:04d}.parquet")
+        wal_pdf[wal_pdf["commit"] == c].to_parquet(f, index=False)
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    def fresh_engine(tag: str) -> CdcEngine:
+        wh = os.path.join(root, f"wh_{tag}")
+        shutil.rmtree(wh, ignore_errors=True)
+        eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=max(args.cores, 16))
+        eng.create_tables(overwrite=True)
+        return eng
+
+    def leg_batch_bulk(tag: str) -> int:
+        eng = fresh_engine(tag)
+        eng.ingest(wal_df, commits_per_epoch=args.commits)
+        return eng.current_segments().count()
+
+    def leg_batch_epochs(tag: str) -> int:
+        eng = fresh_engine(tag)
+        eng.ingest(wal_df, commits_per_epoch=1)
+        return eng.current_segments().count()
+
+    def leg_stream_drain(tag: str) -> int:
+        eng = fresh_engine(tag)
+        stream_ingest(eng, landing_bulk, os.path.join(root, f"ck_{tag}"),
+                      commits_per_epoch=1)
+        return eng.current_segments().count()
+
+    def leg_stream_micro(tag: str) -> int:
+        eng = fresh_engine(tag)
+        stream_ingest(eng, landing_commits, os.path.join(root, f"ck_{tag}"),
+                      commits_per_epoch=1, max_files_per_trigger=1)
+        return eng.current_segments().count()
+
+    legs = [
+        ("batch_bulk", leg_batch_bulk),
+        ("batch_epochs", leg_batch_epochs),
+        ("stream_drain", leg_stream_drain),
+        ("stream_micro", leg_stream_micro),
+    ]
+    samples: dict[str, list[float]] = {name: [] for name, _ in legs}
+    rows_seen: set[int] = set()
+    try:
+        # warmup: one tiny ingest so first-leg JIT/session costs don't bias
+        warm = fresh_engine("warm")
+        warm.ingest(to_spark(spark, wal_pdf.head(200)), commits_per_epoch=1)
+        for r in range(args.repeats):
+            for name, fn in legs:
+                t0 = time.monotonic()
+                rows = fn(f"{name}_{r}")
+                samples[name].append(time.monotonic() - t0)
+                rows_seen.add(rows)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    assert len(rows_seen) == 1, f"final states diverged: {rows_seen}"
+    best = {name: min(s) for name, s in samples.items()}
+    eps = {name: round(n_events / sec, 1) for name, sec in best.items()}
+
+    def fmt(name: str) -> str:
+        return ", ".join(f"{s:.2f}s" for s in samples[name])
+
+    md = f"""# BENCH — streaming vs batch ingest
+
+The identical seeded WAL ({n_events} change events, {args.commits} commits,
+local[{args.cores}]) ingested four ways, all reaching the identical
+{next(iter(rows_seen))}-row segment state; legs interleaved round-robin,
+best-of-{args.repeats} per leg (weather-band estimator of
+tools/bench_scaling.py).
+
+| leg | wall best (s) | events/sec | all samples |
+|---|---|---|---|
+| batch_bulk (1 ingest call, 1 epoch) | {best['batch_bulk']:.2f} | {eps['batch_bulk']} | {fmt('batch_bulk')} |
+| batch_epochs (1 call, 1 commit/epoch) | {best['batch_epochs']:.2f} | {eps['batch_epochs']} | {fmt('batch_epochs')} |
+| stream_drain (availableNow, 1 micro-batch) | {best['stream_drain']:.2f} | {eps['stream_drain']} | {fmt('stream_drain')} |
+| stream_micro (1 commit per micro-batch) | {best['stream_micro']:.2f} | {eps['stream_micro']} | {fmt('stream_micro')} |
+
+Decomposition (best-of walls): streaming wrapper (source listing +
+checkpoint + foreachBatch) = stream_drain − batch_epochs =
+{best['stream_drain'] - best['batch_epochs']:.2f} s; per-micro-batch fixed
+cost = (stream_micro − stream_drain) / {args.commits} =
+{(best['stream_micro'] - best['stream_drain']) / args.commits:.2f} s ×
+{args.commits} micro-batches.  The micro-batched drain is the
+long-running-stream shape: every commit is its own ingest call resuming
+from the previous call's committed leaf state (commit-aligned landing
+files — see the stream_ingest contract note).
+
+Reproduce: `python tools/stream_bench.py` (flags: --cores --keys
+--commits --repeats).
+"""
+    out = os.path.join(REPO, "BENCH", "streaming_latest.md")
+    with open(out, "w") as fh:
+        fh.write(md)
+    print(md)
+    print(json.dumps({"events": n_events, "best_sec": best, "events_per_sec": eps}))
+
+
+if __name__ == "__main__":
+    main()
