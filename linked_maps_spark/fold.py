@@ -128,7 +128,7 @@ class FoldResult:
 
     __slots__ = (
         "_segments", "relations", "n_events", "n_nodes_created", "dead",
-        "nodes", "repo", "path", "geom_type",
+        "nodes", "repo", "path", "geom_type", "n_leaves",
     )
 
     def __init__(
@@ -142,6 +142,7 @@ class FoldResult:
         repo: str = "",
         path: str = "",
         geom_type: str = G.LINE,
+        n_leaves: int = 0,
     ) -> None:
         if segments is None and nodes is None:
             segments = []
@@ -156,6 +157,11 @@ class FoldResult:
         self.repo = repo
         self.path = path
         self.geom_type = geom_type
+        #: final ``is_leaf & ~retired`` count after the fold — the engine's
+        #: Zipf-head (salting) advisory reads this instead of re-scanning
+        #: table state per epoch (ingest emits a kind='hot' marker row when
+        #: it crosses the salt threshold)
+        self.n_leaves = n_leaves
 
     @property
     def segments(self) -> list[dict]:
@@ -435,4 +441,5 @@ def fold_key(
         n_events=len(events),
         n_nodes_created=n_created,
         dead=dead,
+        n_leaves=len(leaves),
     )

@@ -232,7 +232,8 @@ _STATE_TYPES = [
 _STATE_COLS = [c for c, _ in _STATE_TYPES]
 
 
-def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str = "raise"):
+def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str = "raise",
+                  hot_threshold: int = 0):
     """Partition-stream fold (``mapInPandas``): the batch's events and the
     current leaf state arrive in ONE frame flagged by ``_is_event``,
     hash-partitioned by ``(repo, path)`` so each key is wholly inside one
@@ -272,6 +273,7 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
 
         cols: dict[str, list] = {c: [] for c in out_cols}
         n_keys = n_segs = n_rels = 0
+        hot_keys: list[tuple[str, str]] = []
         for repo, path, ev_rows, st_rows in _rows_by_key(pdf, extra_cols):
             res = fold_key(
                 repo,
@@ -281,6 +283,8 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
                 geom_type=geom_type,
                 on_error=on_error,
             )
+            if hot_threshold and res.n_leaves >= hot_threshold:
+                hot_keys.append((repo, path))
             _append_fold_cols(cols, res, pid, extra_cols)
             # quarantined poison events ride the unified frame as kind='dead'
             # (commit in commit_created, error in name, payload in wkt); the
@@ -300,6 +304,15 @@ def _make_fold_fn(geom_type: str, extras: list[tuple[str, str]], on_error: str =
                    _wall_ms=(time.monotonic() - t0) * 1000.0,
                    _n_keys=n_keys, _n_segments=n_segs, _n_relations=n_rels)
         _append_row(cols, row)
+        # kind='hot' advisory markers: keys whose final lattice crossed the
+        # salt threshold this epoch.  The engine carries them forward so the
+        # next epoch's Zipf-head routing needs NO state scan; the rows never
+        # reach any table (every table filter/adopt selects its own kind).
+        for hr, hp in hot_keys:
+            hrow = dict.fromkeys(seg_cols + extra_cols)
+            hrow.update(kind="hot", _pid=pid, repo=hr, path=hp,
+                        parent_gid=None, child_gid=None)
+            _append_row(cols, hrow)
         yield pd.DataFrame(cols)
 
     return fn
@@ -639,6 +652,15 @@ class CdcEngine:
         # single-pass fast path vs the per-table merge fallback (tests
         # assert the fast path survives rebucketing)
         self.path_counts = {"fast": 0, "fallback": 0}
+        # Zipf-head advisory carry: the known hot-key set, grown from the
+        # fold's own kind='hot' markers (see _make_fold_fn) so steady-state
+        # epochs route salting with ZERO detection scans.  None = unknown
+        # (fresh engine over pre-existing state) — the first epoch then
+        # falls back to the manifest pretest / exact count, which seeds it.
+        # Advisory only: salted vs plain folds are bit-identical (pinned),
+        # so a stale entry costs a little speed, never correctness; the set
+        # only grows (a key whose lattice later shrinks stays salted).
+        self._hot_carry: "set[tuple[str, str]] | None" = None
         # boot the python-worker pool in the background (once per session)
         # so the first fold stage runs against warm workers — overlaps with
         # the caller's WAL load and the epoch's stats job
@@ -787,6 +809,27 @@ class CdcEngine:
             .filter(F.col("n") >= self.salt_leaf_threshold)
             .collect()
         ]
+
+    def _absorb_hot_markers(self, scratch: str) -> None:
+        """Fold-emitted ``kind='hot'`` advisory rows → the carry.  Fast
+        path: read the scratch partition driver-side with pyarrow (the
+        ``met_fast`` pattern) — zero Spark jobs."""
+        if self._hot_carry is None:
+            return
+        hot_dir = os.path.join(scratch, "kind=hot")
+        if not os.path.isdir(hot_dir):
+            return
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for fp in sorted(glob.glob(
+            os.path.join(hot_dir, "**", "*.parquet"), recursive=True
+        )):
+            t = pq.read_table(fp, columns=["repo", "path"])
+            self._hot_carry.update(
+                zip(t.column("repo").to_pylist(), t.column("path").to_pylist())
+            )
 
     def _leaves_for(
         self,
@@ -1172,7 +1215,12 @@ class CdcEngine:
         fold_part = F.pmod(F.xxhash64("repo", "path"), F.lit(modulus))
         spread = balanced_part_col(fold_part, modulus, n_parts)
         shaped = ev_side.unionByName(st_side)
-        fold_fn = _make_fold_fn(self.geom_type, extras, self.on_error)
+        hot_threshold = (
+            self.salt_leaf_threshold
+            if (self.n_salts > 1 and self.salt_leaf_threshold > 0) else 0
+        )
+        fold_fn = _make_fold_fn(self.geom_type, extras, self.on_error,
+                                hot_threshold=hot_threshold)
         out_schema = _fold_output_schema(extras)
 
         # Zipf-head detection: keys whose accumulated leaf lattice crosses
@@ -1181,7 +1229,19 @@ class CdcEngine:
         # saltfold.py), everything else through the plain partition fold.
         hot: list[tuple[str, str]] = []
         leaves_cached = False
-        if state_has_files and self.n_salts > 1 and self.salt_leaf_threshold > 0:
+        if not state_has_files and hot_threshold:
+            # empty table: ground truth is "no hot keys yet" — seed the
+            # carry so later epochs never need a detection scan at all
+            if self._hot_carry is None:
+                self._hot_carry = set()
+        elif state_has_files and hot_threshold and self._hot_carry is not None:
+            # scan-free steady state: the carry (seeded by a scan or by the
+            # empty-table case, grown by the fold's kind='hot' markers) IS
+            # the hot set — same detection latency as the per-epoch scan
+            # (both see a key the epoch after it crosses), zero extra jobs
+            # and no forced state materialization
+            hot = sorted(self._hot_carry)
+        elif state_has_files and hot_threshold:
             # Manifest pretest: a key's leaves all hash into ONE bucket, so
             # no key can reach the threshold unless some touched bucket's
             # manifest row count does (an upper bound — non-leaf/retired
@@ -1209,6 +1269,9 @@ class CdcEngine:
                 leaves.persist()
                 leaves_cached = True
                 hot = self._hot_keys(leaves)
+            # the scan (or the pretest proving its absence) establishes
+            # ground truth for keys with state; fold markers keep it fresh
+            self._hot_carry = set(hot)
         mark("hot_detect")
         if not hot:
             folded = (
@@ -1301,6 +1364,7 @@ class CdcEngine:
                 shutil.rmtree(scratch)
             combined.write.partitionBy("kind", "_bucket").parquet(scratch)
             mark("fold")
+            self._absorb_hot_markers(scratch)
             seg_dir = os.path.join(scratch, "kind=segment")
             prep.update(
                 fast=True,
@@ -1325,6 +1389,12 @@ class CdcEngine:
             # once the epoch's references drop.
             changes = folded.localCheckpoint(eager=True)
             mark("fold")
+            if hot_threshold and self._hot_carry is not None:
+                self._hot_carry.update(
+                    (r["repo"], r["path"])
+                    for r in changes.filter(F.col("kind") == "hot")
+                    .select("repo", "path").collect()
+                )
             seg_changes = changes.filter(F.col("kind") == "segment").select(*seg_cols_x)
             rel_changes = changes.filter(F.col("kind") == "relation").select(
                 *[c for c, _ in RELATION_COLUMNS]

@@ -568,17 +568,33 @@ def test_hot_detection_gated_by_manifest_row_pretest(spark, tmp_path, monkeypatc
     eng.ingest(to_spark(spark, wal), commits_per_epoch=2)  # remaining commits
     assert calls == []  # pretest proved no hot key: job skipped
 
-    # positive control: threshold 1 makes every non-empty bucket "possibly
-    # hot" — the exact count must run (and the result digest is unaffected
-    # by which path ran; the broader salt tests pin bit-equality)
-    eng2 = CdcEngine(spark, str(tmp_path / "pretest2"), geom_type=G.LINE,
+    # positive control: a FRESH engine instance over pre-existing state has
+    # no hot-key carry (the advisory set lives in the engine, seeded by the
+    # fold's kind='hot' markers) — with threshold 1 every non-empty bucket
+    # is "possibly hot", so its FIRST epoch must take the exact-count path
+    # (and the result digest is unaffected by which path ran; the broader
+    # salt tests pin bit-equality)
+    wh2 = str(tmp_path / "pretest2")
+    eng2 = CdcEngine(spark, wh2, geom_type=G.LINE,
                      n_buckets=4, salt_leaf_threshold=1)
     eng2.create_tables(overwrite=True)
     eng2.ingest(to_spark(spark, wal[wal["commit"] <= sorted(set(wal["commit"]))[3]]),
                 commits_per_epoch=2)
     calls.clear()
-    eng2.ingest(to_spark(spark, wal), commits_per_epoch=2)
-    assert calls  # manifest rows >= 1: exact path taken
+    cold = CdcEngine(spark, wh2, geom_type=G.LINE,
+                     n_buckets=4, salt_leaf_threshold=1)
+    cold.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    assert calls  # no carry on a fresh instance: exact path taken
+
+    # ...and the warm engine that folded those epochs needs NO scan even at
+    # threshold 1: every key crossed, the markers seeded its carry
+    assert eng2._hot_carry  # markers arrived
+    calls.clear()
+    eng3 = CdcEngine(spark, str(tmp_path / "pretest3"), geom_type=G.LINE,
+                     n_buckets=4, salt_leaf_threshold=1)
+    eng3.create_tables(overwrite=True)
+    eng3.ingest(to_spark(spark, wal), commits_per_epoch=2)  # empty start: carry seeded
+    assert calls == []  # scan-free from epoch 0 via the empty-table seed
 
 
 # ----------------------------------------------------- dead-letter queue
