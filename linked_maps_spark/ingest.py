@@ -661,6 +661,13 @@ class CdcEngine:
         # so a stale entry costs a little speed, never correctness; the set
         # only grows (a key whose lattice later shrinks stays salted).
         self._hot_carry: "set[tuple[str, str]] | None" = None
+        # buckets whose PRE-EXISTING leaf state has been ground-truthed for
+        # hot keys (one manifest pretest + at most one full-population scan
+        # per bucket per engine lifetime); keys folded by THIS engine are
+        # covered by the fold's kind='hot' markers instead.  Keyed to the
+        # bucket count so a rebucket (which renumbers buckets) re-validates.
+        self._validated_buckets: set[int] = set()
+        self._validated_n_buckets: int | None = None
         # boot the python-worker pool in the background (once per session)
         # so the first fold stage runs against warm workers — overlaps with
         # the caller's WAL load and the epoch's stats job
@@ -1119,10 +1126,6 @@ class CdcEngine:
         # the same anti-join ∪ override the MERGE itself will apply.
         batch_keys = batch.select("repo", "path").distinct()
         keep = set(buckets)
-        state_has_files = (
-            any(f["bucket"] in keep for f in self.segments.snapshot()["files"])
-            or patch_changes is not None
-        )
         leaves = self._leaves_for(batch_keys, buckets, patch_changes)
         # schema evolution: extra columns from either side, deduped by NAME
         # (an evolved column present in both with different types must not
@@ -1228,50 +1231,62 @@ class CdcEngine:
         # route them through the salted fold (leaf slices + coordinator,
         # saltfold.py), everything else through the plain partition fold.
         hot: list[tuple[str, str]] = []
-        leaves_cached = False
-        if not state_has_files and hot_threshold:
-            # empty table: ground truth is "no hot keys yet" — seed the
-            # carry so later epochs never need a detection scan at all
+        if hot_threshold:
+            seg_snap_hot = self.segments.snapshot()
+            if self._validated_n_buckets != seg_snap_hot["n_buckets"]:
+                # a rebucket renumbered the buckets; re-validate lazily
+                # (rare, size-triggered — the carry itself stays valid,
+                # hotness is a per-key property)
+                self._validated_buckets = set()
+                self._validated_n_buckets = seg_snap_hot["n_buckets"]
             if self._hot_carry is None:
                 self._hot_carry = set()
-        elif state_has_files and hot_threshold and self._hot_carry is not None:
-            # scan-free steady state: the carry (seeded by a scan or by the
-            # empty-table case, grown by the fold's kind='hot' markers) IS
-            # the hot set — same detection latency as the per-epoch scan
-            # (both see a key the epoch after it crosses), zero extra jobs
-            # and no forced state materialization
-            hot = sorted(self._hot_carry)
-        elif state_has_files and hot_threshold:
-            # Manifest pretest: a key's leaves all hash into ONE bucket, so
-            # no key can reach the threshold unless some touched bucket's
-            # manifest row count does (an upper bound — non-leaf/retired
-            # rows only inflate it, never hide a hot key).  In the common
-            # non-skewed steady state this skips the detection scan
-            # entirely — zero Spark jobs — while true Zipf heads still
-            # trigger the exact count below.  In-flight pipelined changes
-            # (patch_changes) aren't in the manifest yet, so their presence
-            # forces the exact path.
-            bucket_rows: dict[int, int] = {}
-            unknown_rows = patch_changes is not None
-            for f in self.segments.snapshot()["files"]:
-                if f["bucket"] in keep:
-                    if f.get("rows") is None:
-                        unknown_rows = True
-                        break
-                    bucket_rows[f["bucket"]] = bucket_rows.get(f["bucket"], 0) + f["rows"]
-            if unknown_rows or any(
-                v >= self.salt_leaf_threshold for v in bucket_rows.values()
-            ):
-                # the exact count and the fold job below both read the
-                # touched leaf state; persist across the two so the state
-                # is scanned once, not twice (released after the fold
-                # materializes, before this method returns)
-                leaves.persist()
-                leaves_cached = True
-                hot = self._hot_keys(leaves)
-            # the scan (or the pretest proving its absence) establishes
-            # ground truth for keys with state; fold markers keep it fresh
-            self._hot_carry = set(hot)
+            # One-time ground truth per bucket: a key's leaves all hash into
+            # ONE bucket, so the PRE-EXISTING (pre-engine) hot keys of a
+            # bucket are findable by scanning that bucket once.  Manifest
+            # pretest first (no key can reach the threshold unless its
+            # bucket's manifest row count does — an upper bound); only
+            # not-ruled-out buckets pay the full-population leaf scan.
+            # Everything folded by THIS engine afterwards is covered by the
+            # fold's kind='hot' markers, so steady-state epochs run ZERO
+            # detection jobs.  In-flight pipelined changes need no special
+            # case: they were folded here, so their markers are already
+            # absorbed before the next prepare.
+            fresh = [b for b in keep if b not in self._validated_buckets]
+            if fresh:
+                fresh_set = set(fresh)
+                bucket_rows: dict[int, int] = {}
+                unknown_rows = False
+                for f in seg_snap_hot["files"]:
+                    if f["bucket"] in fresh_set:
+                        if f.get("rows") is None:
+                            unknown_rows = True
+                            break
+                        bucket_rows[f["bucket"]] = (
+                            bucket_rows.get(f["bucket"], 0) + f["rows"]
+                        )
+                if unknown_rows or any(
+                    v >= self.salt_leaf_threshold for v in bucket_rows.values()
+                ):
+                    pre_state = self.segments.read_where(
+                        self._LEAF_PREDS, buckets=fresh
+                    )
+                    self._hot_carry.update(self._hot_keys(pre_state))
+                self._validated_buckets.update(fresh)
+            if self._hot_carry:
+                # batch-scope the routing set: the salted-fold split
+                # machinery should run only when a hot key actually appears
+                # in this batch (one tiny broadcast-semi-join job, and only
+                # for engines that have ever seen a hot key at all)
+                hot_df0 = self.spark.createDataFrame(
+                    sorted(self._hot_carry), "repo string, path string"
+                )
+                hot = sorted(
+                    (r["repo"], r["path"])
+                    for r in batch_keys.join(
+                        F.broadcast(hot_df0), ["repo", "path"], "left_semi"
+                    ).collect()
+                )
         mark("hot_detect")
         if not hot:
             folded = (
@@ -1432,8 +1447,6 @@ class CdcEngine:
                 patch_df=changes.filter(F.col("kind") == "segment").select(*seg_cols_x),
                 release=lambda: changes.unpersist(),
             )
-        if leaves_cached:  # fold is materialized above; state blocks free
-            leaves.unpersist(blocking=False)
         batch.unpersist()
         return prep
 

@@ -56,7 +56,42 @@ def stream_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(wal_dir)
 
+    # Misorder guard for the micro-batched drain: FileStreamSource orders
+    # files by modification time, NOT by commit — if a landing writer
+    # produces mtimes that disagree with commit order, a later micro-batch
+    # can carry a commit at-or-below the watermark advanced by an earlier
+    # one, and ingest() would silently discard it as a checkpoint replay.
+    # Detect the divergence and fail LOUDLY instead: a NEW batch whose
+    # minimum commit is ≤ the maximum commit of a previous NEW batch in
+    # this drain violates the commit-aligned/append-ordered contract.
+    # Replays are exempt two ways: a re-fired batch_id within this call is
+    # recognized directly, and a re-drain from a fresh checkpoint starts
+    # with empty per-call state (its first batch has nothing to be behind).
+    # Best-effort by design: the state is per-call, so misorder across a
+    # process restart is not detected (the contract note covers it).
+    seen_batches: set[int] = set()
+    max_commit: list[str] = []
+
     def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_id not in seen_batches:
+            mm = batch_df.agg(
+                F.min("commit").alias("lo"), F.max("commit").alias("hi")
+            ).collect()[0]
+            if mm["lo"] is not None:
+                if max_commit and mm["lo"] <= max_commit[0]:
+                    raise ValueError(
+                        f"stream_ingest: micro-batch {batch_id} carries commit "
+                        f"{mm['lo']!r} <= already-delivered {max_commit[0]!r} — "
+                        "landing-file mtime order diverges from commit order; "
+                        "ingest would silently drop these events as replays. "
+                        "Land WAL files with monotone mtimes in commit order "
+                        "(see the stream_ingest contract note)."
+                    )
+                if not max_commit:
+                    max_commit.append(mm["hi"])
+                elif mm["hi"] > max_commit[0]:
+                    max_commit[0] = mm["hi"]
+            seen_batches.add(batch_id)
         # The commit-log watermark inside ingest() deduplicates redelivered
         # micro-batches (checkpoint replay after a crash) — the sink-side
         # half of exactly-once; the source checkpoint is the other half.
@@ -70,6 +105,21 @@ def stream_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def write_commit_aligned_landing(pdf, landing: str) -> int:
+    """Write a WAL pandas frame as a commit-aligned landing directory: one
+    parquet file per commit, mtimes ascending in commit order — the
+    append-ordered shape :func:`stream_ingest`'s micro-batched drain
+    contract requires (and the misorder guard enforces).  Returns the file
+    count (= micro-batch count at ``max_files_per_trigger=1``)."""
+    os.makedirs(landing, exist_ok=True)
+    commits = sorted(pdf["commit"].unique())
+    for i, c in enumerate(commits):
+        f = os.path.join(landing, f"wal_{i:04d}.parquet")
+        pdf[pdf["commit"] == c].to_parquet(f, index=False)
+        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    return len(commits)
 
 
 def stream_scd2(

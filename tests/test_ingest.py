@@ -589,6 +589,23 @@ def test_hot_detection_gated_by_manifest_row_pretest(spark, tmp_path, monkeypatc
     # ...and the warm engine that folded those epochs needs NO scan even at
     # threshold 1: every key crossed, the markers seeded its carry
     assert eng2._hot_carry  # markers arrived
+
+    # pretest-skip coverage: a fresh engine at the DEFAULT threshold over a
+    # warehouse with pre-existing state has no carry, so its first epoch
+    # validates the touched buckets — whose manifest rows are far below
+    # 256 — and the manifest pretest must rule the scan out (zero
+    # detection jobs, buckets marked validated without a scan)
+    wh4 = str(tmp_path / "pretest4")
+    setup = CdcEngine(spark, wh4, geom_type=G.LINE, n_buckets=4)
+    setup.create_tables(overwrite=True)
+    setup.ingest(to_spark(spark, wal[wal["commit"] <= sorted(set(wal["commit"]))[3]]),
+                 commits_per_epoch=2)
+    calls.clear()
+    fresh_default = CdcEngine(spark, wh4, geom_type=G.LINE, n_buckets=4)
+    fresh_default.ingest(to_spark(spark, wal), commits_per_epoch=2)
+    assert calls == []  # manifest pretest ruled every fresh bucket out
+    assert fresh_default._hot_carry == set()
+    assert fresh_default._validated_buckets  # validated without a scan
     calls.clear()
     eng3 = CdcEngine(spark, str(tmp_path / "pretest3"), geom_type=G.LINE,
                      n_buckets=4, salt_leaf_threshold=1)

@@ -8,7 +8,7 @@ from linked_maps_spark import geometry as G
 from linked_maps_spark.changelog import synth_change_log, to_spark
 from linked_maps_spark.ingest import CdcEngine
 from linked_maps_spark.jsonlines import export_jl, read_jl
-from linked_maps_spark.streaming import stream_ingest
+from linked_maps_spark.streaming import stream_ingest, write_commit_aligned_landing
 from linked_maps_spark.util import table_digest
 
 SEG_COLS = ["repo", "path", "gid", "name", "seq", "wkt", "content_sha256", "is_leaf"]
@@ -202,18 +202,6 @@ def test_stream_attribution_join_equals_batch(spark, tmp_path):
     assert res == exp and len(res) > 0
 
 
-def _write_commit_aligned(pdf, landing: str) -> int:
-    """One parquet file per commit, mtimes ascending in commit order — the
-    append-ordered WAL shape the micro-batched drain contract requires."""
-    os.makedirs(landing, exist_ok=True)
-    commits = sorted(pdf["commit"].unique())
-    for i, c in enumerate(commits):
-        f = os.path.join(landing, f"wal_{i:04d}.parquet")
-        pdf[pdf["commit"] == c].to_parquet(f, index=False)
-        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
-    return len(commits)
-
-
 def test_stream_ingest_microbatched_equals_batch(spark, tmp_path):
     """maxFilesPerTrigger=1 over a commit-aligned landing dir: every commit
     is its own micro-batch → its own ingest call resuming from the previous
@@ -225,7 +213,7 @@ def test_stream_ingest_microbatched_equals_batch(spark, tmp_path):
     batch_eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
 
     landing = str(tmp_path / "landing")
-    n_files = _write_commit_aligned(wal_pdf, landing)
+    n_files = write_commit_aligned_landing(wal_pdf, landing)
     stream_eng = CdcEngine(spark, str(tmp_path / "stream"), geom_type=G.LINE, n_buckets=4)
     stream_eng.create_tables(overwrite=True)
     q = stream_ingest(
@@ -238,3 +226,25 @@ def test_stream_ingest_microbatched_equals_batch(spark, tmp_path):
     assert table_digest(stream_eng.current_segments(), SEG_COLS) == table_digest(
         batch_eng.current_segments(), SEG_COLS
     )
+
+
+def test_stream_ingest_misordered_landing_fails_loudly(spark, tmp_path):
+    """Landing files whose mtime order DISAGREES with commit order would let
+    ingest's watermark silently discard whole commits as replays; the drain
+    must raise instead of losing data."""
+    wal_pdf = synth_change_log(n_keys=4, n_commits=3, seed=33)
+    landing = str(tmp_path / "landing_bad")
+    os.makedirs(landing, exist_ok=True)
+    commits = sorted(wal_pdf["commit"].unique())
+    for i, c in enumerate(commits):
+        f = os.path.join(landing, f"wal_{i:04d}.parquet")
+        wal_pdf[wal_pdf["commit"] == c].to_parquet(f, index=False)
+        # REVERSED mtimes: newest commit gets the oldest timestamp
+        os.utime(f, (1_000_000_000 - i, 1_000_000_000 - i))
+
+    eng = CdcEngine(spark, str(tmp_path / "bad"), geom_type=G.LINE, n_buckets=4)
+    eng.create_tables(overwrite=True)
+    with pytest.raises(Exception) as ei:
+        stream_ingest(eng, landing, str(tmp_path / "ckbad"),
+                      commits_per_epoch=1, max_files_per_trigger=1)
+    assert "diverges from commit order" in str(ei.value)

@@ -43,11 +43,13 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
     from linked_maps_spark import geometry as G
     from linked_maps_spark.changelog import synth_change_log, to_spark
     from linked_maps_spark.ingest import CdcEngine, prewarm_workers
     from linked_maps_spark.session import get_spark
-    from linked_maps_spark.streaming import stream_ingest
+    from linked_maps_spark.streaming import stream_ingest, write_commit_aligned_landing
 
     spark = get_spark(f"streambench-{args.cores}", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,19 +60,19 @@ def main() -> None:
         n_walks=6, walk_len=8,
     )
     n_events = len(wal_pdf)
-    wal_df = to_spark(spark, wal_pdf).repartition(args.cores).cache()
-    wal_df.count()
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="lms_streambench_", dir=scratch)
     landing_bulk = os.path.join(root, "landing_bulk")
-    wal_df.write.mode("overwrite").parquet(landing_bulk)
+    to_spark(spark, wal_pdf).repartition(args.cores).write.mode(
+        "overwrite"
+    ).parquet(landing_bulk)
     landing_commits = os.path.join(root, "landing_commits")
-    os.makedirs(landing_commits, exist_ok=True)
-    for i, c in enumerate(sorted(wal_pdf["commit"].unique())):
-        f = os.path.join(landing_commits, f"wal_{i:04d}.parquet")
-        wal_pdf[wal_pdf["commit"] == c].to_parquet(f, index=False)
-        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    write_commit_aligned_landing(wal_pdf, landing_commits)
+    # ALL legs read the landing parquet (batch legs included) so the
+    # stream-vs-batch deltas measure listing/checkpoint/wrapper cost, not a
+    # cached-DataFrame-vs-parquet input asymmetry
+    wal_df = spark.read.parquet(landing_bulk)
 
     def fresh_engine(tag: str) -> CdcEngine:
         wh = os.path.join(root, f"wh_{tag}")
@@ -79,27 +81,42 @@ def main() -> None:
         eng.create_tables(overwrite=True)
         return eng
 
-    def leg_batch_bulk(tag: str) -> int:
+    SEG_COLS = ["repo", "path", "gid", "name", "seq", "wkt",
+                "content_sha256", "is_leaf"]
+
+    def state_digest(eng) -> tuple:
+        # content digest, Spark-side (sum of per-row xxhash64 + count):
+        # verifies the legs reach the IDENTICAL state, not just the same
+        # cardinality, at constant driver cost
+        r = (
+            eng.current_segments()
+            .select(F.xxhash64(*SEG_COLS).cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h").alias("h"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        return (r["h"], r["n"])
+
+    def leg_batch_bulk(tag: str) -> tuple:
         eng = fresh_engine(tag)
         eng.ingest(wal_df, commits_per_epoch=args.commits)
-        return eng.current_segments().count()
+        return state_digest(eng)
 
-    def leg_batch_epochs(tag: str) -> int:
+    def leg_batch_epochs(tag: str) -> tuple:
         eng = fresh_engine(tag)
         eng.ingest(wal_df, commits_per_epoch=1)
-        return eng.current_segments().count()
+        return state_digest(eng)
 
-    def leg_stream_drain(tag: str) -> int:
+    def leg_stream_drain(tag: str) -> tuple:
         eng = fresh_engine(tag)
         stream_ingest(eng, landing_bulk, os.path.join(root, f"ck_{tag}"),
                       commits_per_epoch=1)
-        return eng.current_segments().count()
+        return state_digest(eng)
 
-    def leg_stream_micro(tag: str) -> int:
+    def leg_stream_micro(tag: str) -> tuple:
         eng = fresh_engine(tag)
         stream_ingest(eng, landing_commits, os.path.join(root, f"ck_{tag}"),
                       commits_per_epoch=1, max_files_per_trigger=1)
-        return eng.current_segments().count()
+        return state_digest(eng)
 
     legs = [
         ("batch_bulk", leg_batch_bulk),
@@ -108,7 +125,7 @@ def main() -> None:
         ("stream_micro", leg_stream_micro),
     ]
     samples: dict[str, list[float]] = {name: [] for name, _ in legs}
-    rows_seen: set[int] = set()
+    rows_seen: set[tuple] = set()
     try:
         # warmup: one tiny ingest so first-leg JIT/session costs don't bias
         warm = fresh_engine("warm")
@@ -116,9 +133,9 @@ def main() -> None:
         for r in range(args.repeats):
             for name, fn in legs:
                 t0 = time.monotonic()
-                rows = fn(f"{name}_{r}")
+                dig = fn(f"{name}_{r}")
                 samples[name].append(time.monotonic() - t0)
-                rows_seen.add(rows)
+                rows_seen.add(dig)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -133,7 +150,8 @@ def main() -> None:
 
 The identical seeded WAL ({n_events} change events, {args.commits} commits,
 local[{args.cores}]) ingested four ways, all reaching the identical
-{next(iter(rows_seen))}-row segment state; legs interleaved round-robin,
+{next(iter(rows_seen))[1]}-row segment state (content-digest
+checked, not just cardinality); legs interleaved round-robin,
 best-of-{args.repeats} per leg (weather-band estimator of
 tools/bench_scaling.py).
 
