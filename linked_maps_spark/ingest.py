@@ -595,6 +595,12 @@ class EpochStats:
 @dataclass
 class IngestStats:
     epochs: list[EpochStats] = field(default_factory=list)
+    # unfiltered commit range of the batch handed to this ingest() call
+    # (BEFORE the watermark replay-skip) — lets callers that need ordering
+    # evidence (stream_ingest's misorder guard) reuse the pending-commits
+    # job instead of running their own min/max aggregation per micro-batch
+    batch_min_commit: str | None = None
+    batch_max_commit: str | None = None
 
     @property
     def n_events(self) -> int:
@@ -660,6 +666,15 @@ class CdcEngine:
         # Advisory only: salted vs plain folds are bit-identical (pinned),
         # so a stale entry costs a little speed, never correctness; the set
         # only grows (a key whose lattice later shrinks stays salted).
+        # SINGLE-WRITER ASSUMPTION (like the exactly-once commit log
+        # itself): the carry trusts that every commit to this warehouse
+        # flows through this engine instance.  A second concurrent writer
+        # can grow a key past the threshold AFTER this instance validated
+        # its bucket, and this instance would keep plain-folding it for
+        # the rest of its lifetime — perf-only (bit-equality pinned), and
+        # out of scope because concurrent writers already violate the
+        # ordered-commit contract.  A restarted engine re-seeds from the
+        # manifest pretest, so the advisory heals across process restarts.
         self._hot_carry: "set[tuple[str, str]] | None" = None
         # buckets whose PRE-EXISTING leaf state has been ground-truthed for
         # hot keys (one manifest pretest + at most one full-population scan
@@ -820,8 +835,22 @@ class CdcEngine:
     def _absorb_hot_markers(self, scratch: str) -> None:
         """Fold-emitted ``kind='hot'`` advisory rows → the carry.  Fast
         path: read the scratch partition driver-side with pyarrow (the
-        ``met_fast`` pattern) — zero Spark jobs."""
+        ``met_fast`` pattern) — zero Spark jobs.  A non-local warehouse
+        (URI scheme) is invisible to the driver-side read, so it falls
+        back to ONE Spark job over the hot partition rather than silently
+        never salting keys that turn hot after bucket validation."""
         if self._hot_carry is None:
+            return
+        if "://" in scratch and not scratch.startswith("file:"):
+            try:
+                rows = (
+                    self.spark.read.parquet(os.path.join(scratch, "kind=hot"))
+                    .select("repo", "path").collect()
+                )
+            except Exception:
+                # no kind=hot partition was written this epoch (no hot keys)
+                return
+            self._hot_carry.update((r["repo"], r["path"]) for r in rows)
             return
         hot_dir = os.path.join(scratch, "kind=hot")
         if not os.path.isdir(hot_dir):
@@ -869,11 +898,19 @@ class CdcEngine:
         change_log: DataFrame,
         commits_per_epoch: int = 4,
         max_epochs: int | None = None,
+        guard_min_commit: str | None = None,
     ) -> IngestStats:
         """Tail the WAL from the current watermark to its head.
 
         ``max_epochs`` stops early (kill-and-resume tests); a subsequent call
         resumes from the watermark and converges to the same final state.
+
+        ``guard_min_commit``: if set, raise BEFORE any processing when the
+        batch carries a commit at or below it.  Used by ``stream_ingest``'s
+        misorder guard: events at-or-below the watermark are silently
+        treated as checkpoint replays, so a delivery order that diverges
+        from commit order must fail loudly instead — and the check rides
+        the pending-commits job this method already runs.
 
         **Pipelined epochs**: epoch k+1's PREPARE (stats, resume-state read,
         fold, cache materialization) overlaps epoch k's merge WRITES — the
@@ -897,13 +934,29 @@ class CdcEngine:
                     key_cols=[], n_buckets=1,
                 )
         wm = self.watermark()
-        pending = (
-            change_log.select("commit").distinct()
-            .filter(F.col("commit") > F.lit(wm)) if wm is not None
-            else change_log.select("commit").distinct()
+        # one metadata-sized job over the batch: distinct commits, UNfiltered
+        # (the watermark replay-skip applies driver-side) so the batch's true
+        # lo/hi are known for the misorder guard and for callers via stats
+        all_commits = sorted(
+            r["commit"] for r in change_log.select("commit").distinct().collect()
         )
-        commits = sorted(r["commit"] for r in pending.collect())
+        if guard_min_commit is not None and all_commits and (
+            all_commits[0] <= guard_min_commit
+        ):
+            raise ValueError(
+                f"ingest: batch carries commit {all_commits[0]!r} <= "
+                f"already-delivered {guard_min_commit!r} — delivery order "
+                "diverges from commit order; these events would be silently "
+                "dropped as watermark replays. Land WAL files with monotone "
+                "mtimes in commit order (see the stream_ingest contract note)."
+            )
+        commits = (
+            [c for c in all_commits if c > wm] if wm is not None else all_commits
+        )
         stats = IngestStats()
+        if all_commits:
+            stats.batch_min_commit = all_commits[0]
+            stats.batch_max_commit = all_commits[-1]
         epoch0 = (self.commit_log.read().count() or 0)
         chunks = [
             commits[i : i + commits_per_epoch]

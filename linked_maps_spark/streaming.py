@@ -64,38 +64,35 @@ def stream_ingest(
     # Detect the divergence and fail LOUDLY instead: a NEW batch whose
     # minimum commit is ≤ the maximum commit of a previous NEW batch in
     # this drain violates the commit-aligned/append-ordered contract.
-    # Replays are exempt two ways: a re-fired batch_id within this call is
-    # recognized directly, and a re-drain from a fresh checkpoint starts
-    # with empty per-call state (its first batch has nothing to be behind).
-    # Best-effort by design: the state is per-call, so misorder across a
-    # process restart is not detected (the contract note covers it).
+    # The check rides ingest()'s own pending-commits job (guard_min_commit
+    # + batch_max_commit on the returned stats) — zero extra Spark jobs
+    # per micro-batch.  Replays are exempt two ways: a re-fired batch_id
+    # within this call is recognized directly, and a re-drain from a fresh
+    # checkpoint starts with empty per-call state (its first batch has
+    # nothing to be behind).  Best-effort by design: the state is
+    # per-call, so misorder across a process restart is not detected (the
+    # contract note covers it).
     seen_batches: set[int] = set()
     max_commit: list[str] = []
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        if batch_id not in seen_batches:
-            mm = batch_df.agg(
-                F.min("commit").alias("lo"), F.max("commit").alias("hi")
-            ).collect()[0]
-            if mm["lo"] is not None:
-                if max_commit and mm["lo"] <= max_commit[0]:
-                    raise ValueError(
-                        f"stream_ingest: micro-batch {batch_id} carries commit "
-                        f"{mm['lo']!r} <= already-delivered {max_commit[0]!r} — "
-                        "landing-file mtime order diverges from commit order; "
-                        "ingest would silently drop these events as replays. "
-                        "Land WAL files with monotone mtimes in commit order "
-                        "(see the stream_ingest contract note)."
-                    )
-                if not max_commit:
-                    max_commit.append(mm["hi"])
-                elif mm["hi"] > max_commit[0]:
-                    max_commit[0] = mm["hi"]
-            seen_batches.add(batch_id)
+        replay = batch_id in seen_batches
         # The commit-log watermark inside ingest() deduplicates redelivered
         # micro-batches (checkpoint replay after a crash) — the sink-side
         # half of exactly-once; the source checkpoint is the other half.
-        engine.ingest(batch_df, commits_per_epoch=commits_per_epoch)
+        st = engine.ingest(
+            batch_df,
+            commits_per_epoch=commits_per_epoch,
+            guard_min_commit=max_commit[0] if max_commit and not replay else None,
+        )
+        if not replay:
+            hi = st.batch_max_commit
+            if hi is not None:
+                if not max_commit:
+                    max_commit.append(hi)
+                elif hi > max_commit[0]:
+                    max_commit[0] = hi
+            seen_batches.add(batch_id)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -112,13 +109,28 @@ def write_commit_aligned_landing(pdf, landing: str) -> int:
     parquet file per commit, mtimes ascending in commit order — the
     append-ordered shape :func:`stream_ingest`'s micro-batched drain
     contract requires (and the misorder guard enforces).  Returns the file
-    count (= micro-batch count at ``max_files_per_trigger=1``)."""
+    count (= micro-batch count at ``max_files_per_trigger=1``).
+
+    Appendable: a second call on the same landing dir continues BOTH the
+    file numbering and the mtime sequence from what is already there, so a
+    long-running stream landing batches over time keeps the monotone-mtime
+    contract across calls (a fixed mtime base would make the second call's
+    files sort before the first call's and trip the misorder guard)."""
     os.makedirs(landing, exist_ok=True)
+    existing = [
+        os.path.join(landing, f)
+        for f in os.listdir(landing)
+        if f.endswith(".parquet")
+    ]
+    base = 1_000_000_000
+    if existing:
+        base = int(max(os.path.getmtime(f) for f in existing)) + 1
+    i0 = len(existing)
     commits = sorted(pdf["commit"].unique())
     for i, c in enumerate(commits):
-        f = os.path.join(landing, f"wal_{i:04d}.parquet")
+        f = os.path.join(landing, f"wal_{i0 + i:06d}.parquet")
         pdf[pdf["commit"] == c].to_parquet(f, index=False)
-        os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        os.utime(f, (base + i, base + i))
     return len(commits)
 
 
