@@ -368,7 +368,7 @@ def oracle_sql() -> dict[str, str]:
     o["similarity_ann_ivf_indexed"] = similarity.ann_ivf_topk_sql(n_queries=5, k=5)
     o["similarity_ann_lsh_indexed"] = similarity.ann_lsh_topk_sql(n_queries=5, k=5)
     o["similarity_ann_ivfpq_indexed"] = similarity.ann_ivfpq_topk_sql(
-        n_queries=5, k=5, shortlist=50
+        n_queries=5, k=5, shortlist=200
     )
     o["similarity_pq_codes"] = similarity.pq_codes_sql()
     o["similarity_ann_pq"] = similarity.ann_pq_topk_sql(n_queries=5, k=5)

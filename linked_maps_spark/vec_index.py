@@ -167,7 +167,7 @@ def build_vec_index(
     n_planes: int = 8,
     n_bands: int = 4,
     dim: int = 64,
-    trained: bool = False,
+    trained: "bool | None" = None,
     train_iters: int = 5,
     n_buckets: int = 16,
     overwrite: bool = False,
@@ -179,10 +179,19 @@ def build_vec_index(
     Pass the full corpus on first build, then only the delta on refresh —
     ``merge_upsert`` on ``vec_id`` rewrites just the touched buckets (the
     incremental-maintenance path a 100 TB corpus needs; a full rebuild per
-    new batch would be a full scan).  With ``trained=True`` the IVF cells
-    use :func:`train_centroids`; the centroids persist in the snapshot
-    summary so queries (and later delta-merges) reuse them without
-    retraining."""
+    new batch would be a full scan).  ``trained=None`` (the default)
+    resolves to TRAINED for a fresh build — a data-trained quantizer is
+    the production posture; the round-4 bench measured md5-codebook
+    composed IVF+PQ at recall 0.155 vs 0.35+ trained — and to the STORED
+    quantizer for a delta-merge (mixing quantizers in one table is never
+    allowed; an explicit ``trained=`` that contradicts the stored one
+    raises).  ``trained=True`` runs seeded-deterministic k-means for the
+    IVF cells
+    (:func:`train_centroids`) and per-subspace PQ codebooks
+    (:func:`train_pq_codebooks`); both persist in the snapshot summary so
+    queries (and later delta-merges) reuse them without retraining.
+    ``trained=False`` keeps the data-independent md5 quantizer — the
+    engine-independent definition the DuckDB value oracles can replay."""
     exists = False
     try:
         t = LakeTable.load(spark, path)
@@ -201,20 +210,25 @@ def build_vec_index(
         params["pq_m"] = t.latest_summary_value("pq_m") or pq_m
         params["pq_ksub"] = t.latest_summary_value("pq_ksub") or pq_ksub
         # a delta-merge MUST use the stored quantizer: silently accepting a
-        # different geometry (or trained=True against an untrained index)
-        # would mix incompatible cell/band/code spaces in one table
+        # different geometry (or an explicit trained= that contradicts the
+        # stored one) would mix incompatible cell/band/code spaces in one
+        # table; trained=None follows the table
         asked = {"n_cells": n_cells, "n_planes": n_planes,
                  "n_bands": n_bands, "dim": dim}
         drift = {k: (v, params[k]) for k, v in asked.items()
                  if params[k] is not None and params[k] != v}
-        if trained and cents is None:
+        if trained is True and cents is None:
             drift["trained"] = (True, False)
+        if trained is False and cents is not None:
+            drift["trained"] = (False, True)
         if drift:
             raise ValueError(
                 f"vec_index at {path} was built with different parameters "
                 f"({drift}); pass overwrite=True to rebuild the index"
             )
     else:
+        if trained is None:
+            trained = True  # fresh build: trained is the production default
         t = LakeTable.create(
             spark, path, VEC_INDEX_SCHEMA, key_cols=["vec_id"],
             n_buckets=n_buckets, overwrite=overwrite,
@@ -328,9 +342,16 @@ def ann_ivfpq_topk_indexed(
     n_queries: int = 5,
     k: int = 5,
     n_probe: int = 4,
-    shortlist: int = 50,
+    shortlist: int = 200,
 ) -> DataFrame:
     """IVF+PQ top-k FROM the persisted index — the production ANN shape.
+
+    Default ``shortlist=200``: the ADC ranking is 4 B/vector approximate,
+    and a 50-deep shortlist at k=10 left defaults near-random on hard
+    (i.i.d.-Gaussian) corpora (round-4 bench: recall 0.155); 200 costs the
+    exact re-rank only n_queries × 200 vector reads and, together with the
+    trained-by-default index build, holds the recall floor pinned in
+    ``test_composed_defaults_recall_floor``.
 
     Plan: the query side computes its probe cells and ADC lookup tables over
     ONLY the ``n_queries`` rows (both broadcast); the corpus side is a
@@ -399,7 +420,7 @@ def driver_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted index (oracle: ``similarity.ann_ivfpq_topk_sql`` — the full
     probe → ADC shortlist → exact re-rank composition, value-for-value)."""
     emb, idx = _driver_index(spark, sf_dir)
-    return ann_ivfpq_topk_indexed(emb, idx, n_queries=5, k=5, shortlist=50)
+    return ann_ivfpq_topk_indexed(emb, idx, n_queries=5, k=5, shortlist=200)
 
 
 def _driver_index(spark: SparkSession, sf_dir: str):
@@ -410,5 +431,11 @@ def _driver_index(spark: SparkSession, sf_dir: str):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     if key not in _DRIVER_IDX:
         p = os.path.join(tempfile.gettempdir(), f"lms_vec_index_{key}")
-        _DRIVER_IDX[key] = build_vec_index(spark, emb, p, overwrite=True)
+        # trained=False HERE ONLY: the correctness gate needs the
+        # engine-independent md5 quantizer so DuckDB can replay the exact
+        # cell/code definitions; the trained production default is covered
+        # by the recall-floor pytest on the clustered fixture instead
+        _DRIVER_IDX[key] = build_vec_index(
+            spark, emb, p, overwrite=True, trained=False
+        )
     return emb, _DRIVER_IDX[key]

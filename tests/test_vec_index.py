@@ -19,7 +19,8 @@ def test_indexed_ivf_equals_recompute_and_skips_corpus_math(
     spark, emb, tmp_path_factory, monkeypatch
 ):
     t = vec_index.build_vec_index(
-        spark, emb, str(tmp_path_factory.mktemp("vi") / "idx"), n_buckets=4
+        spark, emb, str(tmp_path_factory.mktemp("vi") / "idx"), n_buckets=4,
+        trained=False,  # md5 quantizer: this test compares vs the recompute path
     )
     want = [tuple(r) for r in similarity.ann_ivf_topk(emb, n_queries=5, k=5).collect()]
 
@@ -45,7 +46,8 @@ def test_indexed_ivf_equals_recompute_and_skips_corpus_math(
 
 def test_indexed_lsh_equals_recompute(spark, emb, tmp_path_factory):
     t = vec_index.build_vec_index(
-        spark, emb, str(tmp_path_factory.mktemp("vl") / "idx"), n_buckets=4
+        spark, emb, str(tmp_path_factory.mktemp("vl") / "idx"), n_buckets=4,
+        trained=False,
     )
     got = [
         tuple(r)
@@ -67,7 +69,8 @@ def test_ivfpq_indexed_matches_duckdb_and_skips_corpus_math(
     from linked_maps_spark import vec_index as vi
 
     t = vi.build_vec_index(
-        spark, emb, str(tmp_path_factory.mktemp("vpq") / "idx"), n_buckets=4
+        spark, emb, str(tmp_path_factory.mktemp("vpq") / "idx"), n_buckets=4,
+        trained=False,  # the DuckDB oracle replays the md5 cell/code definitions
     )
     # corpus-side index math must NOT run during the query
     for fn in ("ivf_cells", "pq_codes"):
@@ -119,12 +122,14 @@ def test_index_incremental_merge_equals_full_build(spark, emb, tmp_path_factory)
     then MERGE only the delta — index content identical to a full rebuild."""
     root = tmp_path_factory.mktemp("vinc")
     inc = vec_index.build_vec_index(
-        spark, emb.filter(F.col("vec_id") < 400), str(root / "inc"), n_buckets=4
+        spark, emb.filter(F.col("vec_id") < 400), str(root / "inc"), n_buckets=4,
+        trained=False,  # delta-merge must reuse the stored quantizer either way
     )
     inc = vec_index.build_vec_index(
         spark, emb.filter(F.col("vec_id") >= 400), str(root / "inc")
     )
-    full = vec_index.build_vec_index(spark, emb, str(root / "full"), n_buckets=4)
+    full = vec_index.build_vec_index(spark, emb, str(root / "full"), n_buckets=4,
+                                     trained=False)
 
     def content(t):
         return sorted(
@@ -245,3 +250,28 @@ def test_trained_ivfpq_index_end_to_end(spark, tmp_path_factory):
         ).collect()
     ]
     assert got == want
+
+
+def test_composed_defaults_recall_floor(spark, tmp_path_factory):
+    """The round-4 weak mark: calling the production composition with
+    DEFAULTS must not give near-random top-k.  Defaults are now a trained
+    quantizer (build) + shortlist 200 (query); pin recall@10 >= 0.6 on the
+    clustered fixture (800 vectors >> shortlist, so the floor is earned by
+    the trained cells + ADC ranking, not by the shortlist covering the
+    corpus).  Floor test: regressions in either default fail here."""
+    emb = _clustered(spark, n_per=100, n_clusters=8, dim=16, seed=11)
+    t = vec_index.build_vec_index(
+        spark, emb, str(tmp_path_factory.mktemp("vflr") / "idx"),
+        n_cells=16, dim=16, n_buckets=4, pq_m=4, pq_ksub=8,
+    )
+    assert t.latest_summary_value("centroids") is not None  # trained default
+    nq, k = 20, 10
+    exact = {}
+    for r in similarity.cosine_topk(emb, nq, k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in vec_index.ann_ivfpq_topk_indexed(emb, t, n_queries=nq, k=k).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / (len(exact) * k)
+    assert recall >= 0.6, f"composed-default recall@10 = {recall:.3f}"

@@ -46,7 +46,7 @@ def main() -> None:
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     idx_dir = tempfile.mkdtemp(prefix="ann_idx_", dir=scratch)
-    idx = V.build_vec_index(spark, emb, os.path.join(idx_dir, "i"))
+    idx = V.build_vec_index(spark, emb, os.path.join(idx_dir, "i"), trained=False)
     idx_t = V.build_vec_index(
         spark, emb, os.path.join(idx_dir, "t"), trained=True
     )
@@ -94,12 +94,14 @@ def main() -> None:
     add("IVF-flat (trained k-means, 4/16 probes)",
         V.ann_ivf_topk_indexed(emb, idx_t, N_QUERIES, K, n_probe=4), ivf_t_cand)
 
-    add("IVF+PQ indexed (ADC shortlist 50, 4/16 probes)",
+    add("IVF+PQ indexed (md5 books, shortlist 50)",
         V.ann_ivfpq_topk_indexed(emb, idx, N_QUERIES, K, n_probe=4,
                                  shortlist=50))
     add("IVF+PQ indexed (trained books, shortlist 50)",
         V.ann_ivfpq_topk_indexed(emb, idx_t, N_QUERIES, K, n_probe=4,
                                  shortlist=50))
+    add("IVF+PQ indexed (DEFAULTS: trained books, shortlist 200)",
+        V.ann_ivfpq_topk_indexed(emb, idx_t, N_QUERIES, K))
     add("LSH indexed (8 planes / 4 bands)",
         V.ann_lsh_topk_indexed(emb, idx, N_QUERIES, K))
     add("LSH (recompute, 8 planes / 4 bands)",
@@ -135,6 +137,10 @@ def main() -> None:
         "trained-vs-md5 gaps (IVF +0.07, PQ +0.20 recall at identical cost)",
         "isolate exactly what data-dependent training buys; `pq_mse` tests",
         "pin the >2x quantization-error reduction on a clustered fixture.",
+        "Since round 5 the composed path's DEFAULTS are the trained books +",
+        "a 200-deep shortlist (the row above) — the md5/50 rows are kept as",
+        "the ablation; a recall floor on the clustered fixture is pinned in",
+        "test_composed_defaults_recall_floor.",
         "Raising n_probe / shortlist trades linearly toward brute force:",
         "n_probe=16 IS brute force (tested equal in test_vec_index).",
         "Reproduce: `python tools/ann_bench.py`.",
