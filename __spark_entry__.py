@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = _doc()(textops.lang_id)
     q["text_fingerprint"] = _doc()(textops.doc_fingerprint)
     q["text_quality_classifier"] = _doc()(textops.quality_classifier)
+    # trained variant: fixed-iteration integer batch perceptron against the
+    # hidden deterministic teacher labels; the oracle's recursive CTE
+    # replays training itself, so trained weights are value-checked too
+    q["text_quality_trained"] = _doc()(textops.quality_trained)
     q["text_top_words"] = _doc()(textops.top_words)
     # CCNet-style unigram-LM perplexity proxy (exact-integer micro-nats)
     q["text_unigram_logprob"] = _doc()(textops.unigram_logprob)
@@ -380,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_lang_id"] = textops.lang_id_sql()
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["text_quality_classifier"] = textops.quality_classifier_sql()
+    o["text_quality_trained"] = textops.quality_trained_sql()
     o["text_top_words"] = textops.top_words_sql()
     o["text_packing"] = textops.pack_sequences_sql()
     o["text_chunk_windows"] = chunking.chunk_windows_sql(size=16, overlap=4)

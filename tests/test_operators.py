@@ -1177,3 +1177,48 @@ def test_tpch_shape_queries_semantics(spark):
         .collect()[0]["t"]
     )
     assert imp and all(r["revenue"] * 1500 > float(total) * 0.999999 for r in imp)
+
+
+def test_quality_trained_beats_md5_baseline(spark):
+    """The trained classifier must actually LEARN: on the held-out split of
+    the fixture corpus, accuracy against the hidden-teacher labels must
+    beat the data-independent md5-weight baseline (and clear a floor).
+    Training, labels, and split are all deterministic, so the numbers are
+    pinned, not flaky."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gold = docs.select(
+        "doc_id",
+        textops._qc_label_col().alias("y"),
+        textops._qc_is_train_col().alias("is_train"),
+    )
+    trained = textops.quality_trained(docs).select(
+        "doc_id", F.col("keep").alias("keep_t")
+    )
+    base = textops.quality_classifier(docs).select(
+        "doc_id", F.col("keep").alias("keep_b")
+    )
+    j = gold.join(trained, "doc_id").join(base, "doc_id").filter(~F.col("is_train"))
+    rows = j.collect()
+    assert len(rows) > 50  # the 20% held-out slice is non-trivial
+    acc_t = sum((r["y"] == 1) == bool(r["keep_t"]) for r in rows) / len(rows)
+    acc_b = sum((r["y"] == 1) == bool(r["keep_b"]) for r in rows) / len(rows)
+    assert acc_t > acc_b, (acc_t, acc_b)
+    assert acc_t >= 0.9, acc_t  # realizable concept: training should nail it
+
+
+def test_quality_trained_weights_deterministic_and_nonzero(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w1 = textops.train_quality_weights(docs)
+    w2 = textops.train_quality_weights(docs)
+    assert w1 == w2
+    assert any(x != 0 for x in w1)
+    assert len(w1) == textops.QC_T_FEATURES
+
+
+def test_quality_trained_distributed_equals_driver(spark):
+    """Both training strategies run the same integer iteration — weights
+    must be bit-identical (the BPE mode-equality pattern)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w_drv = textops.train_quality_weights(docs, iters=8, mode="driver")
+    w_dst = textops.train_quality_weights(docs, iters=8, mode="distributed")
+    assert w_drv == w_dst
