@@ -172,6 +172,15 @@ long-running-stream shape: every commit is its own ingest call resuming
 from the previous call's committed leaf state (commit-aligned landing
 files — see the stream_ingest contract note).
 
+Round-5 attribution of the wrapper constant (instrumented timestamps
+around the foreachBatch body at 32k events): query start + source
+listing ≈ 0.5 s, post-batch checkpoint commit + stop ≈ 0.2 s, zero
+in-batch overhead beyond ingest itself — the round-4 ~12 s constant was
+the misorder guard's per-batch min/max aggregation over the full batch,
+now folded into ingest's own pending-commits job.  The remaining
+stream_drain − batch_epochs delta above sits inside the leg-to-leg
+weather band (compare each leg's two samples).
+
 Reproduce: `python tools/stream_bench.py` (flags: --cores --keys
 --commits --repeats).
 """
