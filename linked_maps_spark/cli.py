@@ -73,24 +73,31 @@ def cmd_segment(args: argparse.Namespace) -> int:
     if fresh:
         eng.create_tables(overwrite=True)
 
-    origins = ensure_origins(wal, warehouse, pitch=args.pitch, fresh=fresh)
-
-    eng.ingest(
-        snap_change_log(
+    if getattr(args, "origin", None):
+        origins = None
+        snapped = snap_change_log(
+            wal, geom_type=geom_type, pitch=args.pitch,
+            origin=tuple(args.origin),
+        )
+    else:
+        origins = ensure_origins(wal, warehouse, pitch=args.pitch, fresh=fresh)
+        snapped = snap_change_log(
             wal, geom_type=geom_type, pitch=args.pitch,
             origins=origins, origin_key="path",
-        ),
-        commits_per_epoch=args.commits_per_epoch,
-    )
+        )
+    eng.ingest(snapped, commits_per_epoch=args.commits_per_epoch)
     seg = eng.current_segments()
     rel = eng.relations.read()
     export_jl(seg, rel, args.output_file)
     if args.debug_prints:
         print(f"warehouse: {warehouse} (geom_type={geom_type})")
-        print(
-            f"origins: {len(origins)} region tile(s) -> "
-            f"{os.path.join(warehouse, 'origins.json')}"
-        )
+        if origins is None:
+            print(f"origin: pinned at {tuple(args.origin)}")
+        else:
+            print(
+                f"origins: {len(origins)} region tile(s) -> "
+                f"{os.path.join(warehouse, 'origins.json')}"
+            )
     print(
         f"segment: {seg.count()} segments, {rel.count()} relations "
         f"-> {args.output_file}.{{geom,seg,rel}}.jl"
@@ -384,6 +391,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Lake warehouse dir (default <dbname>_warehouse).")
     sp.add_argument("--pitch", type=float, default=0.002,
                     help="Snap grid pitch in degrees.")
+    sp.add_argument("--origin", type=float, nargs=2, default=None,
+                    metavar=("LON", "LAT"),
+                    help="Pin the snap-grid origin instead of deriving "
+                         "per-region tile origins — grid alignment moves "
+                         "which near-coincident features land in the same "
+                         "cell, so parity work wants it reproducible.")
     sp.add_argument("--n-buckets", type=int, default=8)
     sp.add_argument("--commits-per-epoch", type=int, default=4)
     sp.set_defaults(fn=cmd_segment)
