@@ -22,9 +22,10 @@ The container ships no codec libraries (PIL / ffmpeg / opencv), but several
 
 Plus numpy resize kernels (nearest + bilinear, half-pixel centers) and
 deterministic image/audio feature extractors.  Formats that genuinely need
-DSP/entropy libraries beyond that (MP3, H.264, progressive JPEG) remain
-documented ``NotImplementedError`` in :mod:`multimodal` — the dispatch
-there is by magic-byte sniffing (:func:`sniff`).
+DSP/entropy libraries beyond that (MP3, H.264) remain documented
+``NotImplementedError`` in :mod:`multimodal` — the dispatch there is by
+magic-byte sniffing (:func:`sniff`).  JPEG covers both baseline (SOF0)
+and progressive (SOF2) since round 5.
 
 Reference parity note: the reference repo (usc-isi-i2/linked-maps) has no
 media path at all; this module serves the brief's training-data-pipeline
@@ -38,7 +39,11 @@ import zlib
 
 import numpy as np
 
-from linked_maps_spark.jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
+from linked_maps_spark.jpeg import (  # noqa: F401 (re-export)
+    decode_jpeg,
+    encode_jpeg,
+    encode_progressive_jpeg,
+)
 
 # ---------------------------------------------------------------------------
 # sniffing

@@ -12,9 +12,15 @@ implements an honest, self-contained codec:
   APPn/COM skipped), arbitrary baseline sampling factors, restart-marker
   segments, table-driven Huffman decode (single 16-bit peek per symbol),
   dequantize → de-zigzag → IDCT → upsample → colour convert.
+* progressive (SOF2) Huffman: full decoder (spectral selection +
+  successive approximation incl. AC refinement scans, EOB runs,
+  correction bits — T.81 Annex G) dispatched automatically from
+  ``decode_jpeg``, plus ``encode_progressive_jpeg`` with a libjpeg-style
+  scan script; decode(progressive) ≡ decode(baseline) pixel-exactly over
+  the same quantized coefficients (tested).
 
-Only *baseline* (SOF0) is supported; progressive (SOF2) and arithmetic
-coding raise ``NotImplementedError`` explicitly.
+Lossless (SOF3+) and arithmetic coding raise ``NotImplementedError``
+explicitly.
 
 Determinism notes (these matter for the driver-gate value oracle built on
 constant-block greyscale fixtures, see multimodal.JPEG_ROUNDTRIP_SQL):
@@ -561,9 +567,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, sampv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, sampv >> 4, sampv & 0xF, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2: progressive, Huffman
+            return _decode_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "progressive/arithmetic JPEG not supported (baseline only)"
+                "lossless/arithmetic JPEG not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -650,6 +658,493 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         wb = widths_b[idx]
         plane = _from_blocks(blocks, zz.shape[0] // wb * 8, wb * 8) + 128.0
         # upsample to full MCU-padded resolution, then crop to frame
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:fh, :fw])
+
+    if len(out_planes) == 1:
+        grey = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return grey[:, :, None]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    rgb = np.stack([r, g, bch], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — ITU-T T.81 Annex G, Huffman coding
+#
+# Decoder: full spectral selection + successive approximation, including
+# AC refinement scans with EOB runs and correction bits (the algorithm is
+# the one T.81 G.1.2.3 specifies and every decoder implements; the control
+# flow below mirrors that public specification).  Coefficients accumulate
+# across scans in zigzag order per component; reconstruction shares the
+# baseline dequantize → IDCT → upsample tail.
+#
+# Encoder: a libjpeg-style scan script (DC first at Al=1 → luma AC bands →
+# chroma AC → DC refine → AC refinement to Al=0) over the SAME quantized
+# coefficients the baseline encoder produces — so decode(progressive) must
+# equal decode(baseline) PIXEL-EXACTLY at the same quality/subsampling,
+# which is what the tests pin.  Annex K Huffman tables lack the EOBn
+# (n>0) symbols, so the encoder ends every block's band with EOB0 (run
+# length 1) — always legal; the decoder handles general EOBn.
+
+
+def _prog_emit_ac_first(w, zz, ss, se, al, ac_codes) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            w.put(code, length)
+            run -= 16
+        size = t.bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        w.put(code, length)
+        tv = t if v > 0 else -t
+        bits = tv if tv >= 0 else tv + (1 << size) - 1
+        w.put(bits, size)
+        run = 0
+    if run > 0:
+        code, length = ac_codes[0x00]  # EOB0
+        w.put(code, length)
+
+
+def _prog_emit_ac_refine(w, zz, ss, se, al, ac_codes) -> None:
+    # eob = band index of the LAST newly-significant coefficient; pending
+    # ZRLs are emitted at every nonzero position while k <= eob (the
+    # correction bits buffered so far belong BEFORE the run the decoder
+    # skips), and everything past eob rides the EOB symbol instead
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    run = 0
+    br: list[int] = []  # buffered correction bits (flushed after symbols)
+
+    def flush() -> None:
+        for bit in br:
+            w.put(bit, 1)
+        br.clear()
+
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, length = ac_codes[0xF0]
+            w.put(code, length)
+            run -= 16
+            flush()
+        if t > 1:  # already significant at the previous precision
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1): |v| >> (al+1) == 0
+        code, length = ac_codes[(run << 4) | 1]
+        w.put(code, length)
+        w.put(1 if int(zz[k]) > 0 else 0, 1)  # sign: 1 → +2^al, 0 → −2^al
+        flush()
+        run = 0
+    if run > 0 or br:
+        code, length = ac_codes[0x00]
+        w.put(code, length)
+        flush()
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
+    """Progressive (SOF2) JPEG over the baseline encoder's quantized
+    coefficients — see the section note above for the scan script."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    grey = px.ndim == 2
+    if not grey and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode wants (h,w[,1]) grey or (h,w,3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qy = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+
+    if grey:
+        planes = [px.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qmap = [0]
+    else:
+        f = px.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "420":
+            cbp = _pad_edge(cb, 2)
+            crp = _pad_edge(cr, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qmap = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zz_planes = []
+    widths_b = []
+    grids = []  # non-interleaved (h_blocks, w_blocks) per component
+    for (hi, vi), plane, qi in zip(samp, planes, qmap):
+        target_w = mcus_x * 8 * hi
+        target_h = mcus_y * 8 * vi
+        plane = np.pad(
+            plane,
+            ((0, target_h - plane.shape[0]), (0, target_w - plane.shape[1])),
+            mode="edge",
+        )
+        zz_planes.append(_encode_component_blocks(plane, qy if qi == 0 else qc))
+        widths_b.append(target_w // 8)
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS) if qi == 0
+        else _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        for qi in qmap
+    ]
+    ac_codes = [
+        _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS) if qi == 0
+        else _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        for qi in qmap
+    ]
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (hi, vi) in enumerate(samp):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield ci, (my * vi + by) * widths_b[ci] + (mx * hi + bx)
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for ci in comps:
+            tid = 0 if qmap[ci] == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    scans: list[bytes] = []
+
+    def dc_first(al):
+        wtr = _BitWriter()
+        preds = [0] * len(planes)
+        for ci, bidx in mcu_blocks():
+            v = int(zz_planes[ci][bidx][0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = _magnitude(diff)
+            code, length = dc_codes[ci][size]
+            wtr.put(code, length)
+            if size:
+                bits = diff if diff >= 0 else diff + (1 << size) - 1
+                wtr.put(bits, size)
+        wtr.flush()
+        scans.append(sos(list(range(len(planes))), 0, 0, 0, al) + wtr.buf)
+
+    def dc_refine(al):
+        wtr = _BitWriter()
+        for ci, bidx in mcu_blocks():
+            wtr.put((int(zz_planes[ci][bidx][0]) >> al) & 1, 1)
+        wtr.flush()
+        scans.append(sos(list(range(len(planes))), 0, 0, al + 1, al) + wtr.buf)
+
+    def ac_scan(ci, ss, se, ah, al):
+        wtr = _BitWriter()
+        hb2, wb2 = grids[ci]
+        for by in range(hb2):
+            for bx in range(wb2):
+                zz = zz_planes[ci][by * widths_b[ci] + bx]
+                if ah == 0:
+                    _prog_emit_ac_first(wtr, zz, ss, se, al, ac_codes[ci])
+                else:
+                    _prog_emit_ac_refine(wtr, zz, ss, se, al, ac_codes[ci])
+        wtr.flush()
+        scans.append(sos([ci], ss, se, ah, al) + wtr.buf)
+
+    # libjpeg-style script: approximation Al=1 first, refinement to Al=0
+    dc_first(1)
+    if grey:
+        ac_scan(0, 1, 5, 0, 1)
+        ac_scan(0, 6, 63, 0, 1)
+        dc_refine(0)
+        ac_scan(0, 1, 5, 1, 0)
+        ac_scan(0, 6, 63, 1, 0)
+    else:
+        ac_scan(0, 1, 5, 0, 1)
+        ac_scan(1, 1, 63, 0, 1)
+        ac_scan(2, 1, 63, 0, 1)
+        ac_scan(0, 6, 63, 0, 1)
+        dc_refine(0)
+        ac_scan(0, 1, 63, 1, 0)
+        ac_scan(1, 1, 63, 1, 0)
+        ac_scan(2, 1, 63, 1, 0)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += _dqt_segment(0, qy)
+    if not grey:
+        out += _dqt_segment(1, qc)
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, qmap[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not grey:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_progressive(b: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) Huffman JPEG (see section note)."""
+    qtables: dict[int, np.ndarray] = {}
+    hufftables: dict[tuple[int, int], _HuffLUT] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    coef: list[np.ndarray] = []      # per component: (padded blocks, 64) zigzag
+    widths_b: list[int] = []
+    grids: list[tuple[int, int]] = []  # non-interleaved (hb, wb) per comp
+    comps = []
+    hmax = vmax = mcus_x = mcus_y = 0
+
+    def decode_scan(scan_comps, ss, se, ah, al, segments):
+        p1, m1 = 1 << al, -1 << al
+        idxs = [next(i for i, c in enumerate(comps) if c[0] == cid)
+                for cid, _, _ in scan_comps]
+        dc_luts = {}
+        ac_luts = {}
+        for (cid, dci, aci), idx in zip(scan_comps, idxs):
+            if ss == 0 and ah == 0:
+                dc_luts[idx] = hufftables[(0, dci)]
+            if ss != 0:
+                ac_luts[idx] = hufftables[(1, aci)]
+
+        interleaved = len(idxs) > 1
+        if ss != 0 and interleaved:
+            raise ValueError("progressive AC scan must be single-component")
+        if interleaved:
+            units = mcus_x * mcus_y
+        else:
+            hb2, wb2 = grids[idxs[0]]
+            units = hb2 * wb2
+
+        unit = 0
+        for seg in segments:
+            reader = _BitReader(seg)
+            preds = {i: 0 for i in idxs}
+            eobrun = 0
+            limit = min(units, unit + restart_interval) if restart_interval else units
+            while unit < limit:
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    blocks = []
+                    for idx in idxs:
+                        _, hi, vi, _ = comps[idx]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blocks.append((idx, (my * vi + by) * widths_b[idx]
+                                               + (mx * hi + bx)))
+                else:
+                    idx = idxs[0]
+                    _, hi, vi, _ = comps[idx]
+                    hb2, wb2 = grids[idx]
+                    by, bx = divmod(unit, wb2)
+                    blocks = [(idx, by * widths_b[idx] + bx)]
+                for idx, bidx in blocks:
+                    zz = coef[idx][bidx]
+                    if ss == 0 and ah == 0:       # DC first
+                        size = dc_luts[idx].decode(reader)
+                        preds[idx] += reader.receive_extend(size)
+                        zz[0] = preds[idx] << al
+                    elif ss == 0:                  # DC refine: one raw bit
+                        if reader.peek16() >> 15:
+                            zz[0] |= p1
+                        reader.skip(1)
+                    elif ah == 0:                  # AC first
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = ac_luts[idx].decode(reader)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.peek16() >> (16 - r)
+                                        reader.skip(r)
+                                    eobrun -= 1
+                                    break
+                                k += 16  # ZRL
+                            else:
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC run past band end")
+                                zz[k] = reader.receive_extend(s) << al
+                                k += 1
+                    else:                          # AC refine (T.81 G.1.2.3)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = ac_luts[idx].decode(reader)
+                                r, s = rs >> 4, rs & 15
+                                newval = 0
+                                if s:
+                                    if s != 1:
+                                        raise ValueError("bad refine symbol")
+                                    bit = reader.peek16() >> 15
+                                    reader.skip(1)
+                                    newval = p1 if bit else m1
+                                elif r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.peek16() >> (16 - r)
+                                        reader.skip(r)
+                                    break
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        bit = reader.peek16() >> 15
+                                        reader.skip(1)
+                                        if bit and (int(zz[k]) & p1) == 0:
+                                            zz[k] += p1 if zz[k] >= 0 else m1
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if s and k <= se:
+                                    zz[k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                if zz[k] != 0:
+                                    bit = reader.peek16() >> 15
+                                    reader.skip(1)
+                                    if bit and (int(zz[k]) & p1) == 0:
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+                unit += 1
+            if unit >= units:
+                break
+
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        body = b[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tid = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                )
+                qtables[tid] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tclass, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nval = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nval])
+                hufftables[(tclass, tid)] = _HuffLUT(bits, vals)
+                off += 17 + nval
+        elif marker == 0xC2:
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            for ci in range(ncomp):
+                cid, sampv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, sampv >> 4, sampv & 0xF, tq))
+            frame = (fh, fw)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            for cid, hi, vi, tq in comps:
+                wb, hb = mcus_x * hi, mcus_y * vi
+                coef.append(np.zeros((hb * wb, 64), dtype=np.int64))
+                widths_b.append(wb)
+                cw = -(-fw * hi // hmax)
+                ch = -(-fh * vi // vmax)
+                grids.append((-(-ch // 8), -(-cw // 8)))
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                scan_comps.append((cid, tids >> 4, tids & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            segments, pos = _split_entropy(b, pos)
+            decode_scan(scan_comps, ss, se, ahal >> 4, ahal & 0xF, segments)
+        # APPn / COM skipped
+
+    if frame is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    fh, fw = frame
+    out_planes = []
+    for idx, (cid, hi, vi, tq) in enumerate(comps):
+        zz = coef[idx]
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz
+        qtbl = qtables[tq]
+        c = (nat.reshape(-1, 8, 8) * qtbl[None, :, :]).astype(np.float64)
+        blocks = np.einsum("ji,njk,kl->nil", _DCT, c, _DCT, optimize=True)
+        wb = widths_b[idx]
+        plane = _from_blocks(blocks, zz.shape[0] // wb * 8, wb * 8) + 128.0
         ry, rx = vmax // vi, hmax // hi
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)

@@ -8,9 +8,9 @@ Two decode tiers:
   :mod:`linked_maps_spark.jpeg`), netpbm P5/P6, concatenated-P6 video
   streams, and PCM16 WAV — implemented in :mod:`linked_maps_spark.codecs`
   (spec-conformant, round-trip tested).  Formats that genuinely need
-  DSP/entropy libraries absent from this container (MP3, H.264,
-  progressive JPEG) raise a documented ``NotImplementedError`` at the
-  dispatch point.
+  DSP/entropy libraries absent from this container (MP3, H.264) raise a
+  documented ``NotImplementedError`` at the dispatch point; JPEG covers
+  BOTH baseline (SOF0) and progressive (SOF2) since round 5.
 * **Deterministic fakes** (``fake=True``, the default) whose outputs are
   pure functions of the payload sha256 — these keep the driver-gate DuckDB
   oracles value-exact (a real image decode is not SQL-expressible).
@@ -96,7 +96,7 @@ def _decode_image_any(payload: bytes) -> np.ndarray:
     if mime == "image/x-portable-pixmap":
         return codecs.decode_ppm_stream(payload)[0]
     if mime == "image/jpeg":
-        return codecs.decode_jpeg(payload)  # baseline; progressive raises
+        return codecs.decode_jpeg(payload)  # baseline AND progressive (SOF2)
     raise NotImplementedError(f"no native image decoder for {mime or 'unknown'}")
 
 
@@ -116,8 +116,8 @@ def decode_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFr
     sha256 (keeps the DuckDB oracle value-exact; ``dim`` applies); with
     ``fake=False`` payloads are REALLY decoded (BMP/PNG/baseline-JPEG/netpbm/
     WAV/P6-stream via :mod:`codecs`) and ``feat_dim`` is the extractor's
-    native length — only formats needing absent DSP libs (MP3/H.264/
-    progressive JPEG) raise."""
+    native length — only formats needing absent DSP libs (MP3/H.264)
+    raise."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -136,11 +136,84 @@ def test_restart_markers_color():
     assert (jpeg.decode_jpeg(enc) == jpeg.decode_jpeg(plain)).all()
 
 
-def test_progressive_raises():
-    # SOI + minimal SOF2 (progressive) header
-    sof2 = b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg.decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+def test_lossless_arithmetic_raise():
+    # SOI + minimal SOF3 (lossless) header: still honestly rejected
+    sof3 = b"\xff\xc3" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(b"\xff\xd8" + sof3 + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): round 5 — decode(progressive) must equal
+# decode(baseline) PIXEL-EXACTLY, because both entropy-code the same
+# quantized coefficients; any divergence is a codec bug, not loss.
+
+
+def _prog_cases():
+    rng = np.random.default_rng(5)
+    grad = (np.indices((24, 17)).sum(0) * 3 % 256).astype(np.uint8)
+    return [
+        (rng.integers(0, 256, size=(16, 16), dtype=np.uint8), None),
+        (rng.integers(0, 256, size=(24, 17), dtype=np.uint8), None),  # odd dims
+        (grad, None),
+        (rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8), "444"),
+        (rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8), "420"),
+        (np.stack([grad, np.roll(grad, 5, 0), np.roll(grad, 9, 1)], axis=2), "420"),
+        (np.full((8, 8), 200, dtype=np.uint8), None),
+    ]
+
+
+@pytest.mark.parametrize("quality", [30, 50, 75, 95])
+def test_progressive_equals_baseline_decode(quality):
+    for img, sub in _prog_cases():
+        kw = {} if sub is None else {"subsampling": sub}
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality, **kw))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_progressive_jpeg(img, quality=quality, **kw)
+        )
+        assert np.array_equal(base, prog), (img.shape, sub, quality)
+
+
+def test_progressive_stream_is_multi_scan_sof2():
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    enc = jpeg.encode_progressive_jpeg(img, quality=75)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert enc.count(b"\xff\xda") == 6  # grey scan script: 6 scans
+    # refinement really participates: truncating to the first-approximation
+    # scans (drop the Al=0 refinements) must change the decode
+    third_sos = [i for i in range(len(enc)) if enc[i : i + 2] == b"\xff\xda"][3]
+    partial = enc[:third_sos] + b"\xff\xd9"
+    coarse = jpeg.decode_jpeg(partial)
+    full = jpeg.decode_jpeg(enc)
+    assert coarse.shape == full.shape
+    assert not np.array_equal(coarse, full)
+
+
+def test_progressive_constant_block_closed_form():
+    # DC-only images survive the successive-approximation split exactly
+    vals = (np.arange(12).reshape(3, 4) * 37 + 5) % 256
+    dec = jpeg.decode_jpeg(
+        jpeg.encode_progressive_jpeg(_blocks_img(vals), quality=50)
+    )[:, :, 0]
+    for by in range(3):
+        for bx in range(4):
+            blk = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == _closed_form(int(vals[by, bx]))).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    quality=st.sampled_from([40, 60, 85]),
+)
+def test_progressive_equals_baseline_property(seed, h, w, quality):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality))
+    prog = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(img, quality=quality))
+    assert np.array_equal(base, prog)
 
 
 def test_truncated_rejected():
