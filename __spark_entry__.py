@@ -248,6 +248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_png_roundtrip"] = _doc()(multimodal.png_roundtrip_stats)
     q["multimodal_resize_nearest"] = _doc()(multimodal.resize_roundtrip_stats)
     q["multimodal_jpeg_roundtrip"] = _doc()(multimodal.jpeg_roundtrip_stats)
+    # same closed-form oracle, SOF2 scan-script encoder + progressive
+    # decoder on the Spark side — value-checks successive approximation
+    q["multimodal_jpeg_progressive_roundtrip"] = _doc()(
+        multimodal.jpeg_progressive_roundtrip_stats
+    )
     # CDC / geometry queries over the engine warehouse (rows-only checks)
     q["cdc_q1_edition"] = entry_cdc.cdc_q1_edition
     q["cdc_q2_edition_unique"] = entry_cdc.cdc_q2_edition_unique
@@ -317,7 +322,9 @@ _GATE_ORDER = [
     "dedup_semantic_pairs",
     "dedup_semantic",
     "multimodal_jpeg_roundtrip",
-    # one representative per stable family
+    "multimodal_jpeg_progressive_roundtrip",
+    # one representative per stable family (similarity_ann_lsh omitted:
+    # its oracle is identical to the indexed twin already in the window)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_prefix",
@@ -327,7 +334,6 @@ _GATE_ORDER = [
     "dedup_clusters",
     "dedup_simhash",
     "similarity_cosine_topk",
-    "similarity_ann_lsh",
     "similarity_ann_ivf",
     "text_token_stats",
     "text_quality_classifier",
@@ -425,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_png_roundtrip"] = multimodal.PNG_ROUNDTRIP_SQL
     o["multimodal_resize_nearest"] = multimodal.RESIZE_ROUNDTRIP_SQL
     o["multimodal_jpeg_roundtrip"] = multimodal.JPEG_ROUNDTRIP_SQL
+    o["multimodal_jpeg_progressive_roundtrip"] = multimodal.JPEG_ROUNDTRIP_SQL
     # other cdc_* stay rows-only (arbitrary lattices are not
     # SQL-expressible), but the micro fold IS: full value oracle
     o["cdc_fold_micro"] = entry_cdc.cdc_fold_micro_sql()

@@ -623,9 +623,17 @@ JPEG_STATS_SCHEMA = (
 )
 
 
-def jpeg_roundtrip_stats(documents: DataFrame) -> DataFrame:
+def jpeg_roundtrip_stats(
+    documents: DataFrame, codec: str = "baseline"
+) -> DataFrame:
     """Value oracle for the REAL baseline-JPEG codec (DCT → quantize →
     zigzag → DPCM/Huffman → byte stuffing → full marker parse back).
+
+    ``codec="progressive"`` routes the SAME images through the SOF2
+    scan-script encoder and the progressive decoder instead — identical
+    quantized coefficients, so the DC-only closed form (and therefore
+    ``JPEG_ROUNDTRIP_SQL``) applies unchanged, and the gate value-checks
+    the successive-approximation entropy coding end-to-end.
 
     JPEG is lossy, so the trick that makes it value-oracle-able: greyscale
     images whose 8×8 blocks are each CONSTANT have DC-only spectra, and at
@@ -649,7 +657,11 @@ def jpeg_roundtrip_stats(documents: DataFrame) -> DataFrame:
                 img = np.repeat(
                     np.repeat(vals.reshape(hb, wb), 8, axis=0), 8, axis=1
                 ).astype(np.uint8)
-                dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=50))
+                if codec == "progressive":
+                    payload = codecs.encode_progressive_jpeg(img, quality=50)
+                else:
+                    payload = codecs.encode_jpeg(img, quality=50)
+                dec = codecs.decode_jpeg(payload)
                 plane = dec[:, :, 0].astype(np.int64)
                 h, w = plane.shape
                 blocksums = (
@@ -732,3 +744,10 @@ def feature_values_sql(dim: int = 8) -> str:
     FROM media m CROSS JOIN (SELECT unnest(range({dim})) AS idx) w
     ORDER BY media_id, idx
     """
+
+
+def jpeg_progressive_roundtrip_stats(documents: DataFrame) -> DataFrame:
+    """Gate surface for the progressive (SOF2) codec — shares
+    ``JPEG_ROUNDTRIP_SQL`` with the baseline entry (see
+    :func:`jpeg_roundtrip_stats`)."""
+    return jpeg_roundtrip_stats(documents, codec="progressive")
