@@ -565,7 +565,16 @@ def train_bpe_sampled(
     BIT-IDENTICAL to every other mode (hypothesis-pinned)."""
     spark = documents.sparkSession
     wt = word_types(documents).localCheckpoint(eager=True)
-    sample = wt.orderBy(F.desc("freq"), "word").limit(max_types).collect()
+    # clamp the limit to the actual type count: Spark's takeOrdered
+    # preallocates a 2k-element buffer PER PARTITION, so an effectively
+    # unbounded max_types (say 10^9, "keep everything") would OOM the
+    # executors before reading a single row
+    n_types = wt.count()
+    sample = (
+        wt.orderBy(F.desc("freq"), "word")
+        .limit(min(max_types, n_types))
+        .collect()
+    )
     total = wt.agg(F.sum("freq").alias("m")).collect()[0]["m"] or 0
     mass = sum(int(r["freq"]) for r in sample)
     types = sorted((r["word"], int(r["freq"])) for r in sample)

@@ -290,7 +290,7 @@ def test_all_modes_bit_identical_on_corpus(spark, corpus_truth):
         got = [tuple(r) for r in merges_df.orderBy("merge_rank").collect()]
         assert got == ref_merges, mode
         assert {r["word"]: list(r["syms"]) for r in seg.collect()} == ref_segs, mode
-    m_s, seg_s, mass = bpe.train_bpe_sampled(docs, k=k, max_types=10**9)
+    m_s, seg_s, mass = bpe.train_bpe_sampled(docs, k=k, max_types=50_000)
     assert mass == 1.0
     assert [tuple(r) for r in m_s.orderBy("merge_rank").collect()] == ref_merges
     assert {r["word"]: list(r["syms"]) for r in seg_s.collect()} == ref_segs
