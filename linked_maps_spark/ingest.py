@@ -899,6 +899,7 @@ class CdcEngine:
         commits_per_epoch: int = 4,
         max_epochs: int | None = None,
         guard_min_commit: str | None = None,
+        track_batch_range: bool = False,
     ) -> IngestStats:
         """Tail the WAL from the current watermark to its head.
 
@@ -911,6 +912,14 @@ class CdcEngine:
         treated as checkpoint replays, so a delivery order that diverges
         from commit order must fail loudly instead — and the check rides
         the pending-commits job this method already runs.
+
+        ``track_batch_range`` (implied by ``guard_min_commit``): report the
+        batch's UNfiltered commit lo/hi on the returned stats.  This runs
+        the pending-commits job without the ``commit > watermark`` pushdown
+        — right for streaming micro-batches (small, and the guard needs the
+        true range), wrong as a default: a batch resume over a deep WAL
+        history relies on that pushed filter to prune already-ingested
+        files at the parquet-footer level.
 
         **Pipelined epochs**: epoch k+1's PREPARE (stats, resume-state read,
         fold, cache materialization) overlaps epoch k's merge WRITES — the
@@ -934,29 +943,44 @@ class CdcEngine:
                     key_cols=[], n_buckets=1,
                 )
         wm = self.watermark()
-        # one metadata-sized job over the batch: distinct commits, UNfiltered
-        # (the watermark replay-skip applies driver-side) so the batch's true
-        # lo/hi are known for the misorder guard and for callers via stats
-        all_commits = sorted(
-            r["commit"] for r in change_log.select("commit").distinct().collect()
-        )
-        if guard_min_commit is not None and all_commits and (
-            all_commits[0] <= guard_min_commit
-        ):
-            raise ValueError(
-                f"ingest: batch carries commit {all_commits[0]!r} <= "
-                f"already-delivered {guard_min_commit!r} — delivery order "
-                "diverges from commit order; these events would be silently "
-                "dropped as watermark replays. Land WAL files with monotone "
-                "mtimes in commit order (see the stream_ingest contract note)."
-            )
-        commits = (
-            [c for c in all_commits if c > wm] if wm is not None else all_commits
-        )
         stats = IngestStats()
-        if all_commits:
-            stats.batch_min_commit = all_commits[0]
-            stats.batch_max_commit = all_commits[-1]
+        if guard_min_commit is not None or track_batch_range:
+            # one metadata-sized job over the (micro-)batch: distinct
+            # commits WITHOUT the watermark pushdown, so the batch's true
+            # lo/hi are known for the misorder guard / stats; the replay
+            # skip applies driver-side instead
+            all_commits = sorted(
+                r["commit"]
+                for r in change_log.select("commit").distinct().collect()
+            )
+            if guard_min_commit is not None and all_commits and (
+                all_commits[0] <= guard_min_commit
+            ):
+                raise ValueError(
+                    f"ingest: batch carries commit {all_commits[0]!r} <= "
+                    f"already-delivered {guard_min_commit!r} — delivery order "
+                    "diverges from commit order; these events would be "
+                    "silently dropped as watermark replays. Land WAL files "
+                    "with monotone mtimes in commit order (see the "
+                    "stream_ingest contract note)."
+                )
+            if all_commits:
+                stats.batch_min_commit = all_commits[0]
+                stats.batch_max_commit = all_commits[-1]
+            commits = (
+                [c for c in all_commits if c > wm]
+                if wm is not None else all_commits
+            )
+        else:
+            # batch path: keep the commit > watermark predicate IN the scan
+            # — on a resume over deep WAL history the pushed filter prunes
+            # already-ingested files at the parquet-footer level
+            pending = (
+                change_log.select("commit").distinct()
+                .filter(F.col("commit") > F.lit(wm)) if wm is not None
+                else change_log.select("commit").distinct()
+            )
+            commits = sorted(r["commit"] for r in pending.collect())
         epoch0 = (self.commit_log.read().count() or 0)
         chunks = [
             commits[i : i + commits_per_epoch]

@@ -84,6 +84,7 @@ def stream_ingest(
             batch_df,
             commits_per_epoch=commits_per_epoch,
             guard_min_commit=max_commit[0] if max_commit and not replay else None,
+            track_batch_range=True,
         )
         if not replay:
             hi = st.batch_max_commit
