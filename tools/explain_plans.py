@@ -93,6 +93,16 @@ CHECKS = {
                            "Generate", "!HashAggregate", "!HashJoin"],
     # chunk planning aggregate: one partial-agg groupBy, still no join
     "text_chunk_stats": ["HashAggregate", "!HashJoin"],
+    # round 5: TRAINED classifier scoring — training runs ahead of the
+    # returned plan (driver-side weights), so scoring must stay the same
+    # single-pass 2-column projection as the md5 classifier
+    "text_quality_trained": [
+        "ReadSchema: struct<doc_id:bigint,text:string>", "!HashJoin"
+    ],
+    # round 5: composed IVF+PQ from the persisted index — query-side probe
+    # and LUT tables broadcast; ADC shortlist + exact re-rank are Windows
+    "similarity_ann_ivfpq_indexed": ["BroadcastHashJoin", "Window",
+                                     "!CartesianProduct"],
 }
 
 
