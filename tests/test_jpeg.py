@@ -247,3 +247,123 @@ def test_quality_scaling_matches_ijg_rule():
     assert jpeg._scaled_quant(jpeg._QUANT_LUMA, 50)[0, 0] == 16  # Annex K verbatim
     assert jpeg._scaled_quant(jpeg._QUANT_LUMA, 100).max() == 1
     assert jpeg._scaled_quant(jpeg._QUANT_LUMA, 10)[7, 7] == 255  # clamped
+
+
+def _encode_prog_eobn(px, quality=75):
+    """Test-side progressive encoder exercising what OUR encoder never
+    emits: CROSS-BLOCK EOB runs (EOBn, n>0 — Annex K tables lack those
+    symbols, so this builds a custom all-8-bit-code Huffman table) with
+    spectral selection only (Al=0).  Real-world progressive files from
+    libjpeg-style encoders use exactly this shape."""
+    import struct
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    qy = jpeg._scaled_quant(jpeg._QUANT_LUMA, quality)
+    plane = np.pad(
+        px.astype(np.float64) - 128.0,
+        ((0, (-h) % 8), (0, (-w) % 8)), mode="edge",
+    )
+    zz = jpeg._encode_component_blocks(plane, qy)
+    dc_codes = jpeg._build_codes(jpeg._DC_LUMA_BITS, jpeg._DC_LUMA_VALS)
+    ac_vals = sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {0xF0} | {r << 4 for r in range(15)}
+    )
+    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+    ac_codes = jpeg._build_codes(ac_bits, ac_vals)
+
+    wtr_dc = jpeg._BitWriter()
+    pred = 0
+    for b in range(zz.shape[0]):
+        dc = int(zz[b][0])
+        diff = dc - pred
+        pred = dc
+        size = jpeg._magnitude(diff)
+        c, l = dc_codes[size]
+        wtr_dc.put(c, l)
+        if size:
+            wtr_dc.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    wtr_dc.flush()
+
+    def ac_scan(ss, se):
+        wtr = jpeg._BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                take = min(eobrun, (1 << (r + 1)) - 1)
+                c, l = ac_codes[r << 4]
+                wtr.put(c, l)
+                if r:
+                    wtr.put(take - (1 << r), r)
+                eobrun -= take
+
+        for b in range(zz.shape[0]):
+            band = zz[b][ss : se + 1]
+            nzi = np.nonzero(band)[0]
+            if nzi.size == 0:
+                eobrun += 1
+                if eobrun >= 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last = int(nzi[-1])
+            for i in range(last + 1):
+                v = int(band[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, l = ac_codes[0xF0]
+                    wtr.put(c, l)
+                    run -= 16
+                size = jpeg._magnitude(v)
+                c, l = ac_codes[(run << 4) | size]
+                wtr.put(c, l)
+                wtr.put(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last < se - ss:
+                eobrun = 1
+        flush_eob()
+        wtr.flush()
+        return wtr.buf
+
+    out = bytearray(b"\xff\xd8")
+    out += jpeg._dqt_segment(0, qy)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += jpeg._dht_segment(0, 0, jpeg._DC_LUMA_BITS, jpeg._DC_LUMA_VALS)
+    out += jpeg._dht_segment(1, 0, ac_bits, ac_vals)
+
+    def sos(ss, se):
+        body = bytes([1, 1, 0x00, ss, se, 0])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    out += sos(0, 0) + wtr_dc.buf
+    out += sos(1, 5) + ac_scan(1, 5)
+    out += sos(6, 63) + ac_scan(6, 63)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_decoder_handles_cross_block_eob_runs():
+    """Foreign-encoder shape: EOBn symbols spanning many blocks + custom
+    (non-Annex-K) Huffman tables.  Decode must still equal the baseline
+    decode of the same quantized coefficients."""
+    rng = np.random.default_rng(9)
+    sparse = np.full((40, 33), 128, dtype=np.uint8)
+    sparse[::7, ::5] = 255  # mostly-empty AC bands → long EOB runs
+    cases = [
+        rng.integers(0, 256, size=(24, 17), dtype=np.uint8),
+        sparse,
+        np.full((16, 16), 73, dtype=np.uint8),  # all-zero AC → maximal EOBn
+    ]
+    for img in cases:
+        for q in (30, 75, 90):
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+            got = jpeg.decode_jpeg(_encode_prog_eobn(img, quality=q))
+            assert np.array_equal(base, got), (img.shape, q)
