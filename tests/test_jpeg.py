@@ -249,12 +249,14 @@ def test_quality_scaling_matches_ijg_rule():
     assert jpeg._scaled_quant(jpeg._QUANT_LUMA, 10)[7, 7] == 255  # clamped
 
 
-def _encode_prog_eobn(px, quality=75):
+def _encode_prog_eobn(px, quality=75, restart_interval=0):
     """Test-side progressive encoder exercising what OUR encoder never
     emits: CROSS-BLOCK EOB runs (EOBn, n>0 — Annex K tables lack those
     symbols, so this builds a custom all-8-bit-code Huffman table) with
-    spectral selection only (Al=0).  Real-world progressive files from
-    libjpeg-style encoders use exactly this shape."""
+    spectral selection only (Al=0), optionally split by DRI/RSTn restart
+    markers (byte-aligned, DC pred + EOBRUN reset per segment).
+    Real-world progressive files from libjpeg-style encoders use exactly
+    this shape."""
     import struct
 
     px = np.asarray(px, dtype=np.uint8)
@@ -272,23 +274,38 @@ def _encode_prog_eobn(px, quality=75):
     )
     ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
     ac_codes = jpeg._build_codes(ac_bits, ac_vals)
+    nb = zz.shape[0]
+    ri = restart_interval
 
-    wtr_dc = jpeg._BitWriter()
-    pred = 0
-    for b in range(zz.shape[0]):
-        dc = int(zz[b][0])
-        diff = dc - pred
-        pred = dc
-        size = jpeg._magnitude(diff)
-        c, l = dc_codes[size]
-        wtr_dc.put(c, l)
-        if size:
-            wtr_dc.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-    wtr_dc.flush()
+    def dc_scan():
+        buf = bytearray()
+        wtr = jpeg._BitWriter()
+        pred = 0
+        rst = 0
+        for b in range(nb):
+            if ri and b and b % ri == 0:
+                wtr.flush()
+                buf += wtr.buf + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                wtr = jpeg._BitWriter()
+                pred = 0
+            dc = int(zz[b][0])
+            diff = dc - pred
+            pred = dc
+            size = jpeg._magnitude(diff)
+            c, l = dc_codes[size]
+            wtr.put(c, l)
+            if size:
+                wtr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        wtr.flush()
+        buf += wtr.buf
+        return bytes(buf)
 
     def ac_scan(ss, se):
+        buf = bytearray()
         wtr = jpeg._BitWriter()
         eobrun = 0
+        rst = 0
 
         def flush_eob():
             nonlocal eobrun
@@ -301,7 +318,13 @@ def _encode_prog_eobn(px, quality=75):
                     wtr.put(take - (1 << r), r)
                 eobrun -= take
 
-        for b in range(zz.shape[0]):
+        for b in range(nb):
+            if ri and b and b % ri == 0:
+                flush_eob()
+                wtr.flush()
+                buf += wtr.buf + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                wtr = jpeg._BitWriter()
             band = zz[b][ss : se + 1]
             nzi = np.nonzero(band)[0]
             if nzi.size == 0:
@@ -330,7 +353,8 @@ def _encode_prog_eobn(px, quality=75):
                 eobrun = 1
         flush_eob()
         wtr.flush()
-        return wtr.buf
+        buf += wtr.buf
+        return bytes(buf)
 
     out = bytearray(b"\xff\xd8")
     out += jpeg._dqt_segment(0, qy)
@@ -338,12 +362,14 @@ def _encode_prog_eobn(px, quality=75):
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
     out += jpeg._dht_segment(0, 0, jpeg._DC_LUMA_BITS, jpeg._DC_LUMA_VALS)
     out += jpeg._dht_segment(1, 0, ac_bits, ac_vals)
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
     def sos(ss, se):
         body = bytes([1, 1, 0x00, ss, se, 0])
         return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
 
-    out += sos(0, 0) + wtr_dc.buf
+    out += sos(0, 0) + dc_scan()
     out += sos(1, 5) + ac_scan(1, 5)
     out += sos(6, 63) + ac_scan(6, 63)
     out += b"\xff\xd9"
@@ -367,3 +393,19 @@ def test_progressive_decoder_handles_cross_block_eob_runs():
             base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
             got = jpeg.decode_jpeg(_encode_prog_eobn(img, quality=q))
             assert np.array_equal(base, got), (img.shape, q)
+
+
+def test_progressive_decoder_handles_restart_markers():
+    """DRI/RSTn inside progressive scans: byte-aligned entropy segments
+    with DC-pred and EOBRUN reset per segment — still pixel-equal to the
+    baseline decode."""
+    rng = np.random.default_rng(13)
+    for shape in [(24, 17), (40, 33)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ri in (1, 3, 5):
+            for q in (50, 85):
+                base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+                got = jpeg.decode_jpeg(
+                    _encode_prog_eobn(img, quality=q, restart_interval=ri)
+                )
+                assert np.array_equal(base, got), (shape, ri, q)
