@@ -234,6 +234,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_url_stats"] = _doc()(
         lambda d: textops.url_stats(d.withColumn("text", url_fix()))
     )
+
+    # unicode NFC normalization: the fixture corpus is pure ASCII, so both
+    # engines first inject the same doc_id-derived DECOMPOSED sequences
+    # (combining acute/tilde/ring) — the text_pii injection convention
+    def nfc_fix():
+        return F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" cafe\u0301")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" n\u0303o")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" A\u030angstro\u0308m")
+            ).otherwise(F.lit("")),
+        )
+
+    q["text_normalize_nfc"] = _doc()(
+        lambda d: textops.normalize_nfc(d.withColumn("text", nfc_fix()))
+    )
     # multimodal plumbing
     q["multimodal_metadata"] = _doc()(
         lambda d: multimodal.media_metadata(multimodal.synth_media(d))
@@ -391,6 +412,18 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = textops.doc_fingerprint_sql()
     o["text_quality_classifier"] = textops.quality_classifier_sql()
     o["text_quality_trained"] = textops.quality_trained_sql()
+    # same decomposed-sequence injection as the Spark side, via chr() so
+    # the source stays ASCII (769/771/778/776 = combining acute / tilde /
+    # ring above / diaeresis)
+    o["text_normalize_nfc"] = textops.normalize_nfc_sql(
+        text_expr=(
+            "text"
+            " || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769) ELSE '' END"
+            " || CASE WHEN doc_id % 3 = 0 THEN ' n' || chr(771) || 'o' ELSE '' END"
+            " || CASE WHEN doc_id % 5 = 0 THEN ' A' || chr(778) || 'ngstro'"
+            "    || chr(776) || 'm' ELSE '' END"
+        )
+    )
     o["text_top_words"] = textops.top_words_sql()
     o["text_packing"] = textops.pack_sequences_sql()
     o["text_chunk_windows"] = chunking.chunk_windows_sql(size=16, overlap=4)

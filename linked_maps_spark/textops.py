@@ -5,6 +5,7 @@ with an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import h32, h32_sql, tokens, word_shingles, word_shingles_sql
@@ -998,4 +999,51 @@ def search_topk_sql(terms: list[str], k: int = 10) -> str:
     GROUP BY tf.doc_id
     ORDER BY score DESC, doc_id ASC
     LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (round 5) — the corpus-cleaning step that makes
+# composed and decomposed spellings of the same word deduplicate/tokenize
+# identically ("café" as 4 codepoints vs 5).  There is no JVM SQL surface
+# for Unicode normalization, so the kernel is the honest custom path: an
+# Arrow-batched pandas UDF over unicodedata.normalize — stateless, no
+# shuffle, column-pruned scan; at 100 TB it parallelizes embarrassingly.
+# DuckDB's nfc_normalize implements the same canonical composition, so the
+# operator carries a full value oracle (parity verified for decomposed
+# latin sequences; both engines track the stable Unicode composition
+# tables for these ranges).
+
+
+def normalize_nfc(documents: DataFrame) -> DataFrame:
+    """Per-document NFC normalization with change accounting: character
+    counts before/after, whether normalization changed the text, and the
+    normalized text itself (hash-compared at the gate)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(lambda t: unicodedata.normalize("NFC", t or ""))
+
+    d = documents.withColumn("text_nfc", nfc(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length("text_nfc").cast("long").alias("n_chars_nfc"),
+        (F.col("text_nfc") != F.col("text")).alias("changed"),
+        "text_nfc",
+    ).orderBy("doc_id")
+
+
+def normalize_nfc_sql(text_expr: str = "text") -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(length({text_expr}) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize({text_expr})) AS BIGINT) AS n_chars_nfc,
+           nfc_normalize({text_expr}) <> {text_expr} AS changed,
+           nfc_normalize({text_expr}) AS text_nfc
+    FROM documents
+    ORDER BY doc_id
     """

@@ -1222,3 +1222,18 @@ def test_quality_trained_distributed_equals_driver(spark):
     w_drv = textops.train_quality_weights(docs, iters=8, mode="driver")
     w_dst = textops.train_quality_weights(docs, iters=8, mode="distributed")
     assert w_drv == w_dst
+
+
+def test_normalize_nfc_values(spark):
+    rows = [
+        (0, "plain ascii"),
+        (1, "cafe\u0301 and n\u0303o"),  # decomposed: must compose + shrink
+        (2, "caf\u00e9"),               # already composed: unchanged
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.normalize_nfc(d).collect()}
+    assert got[0]["changed"] is False and got[0]["n_chars_nfc"] == len("plain ascii")
+    assert got[1]["changed"] is True
+    assert got[1]["n_chars_raw"] - got[1]["n_chars_nfc"] == 2  # two marks folded
+    assert got[1]["text_nfc"] == "caf\u00e9 and \u00f1o"
+    assert got[2]["changed"] is False and got[2]["text_nfc"] == "caf\u00e9"
