@@ -29,8 +29,8 @@ parsing is the closest analog).  Spark-first design:
     pairs ("th"+"e") really do rival the next best pair, which is WHY naive
     top-m batching silently changes the vocabulary.
   - :func:`train_bpe_sampled`: frequency-capped sample (the GPT-2/HF
-    ``min_frequency`` design) — 2 jobs for any k at any corpus size, with
-    the count-error bound documented on the function.
+    ``min_frequency`` design) — 3 jobs regardless of k at any corpus
+    size, with the count-error bound documented on the function.
 
   Only metadata-sized results are ever collected (the 1-row argmax, the
   top-M candidate batch, or the capped type table itself).
@@ -228,7 +228,7 @@ def _train_types(
 
 # auto-dispatch ceiling: a type table at or under this collects to the
 # driver and trains with the classic incremental algorithm (O(symbols +
-# k·log P) total, ~2 Spark jobs for ANY k); above it, training stays fully
+# k·log P) total, ~3 Spark jobs for ANY k); above it, training stays fully
 # distributed via exact guarded batching (_train_distributed_batched)
 DRIVER_MAX_TYPES = 200_000
 
@@ -301,12 +301,10 @@ def train_bpe(
     n_types = seg.count()
     if mode == "auto":
         mode = "driver" if n_types <= DRIVER_MAX_TYPES else "batched"
-    parallelism = spark.sparkContext.defaultParallelism
-    parts = max(1, min(parallelism, int(n_types // 50_000) + 1))
-    if parts < parallelism:
-        seg = seg.coalesce(parts).localCheckpoint(eager=True)
 
     if mode == "driver":
+        # collect straight off the first checkpoint — the partition-width
+        # narrowing below only matters for the DISTRIBUTED round loops
         types = sorted(
             (r["word"], int(r["freq"]))
             for r in seg.select("word", "freq").collect()
@@ -317,6 +315,11 @@ def train_bpe(
         if key is not None and n_types <= _CACHE_MAX_TYPES:
             _train_cache[key] = (merges, segs)
         return merges_df, seg_out
+
+    parallelism = spark.sparkContext.defaultParallelism
+    parts = max(1, min(parallelism, int(n_types // 50_000) + 1))
+    if parts < parallelism:
+        seg = seg.coalesce(parts).localCheckpoint(eager=True)
 
     if mode == "batched":
         merges, seg = _train_distributed_batched(seg, k)
@@ -544,14 +547,17 @@ def train_bpe_sampled(
 ) -> "tuple[DataFrame, DataFrame, float]":
     """Vocab-scale trainer over a frequency-capped type sample — the way
     production tokenizers are actually trained (GPT-2/HF ``min_frequency``
-    cutoffs).  2 Spark jobs for ANY k:
+    cutoffs).  Job count is INDEPENDENT of k — three eager jobs total:
 
-    1. top-``max_types`` word types by (freq DESC, word ASC) — a
-       TakeOrderedAndProject, never a global sort — collected and trained
-       in-driver with the incremental algorithm; plus one total-mass agg.
-    2. (lazy) the FULL corpus type table re-segmented by applying the
-       learned merge sequence in one Arrow-batched pass, so :func:`encode`
-       covers words outside the sample too.
+    1. the type-table aggregation (eager localCheckpoint);
+    2. one combined count+mass aggregation (clamps the limit, reports
+       sample coverage);
+    3. the top-``min(max_types, n_types)`` types by (freq DESC, word ASC)
+       — a TakeOrderedAndProject, never a global sort — collected and
+       trained in-driver with the incremental algorithm.  The FULL corpus
+       re-segmentation (so :func:`encode` covers words outside the
+       sample) is lazy: one Arrow-batched pass riding the caller's next
+       action.
 
     Returns ``(merges, segmentations, sample_mass)`` where ``sample_mass``
     is the sampled fraction of corpus word occurrences.  Error bound
@@ -565,17 +571,20 @@ def train_bpe_sampled(
     BIT-IDENTICAL to every other mode (hypothesis-pinned)."""
     spark = documents.sparkSession
     wt = word_types(documents).localCheckpoint(eager=True)
-    # clamp the limit to the actual type count: Spark's takeOrdered
-    # preallocates a 2k-element buffer PER PARTITION, so an effectively
-    # unbounded max_types (say 10^9, "keep everything") would OOM the
-    # executors before reading a single row
-    n_types = wt.count()
+    # ONE metadata-sized job for both the clamp value and the total mass.
+    # The clamp matters: Spark's takeOrdered preallocates a 2k-element
+    # buffer PER PARTITION, so an effectively unbounded max_types (say
+    # 10^9, "keep everything") would OOM the executors before reading a
+    # single row
+    agg = wt.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("freq").alias("m")
+    ).collect()[0]
+    n_types, total = int(agg["n"]), int(agg["m"] or 0)
     sample = (
         wt.orderBy(F.desc("freq"), "word")
         .limit(min(max_types, n_types))
         .collect()
     )
-    total = wt.agg(F.sum("freq").alias("m")).collect()[0]["m"] or 0
     mass = sum(int(r["freq"]) for r in sample)
     types = sorted((r["word"], int(r["freq"])) for r in sample)
     merges, _ = _train_types(types, k)

@@ -841,14 +841,22 @@ class CdcEngine:
         never salting keys that turn hot after bucket validation."""
         if self._hot_carry is None:
             return
-        if "://" in scratch and not scratch.startswith("file:"):
+        if scratch.startswith("file:"):
+            # file:-scheme warehouses ARE local — strip the scheme so the
+            # driver-side fast path below applies (file:///x → /x)
+            scratch = "/" + scratch[5:].lstrip("/")
+        elif "://" in scratch:
+            from pyspark.errors.exceptions.captured import AnalysisException
+
             try:
                 rows = (
                     self.spark.read.parquet(os.path.join(scratch, "kind=hot"))
                     .select("repo", "path").collect()
                 )
-            except Exception:
-                # no kind=hot partition was written this epoch (no hot keys)
+            except AnalysisException:
+                # no kind=hot partition was written this epoch (no hot
+                # keys); any OTHER failure (credentials, throttling) must
+                # propagate — silently dropping it would disable salting
                 return
             self._hot_carry.update((r["repo"], r["path"]) for r in rows)
             return

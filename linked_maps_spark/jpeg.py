@@ -512,6 +512,57 @@ def _split_entropy(b: bytes, pos: int):
     return segments, pos
 
 
+def _parse_dqt(body: bytes, qtables: dict) -> None:
+    """DQT segment body → 8×8 int64 tables (shared by both decoders)."""
+    off = 0
+    while off < len(body):
+        pq, tid = body[off] >> 4, body[off] & 0xF
+        if pq != 0:
+            raise NotImplementedError("16-bit quant tables")
+        tbl = np.zeros(64, dtype=np.int64)
+        tbl[_ZIGZAG] = np.frombuffer(body, dtype=np.uint8, count=64, offset=off + 1)
+        qtables[tid] = tbl.reshape(8, 8)
+        off += 65
+
+
+def _parse_dht(body: bytes, hufftables: dict) -> None:
+    """DHT segment body → ``_HuffLUT`` per (class, id) (shared)."""
+    off = 0
+    while off < len(body):
+        tclass, tid = body[off] >> 4, body[off] & 0xF
+        bits = list(body[off + 1 : off + 17])
+        nval = sum(bits)
+        vals = list(body[off + 17 : off + 17 + nval])
+        hufftables[(tclass, tid)] = _HuffLUT(bits, vals)
+        off += 17 + nval
+
+
+def _reconstruct(planes_info, fh: int, fw: int, hmax: int, vmax: int) -> np.ndarray:
+    """Shared decoder tail: per component (zigzag coefs, qtbl, hi, vi,
+    width-in-blocks) → dequantize → de-zigzag → IDCT → upsample → crop →
+    (grey | YCbCr→RGB) uint8."""
+    out_planes = []
+    for zz, qtbl, hi, vi, wb in planes_info:
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz
+        coef = (nat.reshape(-1, 8, 8) * qtbl[None, :, :]).astype(np.float64)
+        blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT, optimize=True)
+        plane = _from_blocks(blocks, zz.shape[0] // wb * 8, wb * 8) + 128.0
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:fh, :fw])
+    if len(out_planes) == 1:
+        grey = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return grey[:, :, None]
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    rgb = np.stack([r, g, bch], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline JPEG → (h, w, 1) greyscale or (h, w, 3) RGB uint8."""
     b = bytes(payload)
@@ -538,26 +589,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         body = b[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xDB:  # DQT
-            off = 0
-            while off < len(body):
-                pq, tid = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=off + 1
-                )
-                qtables[tid] = tbl.reshape(8, 8)
-                off += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT
-            off = 0
-            while off < len(body):
-                tclass, tid = body[off] >> 4, body[off] & 0xF
-                bits = list(body[off + 1 : off + 17])
-                nval = sum(bits)
-                vals = list(body[off + 17 : off + 17 + nval])
-                hufftables[(tclass, tid)] = _HuffLUT(bits, vals)
-                off += 17 + nval
+            _parse_dht(body, hufftables)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -646,32 +680,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if mcu >= nmcu:
             break
 
-    out_planes = []
-    for idx, (cid, _dc, _ac) in enumerate(scan_comps):
-        hi, vi, _tq = by_id[cid]
-        _dcl, _acl, qtbl = comp_tabs[idx]
-        zz = planes[idx]
-        nat = np.zeros_like(zz)
-        nat[:, _ZIGZAG] = zz
-        coef = (nat.reshape(-1, 8, 8) * qtbl[None, :, :]).astype(np.float64)
-        blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT, optimize=True)
-        wb = widths_b[idx]
-        plane = _from_blocks(blocks, zz.shape[0] // wb * 8, wb * 8) + 128.0
-        # upsample to full MCU-padded resolution, then crop to frame
-        ry, rx = vmax // vi, hmax // hi
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out_planes.append(plane[:fh, :fw])
-
-    if len(out_planes) == 1:
-        grey = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return grey[:, :, None]
-    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bch = y + 1.772 * cb
-    rgb = np.stack([r, g, bch], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _reconstruct(
+        [
+            (planes[idx], comp_tabs[idx][2], *by_id[cid][:2], widths_b[idx])
+            for idx, (cid, _dc, _ac) in enumerate(scan_comps)
+        ],
+        fh, fw, hmax, vmax,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1077,26 +1092,9 @@ def _decode_progressive(b: bytes) -> np.ndarray:
         body = b[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xDB:
-            off = 0
-            while off < len(body):
-                pq, tid = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=off + 1
-                )
-                qtables[tid] = tbl.reshape(8, 8)
-                off += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:
-            off = 0
-            while off < len(body):
-                tclass, tid = body[off] >> 4, body[off] & 0xF
-                bits = list(body[off + 1 : off + 17])
-                nval = sum(bits)
-                vals = list(body[off + 17 : off + 17 + nval])
-                hufftables[(tclass, tid)] = _HuffLUT(bits, vals)
-                off += 17 + nval
+            _parse_dht(body, hufftables)
         elif marker == 0xC2:
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
@@ -1135,27 +1133,10 @@ def _decode_progressive(b: bytes) -> np.ndarray:
     if frame is None:
         raise ValueError("progressive JPEG missing SOF2")
     fh, fw = frame
-    out_planes = []
-    for idx, (cid, hi, vi, tq) in enumerate(comps):
-        zz = coef[idx]
-        nat = np.zeros_like(zz)
-        nat[:, _ZIGZAG] = zz
-        qtbl = qtables[tq]
-        c = (nat.reshape(-1, 8, 8) * qtbl[None, :, :]).astype(np.float64)
-        blocks = np.einsum("ji,njk,kl->nil", _DCT, c, _DCT, optimize=True)
-        wb = widths_b[idx]
-        plane = _from_blocks(blocks, zz.shape[0] // wb * 8, wb * 8) + 128.0
-        ry, rx = vmax // vi, hmax // hi
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out_planes.append(plane[:fh, :fw])
-
-    if len(out_planes) == 1:
-        grey = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return grey[:, :, None]
-    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    bch = y + 1.772 * cb
-    rgb = np.stack([r, g, bch], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _reconstruct(
+        [
+            (coef[idx], qtables[tq], hi, vi, widths_b[idx])
+            for idx, (cid, hi, vi, tq) in enumerate(comps)
+        ],
+        fh, fw, hmax, vmax,
+    )

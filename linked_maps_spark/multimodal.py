@@ -659,8 +659,10 @@ def jpeg_roundtrip_stats(
                 ).astype(np.uint8)
                 if codec == "progressive":
                     payload = codecs.encode_progressive_jpeg(img, quality=50)
-                else:
+                elif codec == "baseline":
                     payload = codecs.encode_jpeg(img, quality=50)
+                else:  # honest dispatch: a typo must not silently pass
+                    raise ValueError(f"unknown jpeg codec {codec!r}")
                 dec = codecs.decode_jpeg(payload)
                 plane = dec[:, :, 0].astype(np.int64)
                 h, w = plane.shape

@@ -214,7 +214,8 @@ def build_vec_index(
         # stored one) would mix incompatible cell/band/code spaces in one
         # table; trained=None follows the table
         asked = {"n_cells": n_cells, "n_planes": n_planes,
-                 "n_bands": n_bands, "dim": dim}
+                 "n_bands": n_bands, "dim": dim,
+                 "pq_m": pq_m, "pq_ksub": pq_ksub}
         drift = {k: (v, params[k]) for k, v in asked.items()
                  if params[k] is not None and params[k] != v}
         if trained is True and cents is None:
