@@ -78,23 +78,37 @@ _PREWARMED: set[str] = set()
 
 
 def prewarm_workers(spark: SparkSession, block: bool = False) -> None:
-    """Boot the executor python-worker pool and import the fold's modules
-    ahead of the first fold stage.
+    """Boot the executor python-worker pool, import the fold's modules and
+    COMPILE-WARM the epoch plan shapes ahead of the first fold stage.
 
-    The first mapInPandas stage of a fresh session pays worker fork +
-    package import inside its own tasks — measured 3.8 s across 32 local
-    workers (a warm rerun of the identical stage: 0.5 s).  Booting the
-    pool from a daemon thread at engine construction overlaps that cost
-    with the caller's WAL load and the epoch's stats job, so the fold
-    stage starts against warm workers.  One warmup per applicationId;
-    failures are swallowed (a stopped session just means nothing to warm).
-    On a real cluster the same trick overlaps worker boot with driver-side
-    planning; it never changes results, only where the boot cost lands.
+    Two costs of a fresh session are hoisted off the first epoch's critical
+    path into this (normally background) warmup:
+
+    * **worker boot** — the first mapInPandas stage pays worker fork +
+      package import inside its own tasks (measured 3.8 s across 32 local
+      workers; a warm rerun of the identical stage: 0.5 s);
+    * **first-run plan cost** — the epoch's combined fold+write job pays
+      whole-stage-codegen compilation, janino/class loading, Arrow and
+      parquet-writer setup on its first execution (measured ~4 s on a
+      2-ROW input, i.e. pure fixed cost).  A micro ingest over a 2-key
+      synthetic WAL into a throwaway warehouse executes the exact same
+      plan shapes; the epoch projection carries no per-epoch literals (see
+      ``_prepare_epoch``), and string literals land in the codegen
+      references array rather than the source, so the generated code is
+      byte-identical and the real epoch's compile becomes a cache hit.
+
+    One warmup per applicationId; failures are swallowed (a stopped
+    session just means nothing to warm).  Results are never affected —
+    the micro warehouse is created and deleted under a temp dir; only
+    where the boot/compile cost lands changes.  ``LMS_PLAN_WARM=0``
+    disables the plan-compile half (the test suite does, to keep its
+    small fixed-core sessions deterministic).
     """
     app = spark.sparkContext.applicationId
     if app in _PREWARMED:
         return
     _PREWARMED.add(app)
+    plan_warm = os.environ.get("LMS_PLAN_WARM", "1") != "0"
 
     def noop(it):
         import linked_maps_spark.fold  # noqa: F401 — the fold fn's imports
@@ -103,8 +117,14 @@ def prewarm_workers(spark: SparkSession, block: bool = False) -> None:
 
     def run() -> None:
         try:
-            dp = spark.sparkContext.defaultParallelism
-            spark.range(dp, numPartitions=dp).mapInPandas(noop, "id long").count()
+            if plan_warm:
+                # the micro ingest's own fold stage boots the worker pool
+                # (its shuffle width is floored at defaultParallelism), so
+                # the separate noop stage would be redundant
+                _plan_warm(spark)
+            else:
+                dp = spark.sparkContext.defaultParallelism
+                spark.range(dp, numPartitions=dp).mapInPandas(noop, "id long").count()
         except Exception:
             pass
 
@@ -112,6 +132,28 @@ def prewarm_workers(spark: SparkSession, block: bool = False) -> None:
         run()
     else:
         threading.Thread(target=run, name="lms-prewarm", daemon=True).start()
+
+
+def _plan_warm(spark: SparkSession) -> None:
+    """Run a 2-key, 1-commit micro ingest into a throwaway warehouse so the
+    session's codegen/class caches hold every epoch plan shape (stats agg,
+    fold + combined dynamic-partition write, manifest adopt, accounting
+    appends) before the first real epoch executes them."""
+    import tempfile
+
+    from .changelog import synth_change_log, to_spark
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix="lms_planwarm_", dir=scratch)
+    try:
+        eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=32)
+        eng.create_tables(overwrite=True)
+        eng.ingest(
+            to_spark(spark, synth_change_log(n_keys=2, n_commits=1, seed=1)),
+            commits_per_epoch=1,
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 def _fold_width(
@@ -956,10 +998,12 @@ class CdcEngine:
             # one metadata-sized job over the (micro-)batch: distinct
             # commits WITHOUT the watermark pushdown, so the batch's true
             # lo/hi are known for the misorder guard / stats; the replay
-            # skip applies driver-side instead
+            # skip applies driver-side instead.  collect_set partial-
+            # aggregates map-side into ONE final task — `.distinct()` here
+            # paid a full shuffle-partition-wide reduce stage (128 tiny
+            # tasks at the session default) for a handful of labels.
             all_commits = sorted(
-                r["commit"]
-                for r in change_log.select("commit").distinct().collect()
+                change_log.agg(F.collect_set("commit")).collect()[0][0] or []
             )
             if guard_min_commit is not None and all_commits and (
                 all_commits[0] <= guard_min_commit
@@ -982,14 +1026,26 @@ class CdcEngine:
         else:
             # batch path: keep the commit > watermark predicate IN the scan
             # — on a resume over deep WAL history the pushed filter prunes
-            # already-ingested files at the parquet-footer level
+            # already-ingested files at the parquet-footer level.  Same
+            # collect_set shape as above: map-side partial agg, one final
+            # task, no wide distinct stage.
             pending = (
-                change_log.select("commit").distinct()
-                .filter(F.col("commit") > F.lit(wm)) if wm is not None
-                else change_log.select("commit").distinct()
+                change_log.filter(F.col("commit") > F.lit(wm))
+                if wm is not None else change_log
             )
-            commits = sorted(r["commit"] for r in pending.collect())
-        epoch0 = (self.commit_log.read().count() or 0)
+            commits = sorted(
+                pending.agg(F.collect_set("commit")).collect()[0][0] or []
+            )
+        # O(1) epoch numbering: every commit-log append records its epoch in
+        # the snapshot summary, so the next epoch id is a manifest read —
+        # the count() job this replaces cost a full (tiny) Spark job per
+        # ingest call.  Fallback to the count only when no summary carries
+        # an epoch (e.g. right after log compaction + expiry).
+        last_epoch = self.commit_log.latest_summary_value("epoch")
+        epoch0 = (
+            int(last_epoch) + 1 if last_epoch is not None
+            else (self.commit_log.read().count() or 0)
+        )
         chunks = [
             commits[i : i + commits_per_epoch]
             for i in range(0, len(commits), commits_per_epoch)
@@ -1098,11 +1154,15 @@ class CdcEngine:
                     df = df.withColumn("attempt", F.lit(0).cast("long"))
                 else:
                     # the O(1) watermark reads the newest snapshot summary's
-                    # end_commit; the compaction overwrite must carry it
-                    # forward or expiry could strand the metadata path
+                    # end_commit (and the epoch numbering its epoch); the
+                    # compaction overwrite must carry both forward or expiry
+                    # could strand the metadata paths
                     wm = self.watermark()
                     if wm is not None:
                         summary["end_commit"] = wm
+                    ep = self.commit_log.latest_summary_value("epoch")
+                    if ep is not None:
+                        summary["epoch"] = ep
                 tbl.overwrite(df, summary=summary)
         expire = [self.segments, self.relations, self.commit_log, self.metrics]
         if has_dead:
@@ -1166,22 +1226,35 @@ class CdcEngine:
         mark("start")
         batch = change_log.filter(
             (F.col("commit") >= F.lit(start_commit)) & (F.col("commit") <= F.lit(end_commit))
-        ).cache()
+        )
+        # second-layer cache only when the caller's change_log is NOT
+        # already persisted: re-filtering a cached parent per consumer is
+        # cheaper than materializing another in-memory copy of the batch,
+        # while an uncached WAL (the production parquet tail) must still be
+        # read from storage exactly once per epoch
+        own_cache = not (
+            change_log.storageLevel.useMemory or change_log.storageLevel.useDisk
+        )
+        if own_cache:
+            batch = batch.cache()
         # (within-batch duplicate events are collapsed deterministically
         # inside the fold — no separate window shuffle needed)
 
-        # one driver job: event/key counts + the set of table buckets this
-        # batch touches (bucket count is bounded by n_buckets, so the collect
-        # stays driver-light at any scale)
+        # one driver job: event count + the set of table buckets this batch
+        # touches (bucket count is bounded by n_buckets, so the collect
+        # stays driver-light at any scale).  The exact distinct-key count is
+        # NOT computed here: countDistinct planned an extra expand + a full
+        # shuffle-partition-wide dedup stage per epoch, and the fold's own
+        # per-task accounting rows already count each folded key exactly
+        # once — n_keys is summed from them at commit time for free.
         stats = batch.agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct("repo", "path").alias("k"),
             F.collect_set(self.segments.bucket_expr(batch)).alias("bks"),
             # relations may have a different bucket count after rebucketing —
             # its touched set is computed separately in the same job
             F.collect_set(self.relations.bucket_expr(batch)).alias("rbks"),
         ).collect()[0]
-        n_events, n_keys = stats["n"], stats["k"]
+        n_events = stats["n"]
         buckets = sorted(stats["bks"])
         rel_buckets = sorted(stats["rbks"])
         mark("stats")
@@ -1197,7 +1270,11 @@ class CdcEngine:
         # pipeline's in-flight writes.)
         seg_applied = self.segments.latest_summary_value("end_commit")
         if seg_applied is not None and str(seg_applied) >= end_commit:
-            batch.unpersist()
+            # replay-only path: no fold runs, so the commit-log row's key
+            # count comes from a dedicated (rare) job here
+            n_keys = batch.select("repo", "path").distinct().count()
+            if own_cache:
+                batch.unpersist()
             return {
                 "skip": True, "epoch": epoch, "start_commit": start_commit,
                 "end_commit": end_commit, "n_events": n_events,
@@ -1211,7 +1288,26 @@ class CdcEngine:
         # the same anti-join ∪ override the MERGE itself will apply.
         batch_keys = batch.select("repo", "path").distinct()
         keep = set(buckets)
-        leaves = self._leaves_for(batch_keys, buckets, patch_changes)
+        # manifest row-count upper bound for the touched buckets (driver-side
+        # arithmetic, no job) — sizes the fold shuffle below AND, when it
+        # proves the touched buckets hold ZERO state rows (fresh table,
+        # append-only keys), lets the resume-state subtree be skipped
+        # outright: no bucket scan, no batch-keys distinct + broadcast
+        # semi-join, a leaner union/codegen unit for the fold stage.
+        state_rows: int | None = 0
+        for f in self.segments.snapshot()["files"]:
+            if f["bucket"] in keep:
+                if f.get("rows") is None:
+                    state_rows = None
+                    break
+                state_rows += f["rows"]
+        if state_rows == 0 and patch_changes is None:
+            # provably-empty resume state: an empty local relation with the
+            # table's current schema keeps the evolution columns visible to
+            # the extras merge while Catalyst folds the union side away
+            leaves = self.spark.createDataFrame([], self.segments.schema())
+        else:
+            leaves = self._leaves_for(batch_keys, buckets, patch_changes)
         # schema evolution: extra columns from either side, deduped by NAME
         # (an evolved column present in both with different types must not
         # yield two same-named output columns); the lake table's type wins
@@ -1266,14 +1362,8 @@ class CdcEngine:
         # unchanged.  Unknown per-file row stats disable the shrink
         # (conservative).  AQE can't do this for us: the width must be
         # chosen BEFORE the shuffle that the bucketed COW write reuses.
-        state_rows: int | None = 0
-        touched = set(buckets)
-        for f in self.segments.snapshot()["files"]:
-            if f["bucket"] in touched:
-                if f.get("rows") is None:
-                    state_rows = None
-                    break
-                state_rows += f["rows"]
+        # (state_rows was computed from the manifest above, before the
+        # resume-state read was planned.)
         n_parts = _fold_width(
             n_parts,
             self.spark.sparkContext.defaultParallelism,
@@ -1401,7 +1491,10 @@ class CdcEngine:
         attempt = self.metrics.version() + 1
         prep = {
             "epoch": epoch, "start_commit": start_commit, "end_commit": end_commit,
-            "n_events": n_events, "n_keys": n_keys, "t0": t0,
+            # n_keys is filled in by the metrics assembly (met_fast/met_slow
+            # sum the fold's per-task key counts) before _finish_epoch reads
+            # it — no dedicated countDistinct job on the epoch critical path
+            "n_events": n_events, "t0": t0,
             "buckets": buckets, "rel_buckets": rel_buckets,
             "trace": trace, "marks": marks, "attempt": attempt,
         }
@@ -1445,18 +1538,22 @@ class CdcEngine:
                 # epoch/attempt into every table row forever)
                 return F.when(F.col("kind") == "timing", col)
 
+            # epoch / attempt / n_events are NOT written into the files:
+            # they are per-epoch constants the driver already knows, and the
+            # metrics assembly (met_fast) stamps them when it reads the
+            # timing rows back.  Keeping per-epoch literals out of this
+            # projection makes the whole post-shuffle stage's generated code
+            # byte-identical across epochs and engines, so whole-stage
+            # codegen compiles once per session instead of once per epoch.
             combined = folded.select(
                 "kind",
                 *seg_cols_x,
                 "parent_gid", "child_gid",
-                m(F.lit(epoch).cast("long")).alias("epoch"),
                 m(F.col("_pid")).alias("partition_id"),
                 m(F.col("_n_keys")).alias("n_keys"),
                 m(F.col("_n_segments")).alias("n_segments"),
                 m(F.col("_n_relations")).alias("n_relations"),
-                F.lit(None).cast("long").alias("n_events"),
                 m(F.col("_wall_ms")).alias("wall_ms"),
-                m(F.lit(attempt).cast("long")).alias("attempt"),
                 bucket_col.alias("_bucket"),
             )
             scratch = os.path.join(self.warehouse, "_stage", f"e{epoch}")
@@ -1532,7 +1629,8 @@ class CdcEngine:
                 patch_df=changes.filter(F.col("kind") == "segment").select(*seg_cols_x),
                 release=lambda: changes.unpersist(),
             )
-        batch.unpersist()
+        if own_cache:
+            batch.unpersist()
         return prep
 
     #: metric column order (must track METRICS_SCHEMA)
@@ -1617,6 +1715,7 @@ class CdcEngine:
             # ONE Spark job (the tiny per-task agg collect); the file write
             # and manifest land driver-side
             rows = [r.asDict() for r in mrows.collect()]
+            prep["met_n_keys"] = sum(r["n_keys"] or 0 for r in rows)
             return self._metrics_commit_from_rows(rows, epoch)
 
         prep["f_met"] = pool.submit(timed("met", met_slow))
@@ -1696,36 +1795,47 @@ class CdcEngine:
         ))
         if os.path.isdir(tim_dir):
 
-            def met_fast(tim_dir=tim_dir, epoch=epoch):
+            def met_fast(tim_dir=tim_dir, epoch=epoch, attempt=prep["attempt"]):
                 # timing rows are one-per-fold-task: read them driver-side
                 # (pyarrow) and aggregate in plain python — no Spark job at
-                # all on this leg
+                # all on this leg.  epoch/attempt/n_events are stamped HERE
+                # (per-epoch driver constants) so the combined write's
+                # projection carries no per-epoch literals — see the codegen
+                # note in _prepare_epoch.
                 import glob
 
                 import pyarrow.parquet as pq
 
+                cols = ["partition_id", "n_keys", "n_segments",
+                        "n_relations", "wall_ms"]
                 raw = []
                 for p in sorted(glob.glob(
                     os.path.join(tim_dir, "**", "*.parquet"), recursive=True
                 )):
-                    raw.extend(
-                        pq.read_table(p, columns=self._MET_COLS).to_pylist()
-                    )
-                agg: dict[tuple, dict] = {}
+                    raw.extend(pq.read_table(p, columns=cols).to_pylist())
+                agg: dict[int, dict] = {}
                 for r in raw:
-                    k = (r["epoch"], r["partition_id"])
+                    k = r["partition_id"]
                     a = agg.get(k)
                     if a is None:
                         agg[k] = dict(r)
                         continue
                     for c in ("n_keys", "n_segments", "n_relations"):
                         a[c] = (a[c] or 0) + (r[c] or 0)
-                    for c in ("n_events", "wall_ms", "attempt"):
-                        if r[c] is not None and (a[c] is None or r[c] > a[c]):
-                            a[c] = r[c]
-                return self._metrics_commit_from_rows(
-                    [agg[k] for k in sorted(agg)], epoch
-                )
+                    if r["wall_ms"] is not None and (
+                        a["wall_ms"] is None or r["wall_ms"] > a["wall_ms"]
+                    ):
+                        a["wall_ms"] = r["wall_ms"]
+                rows = [
+                    {"epoch": epoch, "n_events": None, "attempt": attempt,
+                     **agg[k]}
+                    for k in sorted(agg)
+                ]
+                # the fold counted each distinct key exactly once across its
+                # tasks — the commit-log row reads the epoch's key count off
+                # this accounting instead of paying a countDistinct job
+                prep["met_n_keys"] = sum(r["n_keys"] or 0 for r in rows)
+                return self._metrics_commit_from_rows(rows, epoch)
 
             prep["f_met"] = pool.submit(timed("met", met_fast))
         else:
@@ -1817,7 +1927,7 @@ class CdcEngine:
             raise RuntimeError("injected crash: after segments merge, before commit log")
         es = self._finish_epoch(
             prep["epoch"], prep["start_commit"], prep["end_commit"],
-            prep["n_events"], prep["n_keys"], prep["t0"],
+            prep["n_events"], prep.get("met_n_keys", 0), prep["t0"],
         )
         if prep["fast"]:
             # adopted files are hard links; the scratch names are no longer
@@ -1883,21 +1993,42 @@ class CdcEngine:
         epoch durable.  Written LAST; also the entire replay path for an
         epoch whose state writes already landed."""
         wall_ms = (time.monotonic() - t0) * 1000.0
-        # literal-projection row (NOT createDataFrame-from-tuples, whose
-        # python-RDD plan costs ~5-8 s per write job in this runtime)
-        vals = {
-            "epoch": F.lit(epoch).cast("long"),
-            "start_commit": F.lit(start_commit),
-            "end_commit": F.lit(end_commit),
-            "n_events": F.lit(n_events).cast("long"),
-            "n_keys": F.lit(n_keys).cast("long"),
-            "wall_ms": F.lit(wall_ms),
-            "throughput_eps": F.lit(
+        summary = {"epoch": epoch, "end_commit": end_commit}
+        row = {
+            "epoch": int(epoch),
+            "start_commit": start_commit,
+            "end_commit": end_commit,
+            "n_events": int(n_events),
+            "n_keys": int(n_keys),
+            "wall_ms": float(wall_ms),
+            "throughput_eps": float(
                 n_events / (wall_ms / 1000.0) if wall_ms else 0.0
             ),
         }
-        log_row = self.spark.range(1).select(
-            *[v.alias(c) for c, v in vals.items()]
-        )
-        self.commit_log.append(log_row, summary={"epoch": epoch, "end_commit": end_commit})
+        log_cols = [c.split()[0] for c in COMMIT_LOG_SCHEMA.split(", ")]
+        if [f.name for f in self.commit_log.schema().fields] == log_cols:
+            # one accounting row: write it driver-side (pyarrow), the
+            # metrics append_arrow pattern — the Spark literal-projection
+            # write this replaces was a full (tiny) job per epoch
+            import pyarrow as pa
+
+            tbl = pa.Table.from_pylist([row], schema=pa.schema([
+                ("epoch", pa.int64()),
+                ("start_commit", pa.string()),
+                ("end_commit", pa.string()),
+                ("n_events", pa.int64()),
+                ("n_keys", pa.int64()),
+                ("wall_ms", pa.float64()),
+                ("throughput_eps", pa.float64()),
+            ]))
+            self.commit_log.append_arrow(tbl, summary=summary)
+        else:
+            # evolved/legacy commit-log schema: keep the Spark append
+            # (literal-projection row, NOT createDataFrame-from-tuples,
+            # whose python-RDD plan costs ~5-8 s per write in this runtime)
+            types = dict(s.split(" ", 1) for s in COMMIT_LOG_SCHEMA.split(", "))
+            log_row = self.spark.range(1).select(
+                *[F.lit(row[c]).cast(types[c]).alias(c) for c in log_cols]
+            )
+            self.commit_log.append(log_row, summary=summary)
         return EpochStats(epoch, start_commit, end_commit, n_events, n_keys, wall_ms)

@@ -85,13 +85,26 @@ def pricing_summary(spark, sf_dir):
 )
 def top_orders_by_revenue(spark, sf_dir):
     """TPC-H Q3 pattern: 3-way join → agg → deterministic top-k.
-    ``customer`` is broadcast (small dim)."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders")
+
+    Join order: orders ⋈ broadcast(BUILDING customers) FIRST, then the
+    surviving order keys (a single bigint column, ~1/5 of orders) broadcast
+    to lineitem — the fact table is never shuffled and non-qualifying
+    lineitem rows die at the first join probe.  The old shape broadcast the
+    ENTIRE orders key set to lineitem and applied the customer filter only
+    after that join: 5× the broadcast bytes and 5× the rows surviving into
+    the second join for identical results (both joins are FK equi-joins on
+    unique keys, so reordering never changes multiplicity)."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem")
+    bo = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey")
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(F.broadcast(bo), l.l_orderkey == bo.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.sum(
@@ -178,16 +191,25 @@ def customers_without_orders(spark, sf_dir):
     """,
 )
 def customers_single_priority(spark, sf_dir):
-    """A5 / UI query 2 pattern: GROUP BY … HAVING COUNT(DISTINCT x) = 1."""
+    """A5 / UI query 2 pattern: GROUP BY … HAVING COUNT(DISTINCT x) = 1.
+
+    COUNT(DISTINCT) = 1 is evaluated as ``min(x) = max(x)`` — exactly
+    equivalent for every input (both ignore NULLs; an all-NULL group yields
+    a NULL comparison, dropped by the filter just as distinct-count 0 ≠ 1
+    is), but it aggregates in ONE pass: Spark plans countDistinct alongside
+    count(*) as two stacked aggregates with two exchanges (partial by
+    (key, x), dedup, re-agg by key); min/max fold into the same partial agg
+    as the count, halving the shuffles (plan: 3 Exchanges → 2)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
         o.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_orderpriority").alias("n_prio"),
+            F.min("o_orderpriority").alias("_pmin"),
+            F.max("o_orderpriority").alias("_pmax"),
         )
-        .filter(F.col("n_prio") == 1)
-        .drop("n_prio")
+        .filter(F.col("_pmin") == F.col("_pmax"))
+        .drop("_pmin", "_pmax")
         .orderBy("c_custkey")
     )
 

@@ -803,3 +803,39 @@ def test_fold_width_adaptive():
     assert _fold_width(128, 32, 100, None) == 128
     # never below the configured count when it IS the floor (test configs)
     assert _fold_width(4, 4, 490, 0) == 4
+
+
+def test_plan_warm_micro_ingest(spark, tmp_path, wal_pdf, full):
+    """The prewarm plan-compile path (a micro ingest into a throwaway
+    warehouse) must leave no state behind and must not perturb a real
+    ingest's results: digest equality against the shared fixture run."""
+    import glob
+    import os
+
+    from linked_maps_spark.ingest import _plan_warm
+
+    _plan_warm(spark)  # blocking call of the background warm body
+    # throwaway warehouse cleaned up
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else (
+        os.environ.get("TMPDIR", "/tmp")
+    )
+    assert not glob.glob(os.path.join(scratch, "lms_planwarm_*"))
+    # a real ingest after the warm is bit-identical to the fixture run
+    eng_ref, _ = full
+    eng = _engine(spark, tmp_path, "after_warm")
+    eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+    assert _seg_digest(eng) == _seg_digest(eng_ref)
+
+
+def test_commit_log_epoch_numbering_summary_path(spark, tmp_path, wal_pdf):
+    """Epoch ids come from the commit-log snapshot summary (O(1) manifest
+    read); resumed ingests must keep numbering contiguous across calls."""
+    eng = _engine(spark, tmp_path, "epochnum")
+    eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2, max_epochs=1)
+    eng.ingest(to_spark(spark, wal_pdf), commits_per_epoch=2)
+    log = eng.commit_log.read().orderBy("epoch").collect()
+    assert [r["epoch"] for r in log] == list(range(len(log)))
+    assert len(log) == 3  # 5 commits / 2 per epoch
+    # n_keys comes from the fold's own accounting now: every epoch touched
+    # all N_KEYS keys (the synth WAL writes every key every commit)
+    assert all(r["n_keys"] == N_KEYS for r in log)
