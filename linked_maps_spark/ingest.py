@@ -145,14 +145,19 @@ def _plan_warm(spark: SparkSession) -> None:
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     wh = tempfile.mkdtemp(prefix="lms_planwarm_", dir=scratch)
+    # the micro WAL is CACHED like a production batch feed: the fold job's
+    # input stage then compiles against the same InMemoryTableScan + commit-
+    # range filter shape a real epoch reads through (an uncached local
+    # relation here left that stage's codegen cold — measured ~2 s still
+    # paid by the first real fold)
+    wal = to_spark(spark, synth_change_log(n_keys=2, n_commits=1, seed=1)).cache()
     try:
+        wal.count()
         eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=32)
         eng.create_tables(overwrite=True)
-        eng.ingest(
-            to_spark(spark, synth_change_log(n_keys=2, n_commits=1, seed=1)),
-            commits_per_epoch=1,
-        )
+        eng.ingest(wal, commits_per_epoch=1)
     finally:
+        wal.unpersist()
         shutil.rmtree(wh, ignore_errors=True)
 
 
