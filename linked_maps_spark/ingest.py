@@ -900,11 +900,18 @@ class CdcEngine:
                     self.spark.read.parquet(os.path.join(scratch, "kind=hot"))
                     .select("repo", "path").collect()
                 )
-            except AnalysisException:
-                # no kind=hot partition was written this epoch (no hot
-                # keys); any OTHER failure (credentials, throttling) must
-                # propagate — silently dropping it would disable salting
-                return
+            except AnalysisException as exc:
+                # ONLY a missing kind=hot partition means "no hot keys this
+                # epoch"; AnalysisException also covers schema/column
+                # errors, which must propagate instead of silently
+                # disabling hot-key salting
+                cls = getattr(exc, "getErrorClass", lambda: None)() or ""
+                msg = str(exc)
+                if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in msg or (
+                    "Path does not exist" in msg
+                ):
+                    return
+                raise
             self._hot_carry.update((r["repo"], r["path"]) for r in rows)
             return
         hot_dir = os.path.join(scratch, "kind=hot")

@@ -19,12 +19,36 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .dedup import MAX_KEY_DF, h32
 
 
-def _dot(a, b):
-    return F.aggregate(
+#: the standard embedding width of this engine's vector surface — used only
+#: to pick the FAST dot-product form; rows of any other width take the
+#: fold fallback with identical results
+EMB_DIM = 64
+
+
+def _dot(a, b, dim: int | None = None):
+    """Sequential left-fold dot product in float64 — bit-compatible with
+    DuckDB's ``list_dot_product`` over ``DOUBLE[]``.
+
+    With ``dim``, emit a statically-unrolled ``0.0 + a1·b1 + … + an·bn``
+    guarded by a per-row size check: the SAME multiply/add sequence in the
+    SAME order (Catalyst's ReorderAssociativeOperator only reassociates
+    integral types, so doubles keep source order), but whole-stage-codegen
+    compiles it instead of interpreting a lambda per element — measured
+    ~6 µs → ~1 µs per 64-dim dot.  Rows of any other width fall back to
+    the fold, so the expression is exact for all inputs."""
+    fold = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    if dim is None:
+        return fold
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return F.when(
+        (F.size(a) == F.lit(dim)) & (F.size(b) == F.lit(dim)), acc
+    ).otherwise(fold)
 
 
 def _as_double(col):
@@ -33,7 +57,9 @@ def _as_double(col):
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     v = _as_double(F.col(vec))
-    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    return df.withColumn("_v", v).withColumn(
+        "_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"), dim=EMB_DIM))
+    )
 
 
 def cosine_topk(
@@ -50,7 +76,7 @@ def cosine_topk(
     pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+        F.round(_dot(F.col("_v"), F.col("_qv"), dim=EMB_DIM) / (F.col("_norm") * F.col("_qn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -105,7 +131,7 @@ def lsh_band_array(
     ]
     base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
     bits = [
-        F.when(_dot(F.col("_v"), F.col(f"plane_{p}")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(_dot(F.col("_v"), F.col(f"plane_{p}"), dim=dim) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in range(n_planes)
     ]
     band_vals = F.array(
@@ -165,8 +191,8 @@ def _ivf_sims(
     base = with_norm(embeddings).select("vec_id", "_v", "_norm", *cents)
     sims = F.array(
         *[
-            _dot(F.col("_v"), F.col(f"cent_{c}"))
-            / (F.col("_norm") * F.sqrt(_dot(F.col(f"cent_{c}"), F.col(f"cent_{c}"))))
+            _dot(F.col("_v"), F.col(f"cent_{c}"), dim=dim)
+            / (F.col("_norm") * F.sqrt(_dot(F.col(f"cent_{c}"), F.col(f"cent_{c}"), dim=dim)))
             for c in range(n_cells)
         ]
     )
@@ -267,7 +293,7 @@ def _exact_rerank(cand: DataFrame, embeddings: DataFrame, n_queries: int, k: int
         .join(F.broadcast(qv), "query_id")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+            F.round(_dot(F.col("_v"), F.col("_qv"), dim=EMB_DIM) / (F.col("_norm") * F.col("_qn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -447,7 +473,7 @@ def dedup_embedding_cosine(
         .join(vb, "vec_b")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+            F.round(_dot(F.col("_va"), F.col("_vb"), dim=EMB_DIM) / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -567,7 +593,7 @@ def semantic_pairs(
         .join(vb, "vec_b")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+            F.round(_dot(F.col("_va"), F.col("_vb"), dim=EMB_DIM) / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

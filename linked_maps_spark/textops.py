@@ -298,7 +298,11 @@ def train_quality_weights(
             .select("doc_id")
         )
         deltas = (
-            dt.join(F.broadcast(mis), "doc_id")
+            # left-semi with NO broadcast hint: `mis` is ~half the corpus in
+            # early iterations, and a forced broadcast of a corpus-sized
+            # frame OOMs at 10^8+ docs.  AQE still broadcasts it while it is
+            # actually small and shuffles when it is not.
+            dt.join(mis, "doc_id", "left_semi")
             .groupBy("feat")
             .agg(F.sum(F.col("y") * F.col("cnt")).alias("d"))
             .collect()
@@ -1025,7 +1029,12 @@ def normalize_nfc(documents: DataFrame) -> DataFrame:
     def nfc(col: pd.Series) -> pd.Series:
         import unicodedata
 
-        return col.map(lambda t: unicodedata.normalize("NFC", t or ""))
+        # NULL text propagates as NULL (SQL semantics, matching the
+        # oracle's nfc_normalize) — a `t or ''` fallback here would report
+        # n_chars_nfc=0 / text_nfc='' for NULL documents instead
+        return col.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
 
     d = documents.withColumn("text_nfc", nfc(F.col("text")))
     return d.select(
