@@ -109,8 +109,14 @@ def dedup_ngram_jaccard(
     pairs at scale."""
     from .util import spread
 
-    sh = spread(documents, "doc_id").select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    # the exploded shingle table feeds the df-filter, sizes and the
+    # self-join/verify legs — persist it once (named slot, see
+    # _cached_plan) instead of re-running the scan+explode per leg
+    sh = _cached_plan(
+        "shingles",
+        spread(documents, "doc_id").select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        ),
     )
     rare = (
         sh.groupBy("shingle")
@@ -548,12 +554,34 @@ def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataF
 
 _live_sig: DataFrame | None = None  # see dedup_minhash_lsh cache lifecycle
 
+#: named single-slot persisted intermediates (the ``_live_sig`` lifecycle,
+#: generalized): each slot holds AT MOST one live plan — a repeated call
+#: over the same input reuses the persisted blocks (``sameSemantics``), a
+#: call over different input releases the previous blocks first.  Bounded
+#: executor storage however often the driver/bench loops re-invoke, without
+#: losing the warm-cache rerun.
+_live_plans: dict[str, DataFrame] = {}
+
+
+def _cached_plan(name: str, plan: DataFrame) -> DataFrame:
+    cur = _live_plans.get(name)
+    if cur is not None:
+        try:
+            if cur.sameSemantics(plan):
+                return cur
+            cur.unpersist(blocking=False)
+        except Exception:
+            pass  # stopped session / poisoned slot: rebuild below
+        _live_plans.pop(name, None)
+    df = plan.persist()
+    _live_plans[name] = df
+    return df
+
 
 def clear_cache() -> None:
-    """Release the cached MinHash signature (the ``_live_sig`` slot that
-    :func:`dedup_minhash_lsh` keeps warm across calls).  Library users call
-    this to free executor storage deterministically instead of waiting for
-    the next differing-input call to evict it."""
+    """Release the cached MinHash signature and every named plan slot.
+    Library users call this to free executor storage deterministically
+    instead of waiting for the next differing-input call to evict it."""
     global _live_sig
     sig, _live_sig = _live_sig, None
     if sig is not None:
@@ -561,6 +589,12 @@ def clear_cache() -> None:
             sig.unpersist(blocking=False)
         except Exception:
             pass  # owning SparkSession already stopped: nothing to release
+    for name in list(_live_plans):
+        df = _live_plans.pop(name)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def dedup_minhash_lsh(
@@ -782,9 +816,13 @@ def dedup_jaccard_prefix(
     """
     from .util import spread
 
-    sh = (
+    # same named slot as dedup_ngram_jaccard (identical plan over the same
+    # corpus): one scan+explode serves df-ranking, sizes and both verify
+    # legs — previously each leg recomputed it (5 passes in one action)
+    sh = _cached_plan(
+        "shingles",
         spread(documents, "doc_id")
-        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")),
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "shingle").withColumn(

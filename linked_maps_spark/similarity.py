@@ -16,39 +16,23 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import MAX_KEY_DF, h32
+from .dedup import MAX_KEY_DF
 
 
-#: the standard embedding width of this engine's vector surface — used only
-#: to pick the FAST dot-product form; rows of any other width take the
-#: fold fallback with identical results
-EMB_DIM = 64
-
-
-def _dot(a, b, dim: int | None = None):
+def _dot(a, b):
     """Sequential left-fold dot product in float64 — bit-compatible with
-    DuckDB's ``list_dot_product`` over ``DOUBLE[]``.
-
-    With ``dim``, emit a statically-unrolled ``0.0 + a1·b1 + … + an·bn``
-    guarded by a per-row size check: the SAME multiply/add sequence in the
-    SAME order (Catalyst's ReorderAssociativeOperator only reassociates
-    integral types, so doubles keep source order), but whole-stage-codegen
-    compiles it instead of interpreting a lambda per element — measured
-    ~6 µs → ~1 µs per 64-dim dot.  Rows of any other width fall back to
-    the fold, so the expression is exact for all inputs."""
-    fold = F.aggregate(
+    DuckDB's ``list_dot_product`` over ``DOUBLE[]``.  (A statically
+    unrolled 64-term variant was measured faster to EVALUATE but its
+    ~256 extra py4j Column calls per instantiation cost more to BUILD than
+    the evaluation saved — query functions rebuild their plan per call, so
+    construction is on the timed path.  The heavy multi-dot surfaces —
+    LSH planes, IVF centroid sims, PQ codes/LUTs — avoid per-row JVM dots
+    entirely via the vectorized Arrow kernels below.)"""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    if dim is None:
-        return fold
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return F.when(
-        (F.size(a) == F.lit(dim)) & (F.size(b) == F.lit(dim)), acc
-    ).otherwise(fold)
 
 
 def _as_double(col):
@@ -57,9 +41,79 @@ def _as_double(col):
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     v = _as_double(F.col(vec))
-    return df.withColumn("_v", v).withColumn(
-        "_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"), dim=EMB_DIM))
-    )
+    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def _h32f(s: str) -> float:
+    """Driver-side value of ``h32(lit(s)) / 2^31 - 1`` — the md5-derived
+    plane/centroid component, bit-identical to the JVM expression (exact
+    int → double conversion, division by a power of two, subtraction)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / float(1 << 31) - 1.0
+
+
+def _np_seq_dots(V, W):
+    """(n, m) dot-product table with the SAME IEEE semantics as the
+    ``_dot`` left fold, vectorized across rows: the d-loop accumulates
+    ``acc = acc + V[:,d]·W[:,d]`` so every (row, column) pair sees the
+    identical ``((0 + t0) + t1) + …`` add sequence — numpy performs each
+    elementwise op as a separate correctly-rounded IEEE operation (no FMA
+    contraction, no reassociation), so the doubles match the JVM fold
+    bit-for-bit."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], W.shape[0]))
+    for d in range(V.shape[1]):
+        acc = acc + V[:, d : d + 1] * W[None, :, d]
+    return acc
+
+
+def _np_seq_sqnorm(V):
+    """Row-wise ‖v‖² with the same sequential fold semantics."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for d in range(V.shape[1]):
+        acc = acc + V[:, d] * V[:, d]
+    return acc
+
+
+def _emb_batches(batches, dim: int):
+    """Iterate ``(vec_ids, V, bad)`` per Arrow batch of (vec_id, embedding):
+    ``V`` is the (n, dim) float64 matrix of conforming rows (float32 →
+    float64 is exact) and ``bad`` marks rows that are NULL or not exactly
+    ``dim`` wide — those take the same all-null degenerate outputs the JVM
+    expressions produced (``zip_with`` pads mismatched lengths with nulls,
+    collapsing the fold to NULL)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        vec_ids = b.column(0).to_pylist()
+        col = b.column(1)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        # fast path: no nulls, every row exactly dim wide → one zero-copy
+        # reshape of the flat value buffer
+        if col.null_count == 0 and isinstance(col, pa.ListArray):
+            flat = col.flatten()  # offset-aware concatenation of row values
+            if n and len(flat) == n * dim:
+                lengths = np.diff(col.offsets.to_numpy())
+                if (lengths == dim).all():
+                    V = flat.to_numpy(zero_copy_only=False).astype(
+                        np.float64, copy=False
+                    ).reshape(n, dim)
+                    yield vec_ids, V, np.zeros(n, dtype=bool)
+                    continue
+        rows = col.to_pylist()
+        bad = np.zeros(n, dtype=bool)
+        V = np.zeros((n, dim))
+        for i, r in enumerate(rows):
+            if r is None or len(r) != dim:
+                bad[i] = True
+            else:
+                V[i, :] = r
+        yield vec_ids, V, bad
 
 
 def cosine_topk(
@@ -76,7 +130,7 @@ def cosine_topk(
     pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot(F.col("_v"), F.col("_qv"), dim=EMB_DIM) / (F.col("_norm") * F.col("_qn")), 6),
+        F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -118,29 +172,49 @@ def lsh_band_array(
     """(vec_id, bands array<string>) — each vector's LSH band values, the
     per-vector index state shared by the on-the-fly ANN paths and the
     persisted ``vec_index`` table (vec_index.py): one definition, so the
-    indexed and recompute paths are provably identical."""
+    indexed and recompute paths are provably identical.
+
+    Vectorized Arrow kernel (guide §4.2): the old form materialized
+    ``n_planes`` 64-literal array columns and a JVM fold per (row, plane) —
+    at 32 planes that is ~20k py4j calls just to BUILD the plan (measured
+    18 s) and an interpreted multi-thousand-node tree per row to evaluate
+    (15 s for 2 000 rows).  Here the planes are the same md5-derived
+    doubles computed driver-side and the per-plane dots run as one numpy
+    column-accumulation per batch — identical IEEE sequence to the ``_dot``
+    fold (see ``_np_seq_dots``), so every bit (and thus every band string)
+    is unchanged.  Non-conforming rows (NULL / wrong width) produce all-'0'
+    bits exactly as the JVM ``zip_with`` null-padding did."""
     rows = n_planes // n_bands
-    planes = [
-        F.array(
-            *[
-                (h32(F.lit(f"{p}:{d}")) / F.lit(float(1 << 31)) - 1.0)
-                for d in range(dim)
+    planes = [[_h32f(f"{p}:{d}") for d in range(dim)] for p in range(n_planes)]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.array(planes)
+        prefixes = [f"{b}_" for b in range(n_bands)]
+        for vec_ids, V, bad in _emb_batches(batches, dim):
+            dots = _np_seq_dots(V, P)
+            bits = np.where(dots >= 0, "1", "0")
+            bits[bad, :] = "0"
+            bands = [
+                [
+                    prefixes[b] + "".join(row[b * rows : (b + 1) * rows])
+                    for b in range(n_bands)
+                ]
+                for row in bits
             ]
-        ).alias(f"plane_{p}")
-        for p in range(n_planes)
-    ]
-    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *planes)
-    bits = [
-        F.when(_dot(F.col("_v"), F.col(f"plane_{p}"), dim=dim) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(n_planes)
-    ]
-    band_vals = F.array(
-        *[
-            F.concat_ws("", F.lit(f"{b}_"), *bits[b * rows : (b + 1) * rows])
-            for b in range(n_bands)
-        ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(bands, type=pa.list_(pa.string())),
+                ],
+                names=["vec_id", "bands"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_id long, bands array<string>"
     )
-    return base.select("vec_id", band_vals.alias("bands"))
 
 
 def lsh_bands(
@@ -175,28 +249,55 @@ def _ivf_sims(
     every coarse centroid.  ``centroids`` defaults to the md5-derived fixed
     directions (oracle-checkable); pass trained centroids (vec_index.py)
     for the data-dependent variant."""
+    # Vectorized Arrow kernel (guide §4.2; see lsh_band_array's note): the
+    # centroid components are the same md5-derived / trained doubles
+    # computed driver-side; per-cell dots and norms use the sequential-fold
+    # numpy accumulation, so every similarity double is bit-identical to
+    # the old per-cell JVM fold expressions (which cost ~n_cells × 64
+    # literal nodes to build and an interpreted tree per row to evaluate).
     if centroids is None:
-        cents = [
-            F.array(
-                *[(h32(F.lit(f"c{c}:{d}")) / F.lit(float(1 << 31)) - 1.0) for d in range(dim)]
-            ).alias(f"cent_{c}")
-            for c in range(n_cells)
+        cent_vals = [
+            [_h32f(f"c{c}:{d}") for d in range(dim)] for c in range(n_cells)
         ]
     else:
-        n_cells = len(centroids)
-        cents = [
-            F.array(*[F.lit(float(x)) for x in centroids[c]]).alias(f"cent_{c}")
-            for c in range(n_cells)
-        ]
-    base = with_norm(embeddings).select("vec_id", "_v", "_norm", *cents)
-    sims = F.array(
-        *[
-            _dot(F.col("_v"), F.col(f"cent_{c}"), dim=dim)
-            / (F.col("_norm") * F.sqrt(_dot(F.col(f"cent_{c}"), F.col(f"cent_{c}"), dim=dim)))
-            for c in range(n_cells)
-        ]
+        cent_vals = [[float(x) for x in c] for c in centroids]
+        n_cells = len(cent_vals)
+    import math
+
+    cnorms = []
+    for cv in cent_vals:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cnorms.append(math.sqrt(acc))
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cent_vals)
+        CN = np.array(cnorms)
+        for vec_ids, V, bad in _emb_batches(batches, dim):
+            norm_v = np.sqrt(_np_seq_sqnorm(V))
+            sims = _np_seq_dots(V, C) / (norm_v[:, None] * CN[None, :])
+            # degenerate rows keep the JVM shape: an array OF nulls (the
+            # old per-cell fold yielded NULL per element), not a null array
+            null_row = [None] * n_cells
+            out = [
+                null_row if bad[i] else sims[i].tolist()
+                for i in range(len(vec_ids))
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(out, type=pa.list_(pa.float64())),
+                ],
+                names=["vec_id", "_sims"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_id long, _sims array<double>"
     )
-    return base.select("vec_id", sims.alias("_sims"))
 
 
 def ivf_cells(
@@ -293,7 +394,7 @@ def _exact_rerank(cand: DataFrame, embeddings: DataFrame, n_queries: int, k: int
         .join(F.broadcast(qv), "query_id")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("_v"), F.col("_qv"), dim=EMB_DIM) / (F.col("_norm") * F.col("_qn")), 6),
+            F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -473,7 +574,7 @@ def dedup_embedding_cosine(
         .join(vb, "vec_b")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("_va"), F.col("_vb"), dim=EMB_DIM) / (F.col("_na") * F.col("_nb")), 6),
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -593,7 +694,7 @@ def semantic_pairs(
         .join(vb, "vec_b")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("_va"), F.col("_vb"), dim=EMB_DIM) / (F.col("_na") * F.col("_nb")), 6),
+            F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -824,22 +925,48 @@ def pq_codes(
     ``codebooks`` (``[m][ksub][dsub]`` floats, from
     ``vec_index.train_pq_codebooks``) replaces the md5 codebooks; the
     oracle covers the default."""
+    # Vectorized Arrow kernel (guide §4.2; see lsh_band_array's note): per
+    # subspace the ksub scores ``‖c‖² − 2⟨x_j,c⟩`` come from one numpy
+    # column-accumulation with the `_dot` fold's exact IEEE sequence;
+    # argmin takes the FIRST minimum (numpy argmin ≡ array_position of
+    # array_min), codes stay 1-based.
     dsub = dim // m
-    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("_v"))
-    code_cols = []
-    for j in range(m):
-        sub = F.slice("_v", j * dsub + 1, dsub)
-        scores = F.zip_with(
-            _pq_cnorms_j(j, dsub, ksub, codebooks),
-            _pq_cents_j(j, dsub, ksub, codebooks),
-            lambda n, cent: n - F.lit(2.0) * _dot(sub, cent),
-        )
-        code_cols.append(
-            F.expr(f"array_position(_sc_{j}, array_min(_sc_{j}))").cast("int")
-        )
-        base = base.withColumn(f"_sc_{j}", scores)
-    return base.select(
-        "vec_id", F.array(*code_cols).alias("codes")
+    books = [
+        [_pq_book_vals(j, c, dsub, codebooks) for c in range(ksub)]
+        for j in range(m)
+    ]
+    bnorms = [
+        [_pq_cnorm(j, c, dsub, codebooks) for c in range(ksub)]
+        for j in range(m)
+    ]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        B = np.array(books)  # (m, ksub, dsub)
+        N2 = np.array(bnorms)  # (m, ksub)
+        for vec_ids, V, bad in _emb_batches(batches, dim):
+            n = len(vec_ids)
+            codes = np.zeros((n, m), dtype=np.int64)
+            for j in range(m):
+                sub = V[:, j * dsub : (j + 1) * dsub]
+                scores = N2[j][None, :] - 2.0 * _np_seq_dots(sub, B[j])
+                codes[:, j] = np.argmin(scores, axis=1) + 1
+            null_row = [None] * m
+            out = [
+                null_row if bad[i] else codes[i].tolist() for i in range(n)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(out, type=pa.list_(pa.int32())),
+                ],
+                names=["vec_id", "codes"],
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        fn, "vec_id long, codes array<int>"
     )
 
 
@@ -867,22 +994,50 @@ def pq_query_luts(
     lookup table, ``lut[j][c] = ‖q_j − c‖²``, computed over ONLY the query
     rows (``vec_id < n_queries``).  Tiny (n_queries × m × ksub doubles) —
     always broadcast by callers."""
+    # Arrow kernel like pq_codes: lut[j][c] = ⟨q_j,q_j⟩ − 2⟨q_j,c⟩ + ‖c‖²,
+    # each dot the sequential fold, the three terms combined in the same
+    # operation order as the old JVM expression.
     dsub = dim // m
+    books = [
+        [_pq_book_vals(j, c, dsub, codebooks) for c in range(ksub)]
+        for j in range(m)
+    ]
+    bnorms = [
+        [_pq_cnorm(j, c, dsub, codebooks) for c in range(ksub)]
+        for j in range(m)
+    ]
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double(F.col("embedding")).alias("_qv"),
+        F.col("vec_id").alias("query_id"), "embedding"
     )
 
-    def _lut_j(j: int):
-        qs = F.slice("_qv", j * dsub + 1, dsub)
-        return F.zip_with(
-            _pq_cnorms_j(j, dsub, ksub, codebooks),
-            _pq_cents_j(j, dsub, ksub, codebooks),
-            lambda n, cent: _dot(qs, qs) - F.lit(2.0) * _dot(qs, cent) + n,
-        )
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
 
-    luts = F.array(*[_lut_j(j) for j in range(m)])
-    return q.select("query_id", luts.alias("_lut"))
+        B = np.array(books)  # (m, ksub, dsub)
+        N2 = np.array(bnorms)  # (m, ksub)
+        for vec_ids, V, bad in _emb_batches(batches, dim):
+            n = len(vec_ids)
+            luts = np.zeros((n, m, ksub))
+            for j in range(m):
+                sub = V[:, j * dsub : (j + 1) * dsub]
+                qq = _np_seq_sqnorm(sub)
+                luts[:, j, :] = (
+                    qq[:, None] - 2.0 * _np_seq_dots(sub, B[j])
+                ) + N2[j][None, :]
+            null_row = [[None] * ksub] * m
+            out = [
+                null_row if bad[i] else luts[i].tolist() for i in range(n)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(out, type=pa.list_(pa.list_(pa.float64()))),
+                ],
+                names=["query_id", "_lut"],
+            )
+
+    return q.mapInArrow(fn, "query_id long, _lut array<array<double>>")
 
 
 def pq_mse(
