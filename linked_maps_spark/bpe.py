@@ -382,10 +382,20 @@ def _train_distributed_serial(
 # symbol ≤ the pair max; their sum covers the union).  The driver then
 # accepts a maximal RANK-CONTIGUOUS prefix p_1..p_m of the global
 # (count DESC, l, r) order such that
-#   (1) p_t's symbols are disjoint from every earlier accepted pair's
-#       {l_j, r_j, l_j||r_j}  (stop at the first violation — skipping
-#       would break rank contiguity and with it the proof), and
-#   (2) count(p_t) > max_{j<t} bound(p_j)  (strict, so ties lose too).
+#   (1) p_t's symbols AND its concatenation l_t||r_t are disjoint from
+#       every earlier accepted pair's {l_j, r_j, l_j||r_j}  (stop at the
+#       first violation — skipping would break rank contiguity and with
+#       it the proof).  The concatenation check matters: two accepted
+#       merges whose concatenations collide would pool their created
+#       adjacencies onto ONE symbol string, stacking bounds; with it,
+#       every created symbol comes from exactly one accepted merge, and
+#   (2) count(p_t) > 2 · max_{j<t} bound(p_j)  (strict, so ties lose
+#       too).  The factor 2 covers a pair BOTH of whose sides are batch-
+#       created symbols (n_i, n_j): its count is at most the creating
+#       merges' combined bounds — left-side creations + that side's
+#       pre-existing pairs ≤ bound(p_i), right-side creations ≤ the trip
+#       part of bound(p_j) — so ≤ 2 · maxbound; a single bound was not
+#       sufficient for exactly that two-sided case.
 # Under (1) p_t's own count is untouched by merges 1..t-1; pairs ranked
 # above p_t are exactly p_1..p_{t-1} (already applied, count 0); pairs
 # ranked below only ever lose count; and (2) rules out every created pair
@@ -508,7 +518,7 @@ def _select_batch(rows: list, k_left: int) -> "list[tuple[str, str, int]]":
     for row in rows:
         l, r, cnt, bound = row["l"], row["r"], int(row["cnt"]), int(row["bound"])
         if accepted:
-            if l in used or r in used or cnt <= maxbound:
+            if l in used or r in used or (l + r) in used or cnt <= 2 * maxbound:
                 break
         accepted.append((l, r, cnt))
         if len(accepted) >= k_left:

@@ -218,7 +218,10 @@ def batched_bpe_mirror(wf: dict[str, int], k: int, top_m: int = 64):
         accepted = []
         maxbound = 0
         for l, r, cnt, bound in cand:
-            if accepted and (l in used or r in used or cnt <= maxbound):
+            if accepted and (
+                l in used or r in used or (l + r) in used
+                or cnt <= 2 * maxbound
+            ):
                 break
             accepted.append((l, r, cnt))
             if len(accepted) >= k - len(merges):
@@ -244,6 +247,46 @@ def test_batched_guard_equals_reference(wf, k):
     merges, segs, _ = batched_bpe_mirror(wf, k)
     assert merges == ref_merges
     assert segs == ref_segs
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    wf=st.dictionaries(
+        # two-letter alphabet + longer words + deeper merge budgets: merge
+        # chains stack fast, so concatenation COLLISIONS (two candidate
+        # merges producing the same symbol string, e.g. a|bb vs ab|b →
+        # "abb") and two-sided created pairs occur routinely — the shapes
+        # the tightened guard ((l+r) collision rejection + the 2×bound)
+        # exists for
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_batched_guard_exact_under_concat_collisions(wf, k):
+    ref_merges, ref_segs = ref_bpe(wf, k)
+    merges, segs, _ = batched_bpe_mirror(wf, k)
+    assert merges == ref_merges
+    assert segs == ref_segs
+
+
+def test_driver_trainer_non_bmp_tiebreak_matches_spark_order():
+    """Spark orders strings by UTF-8 bytes ≡ code points (verified against
+    a live session: U+E000 < U+FFFF < U+10000 < U+1F600), which is exactly
+    Python's str ordering — so the driver trainer's heap tie-break agrees
+    with the Spark argmax for supplementary-plane symbols too.  Pin the
+    property on an emoji corpus with tied pair counts."""
+    # tied pair counts where UTF-16 code-unit order would pick the OTHER
+    # winner: (U+E000, a) vs (U+10000, a) both count 3 - code-point order
+    # (Python == Spark UTF-8 byte order) breaks the tie to U+E000, while
+    # UTF-16 code units would rank the surrogate-encoded U+10000 first
+    wf = {"\ue000a": 3, "\U00010000a": 3, "\U0001F600b": 2}
+    ref_merges, ref_segs = ref_bpe(wf, 3)
+    merges, segs = bpe._train_types(sorted(wf.items()), 3)
+    assert merges == ref_merges
+    assert {w: s for w, _, s in segs} == ref_segs
 
 
 @settings(max_examples=200, deadline=None)
