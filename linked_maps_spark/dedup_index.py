@@ -182,13 +182,14 @@ def driver_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: index the ``doc_id % 4 <> 0`` corpus once,
     then incrementally dedup the ``doc_id % 4 = 0`` batch against it."""
     import os
-    import tempfile
+
+    from .util import scratch_root
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     key = os.path.basename(os.path.normpath(sf_dir))
     if key not in _DRIVER_IDX:
         path = os.path.join(
-            tempfile.gettempdir(), f"lms_dedup_idx_{key}"
+            scratch_root(), f"lms_dedup_idx_{key}"
         )
         build_dedup_index(
             spark, docs.filter(f"NOT ({NEW_PRED})"), path,

@@ -14,12 +14,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import geometry as G
+from .util import scratch_root
 from .changelog import commit_label, synth_change_log, to_spark
 from .ingest import CdcEngine
 from .osm_link import link_osm, synth_osm_catalog
@@ -50,7 +50,7 @@ def warehouse_engine(spark: SparkSession, sf_dir: str) -> CdcEngine:
     if key in _ENGINES:
         return _ENGINES[key]
     n_keys, n_commits = _scale_of(sf_dir)
-    wh = os.path.join(tempfile.gettempdir(), f"lms_warehouse_{key}_{SEED}")
+    wh = os.path.join(scratch_root(), f"lms_warehouse_{key}_{SEED}")
     if os.path.exists(wh):
         shutil.rmtree(wh)
     eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=8)
@@ -158,7 +158,7 @@ def cdc_snap_offgrid(spark, sf_dir) -> DataFrame:
         wal = spark.createDataFrame(
             rows, "repo string, path string, commit string, lang string, content string"
         )
-        wh = os.path.join(tempfile.gettempdir(), f"lms_warehouse_{key}_{SEED}")
+        wh = os.path.join(scratch_root(), f"lms_warehouse_{key}_{SEED}")
         if os.path.exists(wh):
             shutil.rmtree(wh)
         eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=4)
@@ -216,7 +216,7 @@ def cdc_fold_micro(spark, sf_dir) -> DataFrame:
         wal = spark.createDataFrame(
             rows, "repo string, path string, commit string, content string"
         )
-        wh = os.path.join(tempfile.gettempdir(), f"lms_warehouse_{key}_{SEED}")
+        wh = os.path.join(scratch_root(), f"lms_warehouse_{key}_{SEED}")
         if os.path.exists(wh):
             shutil.rmtree(wh)
         eng = CdcEngine(spark, wh, geom_type=G.LINE, n_buckets=4)
@@ -429,7 +429,7 @@ def cdc_table_changes(spark, sf_dir) -> DataFrame:
     if key not in _CDF_TABLES:
         events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         path = os.path.join(
-            tempfile.gettempdir(), f"lms_warehouse_cdf_{key}_{SEED}"
+            scratch_root(), f"lms_warehouse_cdf_{key}_{SEED}"
         )
         t = LakeTable.create(
             spark, path,

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .dedup import tokens
 from .lakehouse import LakeTable
 from .textops import score_topk
-from .util import spread
+from .util import spread, scratch_root
 
 TEXT_INDEX_SCHEMA = "term string, doc_id long, tf long"
 
@@ -240,12 +240,11 @@ def driver_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two batches, exercising the incremental merge), then answer the
     standard term query from the index alone."""
     import os
-    import tempfile
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     key = os.path.basename(os.path.normpath(sf_dir))
     if key not in _DRIVER_IDX:
-        path = os.path.join(tempfile.gettempdir(), f"lms_text_idx_{key}")
+        path = os.path.join(scratch_root(), f"lms_text_idx_{key}")
         build_text_index(spark, docs.filter("doc_id % 2 = 0"), path,
                          n_buckets=8, overwrite=True)
         build_text_index(spark, docs.filter("doc_id % 2 <> 0"), path)

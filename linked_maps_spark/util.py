@@ -182,3 +182,18 @@ def make_query_registry():
 def load_table(spark, sf_dir: str, table: str) -> DataFrame:
     """Read one driver-provided parquet table (shared by the query modules)."""
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def scratch_root() -> str:
+    """Scratch root for throwaway fixture warehouses/indexes: tmpfs when the
+    sandbox has it (the local disk writes ~25 MB/s, which would I/O-bind
+    every fixture build), else the regular tempdir.  Same policy as
+    session.py's shuffle-local-dir routing; these trees are rebuilt
+    deterministically per process, never durable state."""
+    import os
+    import tempfile
+
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()

@@ -426,12 +426,13 @@ def driver_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _driver_index(spark: SparkSession, sf_dir: str):
     import os
-    import tempfile
+
+    from .util import scratch_root
 
     key = os.path.basename(os.path.normpath(sf_dir))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     if key not in _DRIVER_IDX:
-        p = os.path.join(tempfile.gettempdir(), f"lms_vec_index_{key}")
+        p = os.path.join(scratch_root(), f"lms_vec_index_{key}")
         # trained=False HERE ONLY: the correctness gate needs the
         # engine-independent md5 quantizer so DuckDB can replay the exact
         # cell/code definitions; the trained production default is covered
