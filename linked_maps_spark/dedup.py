@@ -569,10 +569,19 @@ def _cached_plan(name: str, plan: DataFrame) -> DataFrame:
         try:
             if cur.sameSemantics(plan):
                 return cur
+        except Exception:
+            pass  # stopped session / poisoned slot: evict and rebuild
+        _live_plans.pop(name, None)
+        try:  # release even when sameSemantics itself raised
             cur.unpersist(blocking=False)
         except Exception:
-            pass  # stopped session / poisoned slot: rebuild below
-        _live_plans.pop(name, None)
+            pass
+    # Persisted blocks are a CACHE, not pinned state: MEMORY_AND_DISK
+    # blocks are evictable under storage pressure (Spark recomputes), the
+    # slot is replaced on the next differing input, and clear_cache()
+    # releases deterministically.  The trade — shingle-table-sized storage
+    # for one scan+explode instead of five per action — is the same one
+    # the MinHash signature slot already made.
     df = plan.persist()
     _live_plans[name] = df
     return df

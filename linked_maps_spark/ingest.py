@@ -142,9 +142,9 @@ def _plan_warm(spark: SparkSession) -> None:
     import tempfile
 
     from .changelog import synth_change_log, to_spark
+    from .util import scratch_root
 
-    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    wh = tempfile.mkdtemp(prefix="lms_planwarm_", dir=scratch)
+    wh = tempfile.mkdtemp(prefix="lms_planwarm_", dir=scratch_root())
     # the micro WAL is CACHED like a production batch feed: the fold job's
     # input stage then compiles against the same InMemoryTableScan + commit-
     # range filter shape a real epoch reads through (an uncached local
@@ -159,6 +159,26 @@ def _plan_warm(spark: SparkSession) -> None:
     finally:
         wal.unpersist()
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def _collect_commits(df: DataFrame) -> list[str]:
+    """Distinct commit labels of a (pre-filtered) WAL frame, ONE job:
+    ``collect_set`` partial-aggregates map-side into a single final task
+    (a ``.distinct()`` here paid a full shuffle-partition-wide reduce stage
+    for a handful of labels).  ``collect_set`` skips NULLs, which would
+    SILENTLY drop a malformed row's events from every epoch — so NULL
+    commits are counted in the same job and fail loudly instead."""
+    row = df.agg(
+        F.collect_set("commit").alias("cs"),
+        F.count(F.when(F.col("commit").isNull(), 1)).alias("nn"),
+    ).collect()[0]
+    if row["nn"]:
+        raise ValueError(
+            f"ingest: batch carries {row['nn']} event(s) with a NULL commit "
+            "label — these cannot be ordered into any epoch; fix the WAL "
+            "upstream (every event needs a commit label)"
+        )
+    return sorted(row["cs"] or [])
 
 
 def _fold_width(
@@ -1014,9 +1034,7 @@ class CdcEngine:
             # aggregates map-side into ONE final task — `.distinct()` here
             # paid a full shuffle-partition-wide reduce stage (128 tiny
             # tasks at the session default) for a handful of labels.
-            all_commits = sorted(
-                change_log.agg(F.collect_set("commit")).collect()[0][0] or []
-            )
+            all_commits = _collect_commits(change_log)
             if guard_min_commit is not None and all_commits and (
                 all_commits[0] <= guard_min_commit
             ):
@@ -1042,12 +1060,12 @@ class CdcEngine:
             # collect_set shape as above: map-side partial agg, one final
             # task, no wide distinct stage.
             pending = (
-                change_log.filter(F.col("commit") > F.lit(wm))
+                change_log.filter(
+                    (F.col("commit") > F.lit(wm)) | F.col("commit").isNull()
+                )
                 if wm is not None else change_log
             )
-            commits = sorted(
-                pending.agg(F.collect_set("commit")).collect()[0][0] or []
-            )
+            commits = _collect_commits(pending)
         # O(1) epoch numbering: every commit-log append records its epoch in
         # the snapshot summary, so the next epoch id is a manifest read —
         # the count() job this replaces cost a full (tiny) Spark job per

@@ -80,10 +80,15 @@ def _np_seq_sqnorm(V):
 def _emb_batches(batches, dim: int):
     """Iterate ``(vec_ids, V, bad)`` per Arrow batch of (vec_id, embedding):
     ``V`` is the (n, dim) float64 matrix of conforming rows (float32 →
-    float64 is exact) and ``bad`` marks rows that are NULL or not exactly
-    ``dim`` wide — those take the same all-null degenerate outputs the JVM
-    expressions produced (``zip_with`` pads mismatched lengths with nulls,
-    collapsing the fold to NULL)."""
+    float64 is exact) and ``bad`` marks rows that are NULL, not exactly
+    ``dim`` wide, or carrying NULL elements — those take the all-null
+    degenerate outputs the JVM expressions produced (``zip_with`` pads
+    mismatched lengths with nulls and propagates element nulls, collapsing
+    the fold to NULL; a null ELEMENT nulls every full-vector dot, which is
+    exactly the bad-row output for the LSH/IVF kernels.  The PQ kernels
+    apply the same whole-row rule where the JVM form would null only the
+    affected subspace — a documented approximation for rows no conforming
+    corpus produces)."""
     import numpy as np
     import pyarrow as pa
 
@@ -93,11 +98,11 @@ def _emb_batches(batches, dim: int):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = len(col)
-        # fast path: no nulls, every row exactly dim wide → one zero-copy
-        # reshape of the flat value buffer
+        # fast path: no null rows, no null elements, every row exactly dim
+        # wide → one zero-copy reshape of the flat value buffer
         if col.null_count == 0 and isinstance(col, pa.ListArray):
             flat = col.flatten()  # offset-aware concatenation of row values
-            if n and len(flat) == n * dim:
+            if n and len(flat) == n * dim and flat.null_count == 0:
                 lengths = np.diff(col.offsets.to_numpy())
                 if (lengths == dim).all():
                     V = flat.to_numpy(zero_copy_only=False).astype(
@@ -109,7 +114,7 @@ def _emb_batches(batches, dim: int):
         bad = np.zeros(n, dtype=bool)
         V = np.zeros((n, dim))
         for i, r in enumerate(rows):
-            if r is None or len(r) != dim:
+            if r is None or len(r) != dim or any(x is None for x in r):
                 bad[i] = True
             else:
                 V[i, :] = r
@@ -952,6 +957,11 @@ def pq_codes(
             for j in range(m):
                 sub = V[:, j * dsub : (j + 1) * dsub]
                 scores = N2[j][None, :] - 2.0 * _np_seq_dots(sub, B[j])
+                # Spark ranks NaN GREATEST (and NaN = NaN holds inside
+                # array functions), so array_min skips NaNs and an all-NaN
+                # row resolves to position 1; substituting +inf reproduces
+                # both cases under np.argmin's first-match rule
+                scores = np.where(np.isnan(scores), np.inf, scores)
                 codes[:, j] = np.argmin(scores, axis=1) + 1
             null_row = [None] * m
             out = [

@@ -813,13 +813,11 @@ def test_plan_warm_micro_ingest(spark, tmp_path, wal_pdf, full):
     import os
 
     from linked_maps_spark.ingest import _plan_warm
+    from linked_maps_spark.util import scratch_root
 
     _plan_warm(spark)  # blocking call of the background warm body
-    # throwaway warehouse cleaned up
-    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else (
-        os.environ.get("TMPDIR", "/tmp")
-    )
-    assert not glob.glob(os.path.join(scratch, "lms_planwarm_*"))
+    # throwaway warehouse cleaned up (same scratch policy as the warm)
+    assert not glob.glob(os.path.join(scratch_root(), "lms_planwarm_*"))
     # a real ingest after the warm is bit-identical to the fixture run
     eng_ref, _ = full
     eng = _engine(spark, tmp_path, "after_warm")
@@ -839,3 +837,20 @@ def test_commit_log_epoch_numbering_summary_path(spark, tmp_path, wal_pdf):
     # n_keys comes from the fold's own accounting now: every epoch touched
     # all N_KEYS keys (the synth WAL writes every key every commit)
     assert all(r["n_keys"] == N_KEYS for r in log)
+
+
+def test_null_commit_fails_loudly(spark, tmp_path):
+    """collect_set skips NULLs, which would silently drop a malformed row's
+    events from every epoch — the commit collection must raise instead."""
+    eng = _engine(spark, tmp_path, "nullcommit")
+    wal = to_spark(spark, synth_change_log(n_keys=2, n_commits=2, seed=3))
+    from linked_maps_spark.changelog import commit_label
+
+    bad = wal.withColumn(
+        "commit",
+        F.when(F.col("commit") == commit_label(0), F.lit(None)).otherwise(
+            F.col("commit")
+        ),
+    )
+    with pytest.raises(ValueError, match="NULL commit"):
+        eng.ingest(bad, commits_per_epoch=2)
