@@ -38,6 +38,17 @@ def h32_sql(expr: str, salt: str = "") -> str:
     return f"CAST(('0x' || substr(md5({inner}), 1, 8)) AS UBIGINT)::BIGINT"
 
 
+def h32_expr(expr: str, salt: str = "") -> str:
+    """Spark-SQL text of :func:`h32` — the SAME Catalyst expressions
+    (concat/md5/substring/conv/cast), but parsed JVM-side in ONE py4j round
+    trip instead of ~7.  ``salt`` must be quote-free (internal call sites
+    pass digits).  See the plan-construction note in OPTIMIZATION_r06.md:
+    per-call py4j latency on a contended host reaches ~20 ms, so hot query
+    constructors hand the JVM one SQL string per column."""
+    inner = f"concat('{salt}', ':', {expr})" if salt else expr
+    return f"cast(conv(substring(md5({inner}), 1, 8), 16, 10) as bigint)"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization, identical to DuckDB's
     ``string_split_regex(trim(lower(x)), '\\s+')``."""
@@ -52,6 +63,22 @@ def word_shingles(col: Column, k: int = SHINGLE_WORDS) -> Column:
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
+    )
+
+
+def tokens_expr(expr: str) -> str:
+    """Spark-SQL text of :func:`tokens` (identical analyzed expression)."""
+    return f"split(trim(lower({expr})), '\\\\s+')"
+
+
+def word_shingles_expr(expr: str, k: int = SHINGLE_WORDS) -> str:
+    """Spark-SQL text of :func:`word_shingles` — same expression tree, one
+    py4j call.  The Column version materializes ~20 py4j round trips per
+    use; on a contended host that alone is 0.1–0.5 s of driver latency."""
+    toks = tokens_expr(expr)
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))))"
     )
 
 
@@ -546,9 +573,11 @@ def minhash_signature(documents: DataFrame, perms: int = MINHASH_PERMS) -> DataF
     from .util import spread
 
     sh = spread(documents, "doc_id").select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.expr(f"explode({word_shingles_expr('text')}) AS shingle")
     )
-    aggs = [F.min(h32(F.col("shingle"), salt=str(i))).alias(f"mh_{i}") for i in range(perms)]
+    aggs = [
+        F.expr(f"min({h32_expr('shingle', salt=str(i))}) AS mh_{i}") for i in range(perms)
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -655,17 +684,12 @@ def dedup_minhash_lsh(
     if sig is None:
         sig = sig_plan.persist()
         _live_sig = sig
-    band_vals = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
+    band_exprs = ", ".join(
+        "concat_ws('_', '%d', %s)"
+        % (b, ", ".join(f"cast(mh_{b * rows + r} as string)" for r in range(rows)))
+        for b in range(bands)
     )
-    buckets = sig.select("doc_id", F.explode(band_vals).alias("band_val"))
+    buckets = sig.select("doc_id", F.expr(f"explode(array({band_exprs})) AS band_val"))
     # hot-bucket ceiling: count per band with a groupBy (map-side partial
     # aggregation — the hot band collapses to one row per task BEFORE the
     # shuffle), then anti-join the over-ceiling bands away.  A window
@@ -677,32 +701,25 @@ def dedup_minhash_lsh(
     # full-size shuffles left are the count agg and the self-join below.
     hot = (
         buckets.groupBy("band_val")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket)
+        .agg(F.expr("count(1) AS __n"))
+        .filter(f"__n > {max_bucket}")
         .select("band_val")
     )
     buckets = buckets.join(hot, "band_val", "left_anti")
     a, c = buckets.alias("a"), buckets.alias("c")
     cand = (
-        a.join(
-            c,
-            (F.col("a.band_val") == F.col("c.band_val"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        a.join(c, F.expr("a.band_val = c.band_val AND a.doc_id < c.doc_id"))
+        .selectExpr("a.doc_id AS doc_a", "c.doc_id AS doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(perms)]
-    )
-    sc = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"c_{i}") for i in range(perms)]
-    )
-    est = sum((F.col(f"a_{i}") == F.col(f"c_{i}")).cast("int") for i in range(perms)) / perms
+    sa = sig.selectExpr("doc_id AS doc_a", *[f"mh_{i} AS a_{i}" for i in range(perms)])
+    sc = sig.selectExpr("doc_id AS doc_b", *[f"mh_{i} AS c_{i}" for i in range(perms)])
+    # same tree as sum(...)/perms: ((0 + t_0) + t_1)..., then Divide, Round
+    est_sql = " + ".join(f"cast(a_{i} = c_{i} as int)" for i in range(perms))
     return (
         cand.join(sa, "doc_a")
         .join(sc, "doc_b")
-        .withColumn("est_jaccard", F.round(est, 6))
+        .withColumn("est_jaccard", F.expr(f"round((0 + {est_sql}) / {perms}, 6)"))
         .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )

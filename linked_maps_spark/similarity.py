@@ -39,9 +39,20 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _dot_expr(a: str, b: str) -> str:
+    """Spark-SQL text of :func:`_dot` — the identical zip_with/aggregate
+    fold, parsed JVM-side in ONE py4j round trip.  Used at call sites whose
+    operands are plain column names; lambda-context dots keep :func:`_dot`.
+    (Per-call py4j latency reaches ~20 ms on a contended host, and query
+    functions rebuild their plan per invocation — construction is on the
+    timed path; see OPTIMIZATION_r06.md.)"""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    v = _as_double(F.col(vec))
-    return df.withColumn("_v", v).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    return df.withColumn("_v", F.expr(f"transform({vec}, x -> cast(x as double))")).withColumn(
+        "_norm", F.expr(f"sqrt({_dot_expr('_v', '_v')})")
+    )
 
 
 def _h32f(s: str) -> float:
@@ -134,8 +145,7 @@ def cosine_topk(
     )
     pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     scored = pairs.withColumn(
-        "cosine",
-        F.round(_dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qn")), 6),
+        "cosine", F.expr(f"round({_dot_expr('_v', '_qv')} / (_norm * _qn), 6)")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
